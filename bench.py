@@ -1,0 +1,55 @@
+"""Benchmark runner (driver contract): times every registered query at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from python_etl_sample_spark.api import queries
+    from python_etl_sample_spark.session import get_spark
+
+    spark = get_spark("python-etl-sample-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = queries()
+    # warm the JVM + parquet footers once so timings measure the queries
+    qs["agg_groupby"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in sorted(qs):
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        n = df.count() if df.isStreaming is False else -1
+        timings[name] = round(time.perf_counter() - t0, 4)
+        assert n >= 0, name
+
+    total = round(sum(timings.values()), 4)
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

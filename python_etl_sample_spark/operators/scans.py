@@ -1,0 +1,108 @@
+"""Scans, sources, sinks — SURVEY.md §2.1 ops #1-6 (prov. C: the
+reference's ETL extract/load surface re-expressed as Spark connectors).
+
+Scale notes: scans are lazy parquet reads, so Catalyst column pruning
+reaches the footer (op #2 reads exactly one column's pages). Sinks
+write via Spark's committer — on a cluster this is a parallel,
+task-per-partition write; ``sink_partitioned`` demonstrates hive-style
+partition layout, the 100 TB pattern for partition-pruned downstream
+reads.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_etl_sample_spark.registry import query
+from python_etl_sample_spark.sources import table
+
+SCRATCH = "/root/repo/.scratch"
+
+
+def _scratch(name: str, sf_dir: str) -> str:
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    return f"{SCRATCH}/{sf_tag}/{name}"
+
+
+@query("scan_parquet", oracle="SELECT * FROM region")
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#1 full table scan."""
+    return table(spark, sf_dir, "region")
+
+
+@query("scan_projected", oracle="SELECT p_partkey, p_retailprice FROM part")
+def scan_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#2 column-pruned scan — ReadSchema in the physical plan shows only
+    the two projected columns reaching the parquet reader."""
+    return table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+
+
+@query(
+    "source_csv",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#3 CSV ingest with explicit schema (classic ETL extract).
+
+    Round-trips ``region`` through CSV so the connector itself is what
+    is under test; content equality with the source table is the oracle.
+    """
+    path = _scratch("source_csv", sf_dir)
+    table(spark, sf_dir, "region").write.mode("overwrite").option("header", True).csv(path)
+    return spark.read.schema("r_regionkey INT, r_name STRING").option("header", True).csv(path)
+
+
+@query(
+    "source_json",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#4 JSON-lines ingest with explicit schema."""
+    path = _scratch("source_json", sf_dir)
+    table(spark, sf_dir, "nation").write.mode("overwrite").json(path)
+    return spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT").json(path)
+
+
+@query(
+    "sink_parquet",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+    FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#5 parquet sink + read-back round trip (ETL load)."""
+    src = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+    )
+    path = _scratch("sink_parquet", sf_dir)
+    src.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+@query(
+    "sink_partitioned",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag
+    FROM lineitem WHERE l_returnflag IN ('A', 'N')
+    """,
+)
+def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#6 hive-partitioned write + partition-pruned read-back.
+
+    The read-back filter on the partition column prunes directories
+    (PartitionFilters in the plan), not rows — the 100 TB layout pattern.
+    """
+    src = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag"
+    )
+    path = _scratch("sink_partitioned", sf_dir)
+    src.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    out = spark.read.parquet(path).filter(F.col("l_returnflag").isin("A", "N"))
+    # partition column comes back typed from the directory key; restore string
+    return out.withColumn("l_returnflag", F.col("l_returnflag").cast("string"))

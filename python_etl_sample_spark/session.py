@@ -1,0 +1,49 @@
+"""SparkSession construction with the configs this engine requires.
+
+Required configs (FIXTURES.md "Load configs"):
+- ``spark.sql.legacy.parquet.nanosAsLong=true`` — events.parquet stores
+  ``ts`` as timestamp[ns]; Spark 4.x refuses it by default
+  (PARQUET_TYPE_ILLEGAL). The conf is runtime-settable, so the loader
+  also sets it on sessions we did not build (the driver builds its own).
+- UTC session timezone — keeps TimestampType ↔ timestamp_ntz ↔ DuckDB
+  naive TIMESTAMP value-aligned.
+
+Scale posture: AQE on (skew-join split, partition coalescing),
+shuffle.partitions sized for local runs but overridable; on a real
+cluster this would be set ≈ 2-3× total cores or left to AQE.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "python-etl-sample-spark") -> SparkSession:
+    """Build (or get) a SparkSession configured for this engine."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    return builder.getOrCreate()
+
+
+def ensure_session_configs(spark: SparkSession) -> None:
+    """Apply runtime-settable configs to an externally-built session.
+
+    The driver's harness constructs its own SparkSession; both required
+    configs are dynamic (verified empirically), so the loader calls this
+    before every read.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")

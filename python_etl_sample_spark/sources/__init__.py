@@ -1,0 +1,3 @@
+from python_etl_sample_spark.sources.tables import TABLE_NAMES, load_tables, table
+
+__all__ = ["TABLE_NAMES", "load_tables", "table"]
