@@ -2,6 +2,10 @@
 
 from python_etl_sample_spark.operators import (  # noqa: F401
     aggregates,
+    joins,
     projections,
     scans,
+    setops,
+    sorts,
+    windows,
 )

@@ -62,11 +62,15 @@ def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str = 
     )
     assert len(s) == len(d), f"[{name}] row count: spark={len(s)} duck={len(d)}"
     for col in s.columns:
+        assert s[col].dtype == d[col].dtype, (
+            f"[{name}] dtype mismatch in {col!r}: spark={s[col].dtype} "
+            f"duck={d[col].dtype} (e.g. DuckDB SUM(int)->HUGEINT needs CAST AS BIGINT)"
+        )
+    for col in s.columns:
+        both_na = (s[col].isna() & d[col].isna()).to_numpy()
         sv, dv = s[col].to_numpy(), d[col].to_numpy()
-        if np.issubdtype(sv.dtype, np.floating):
-            eq = (sv == dv) | (np.isnan(sv) & np.isnan(dv))
-        else:
-            eq = sv == dv
+        with np.errstate(invalid="ignore"):
+            eq = (sv == dv) | both_na
         if not np.all(eq):
             bad = np.nonzero(~eq)[0][:5]
             raise AssertionError(
