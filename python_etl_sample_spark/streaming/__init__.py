@@ -1,3 +1,3 @@
 """Streaming semantics (SURVEY.md §2.9) — modules register on import."""
 
-from python_etl_sample_spark.streaming import batch_semantics  # noqa: F401
+from python_etl_sample_spark.streaming import batch_semantics, demo  # noqa: F401

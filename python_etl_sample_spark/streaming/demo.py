@@ -1,0 +1,122 @@
+"""Structured Streaming demo path — SURVEY.md §7 M4.
+
+Proves the batch-graded semantics in ``batch_semantics`` run unchanged
+under ``readStream``: the events parquet is replayed as a file source
+with ``Trigger.AvailableNow``, aggregated with real watermarks /
+session windows, and landed in a memory sink. ``stream_demo_tumbling``
+is registered rows-only (a running stream is not SQL-expressible for
+the DuckDB oracle; its values are cross-checked against the batch
+``stream_tumbling`` in tests instead — complete-mode output over a
+bounded replay equals the batch answer).
+
+At 100 TB this is the production path: the same code with a Kafka/files
+source, checkpointed state store, and watermark-bounded state.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_etl_sample_spark.registry import query
+from python_etl_sample_spark.session import ensure_session_configs
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet replayed as a streaming source (ts normalized to
+    a watermarkable timestamp exactly as the batch loader does)."""
+    ensure_session_configs(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file stream source requires a directory; stage the events file
+    # into scratch once (at 100 TB this would be the landing directory
+    # new files arrive into)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    src_dir = f"/root/repo/.scratch/{sf_tag}/stream_src"
+    os.makedirs(src_dir, exist_ok=True)
+    staged = f"{src_dir}/events.parquet"
+    if not os.path.exists(staged):
+        shutil.copyfile(f"{sf_dir}/events.parquet", staged)
+    stream = spark.readStream.schema(raw_schema).parquet(src_dir)
+    # watermarks require TIMESTAMP (not NTZ); with the UTC session tz the
+    # wall-clock values are identical to the batch loader's timestamp_ntz
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(result: DataFrame, mode: str) -> DataFrame:
+    """Drain an AvailableNow stream into a memory sink; return the table."""
+    name = f"demo_{uuid.uuid4().hex[:12]}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = result.sparkSession
+    return spark.table(name)
+
+
+def demo_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#52 under readStream: watermarked 1-hour tumbling counts."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("wstart"),
+            F.col("w.end").alias("wend"),
+            "event_type",
+            "n_events",
+        )
+    )
+    return _run_to_memory(agg, "complete")
+
+
+def demo_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#54 under readStream: native session_window with a 30-min gap."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+    return _run_to_memory(agg, "complete")
+
+
+def demo_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#56 under readStream: dropDuplicatesWithinWatermark on the key."""
+    ev = _events_stream(spark, sf_dir)
+    dedup = ev.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    return _run_to_memory(dedup.select("user_id", "event_type"), "append")
+
+
+@query("stream_demo_tumbling", oracle=None)
+def stream_demo_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#52-demo declared rows-only: the streaming tumbling aggregation
+    (its equality to batch stream_tumbling is asserted in tests)."""
+    return demo_tumbling(spark, sf_dir)
+
+
+def _noop(spark: SparkSession, sf_dir: str) -> None:  # pragma: no cover
+    del spark, sf_dir
+
+
+__all__ = [
+    "demo_tumbling",
+    "demo_session",
+    "demo_dedup_watermark",
+]
