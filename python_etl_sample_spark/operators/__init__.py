@@ -2,10 +2,15 @@
 
 from python_etl_sample_spark.operators import (  # noqa: F401
     aggregates,
+    dedup,
     joins,
+    multimodal,
     projections,
     scans,
     setops,
+    similarity,
     sorts,
+    text_analysis,
+    udfs,
     windows,
 )

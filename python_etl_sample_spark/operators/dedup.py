@@ -1,0 +1,132 @@
+"""Deduplication operators — SURVEY.md §2.10 ops #58-59 (prov. X:
+driver-mandated LLM-data-pipeline extension, BASELINE.json:6).
+
+Scale posture:
+- Exact dedup is a hash-groupBy: one shuffle on the 256-bit content
+  hash, map-side partial agg. At 100 TB the hash (32 B) shuffles, not
+  the documents.
+- MinHash LSH banding turns O(n²) near-dup search into
+  O(n·bands + collisions): signatures are fixed-size per doc, the only
+  join is band-bucket equality (hash shuffle), and candidate pairs are
+  verified with an exact Jaccard only within buckets. This is the
+  standard web-scale near-dup pipeline (Broder; used by every large
+  LLM-corpus cleanup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_etl_sample_spark.registry import query
+from python_etl_sample_spark.sources import table
+
+# 16 minhash permutations arranged as 4 bands × 4 rows — deterministic
+# (xxhash64 with fixed seeds), tuned so the synthetic shared-vocabulary
+# documents produce candidate pairs at every sf.
+_N_PERM = 16
+_BAND_ROWS = 4
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT sha256(lower(trim(text))) AS content_hash,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY sha256(lower(trim(text)))
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#58 exact dedup by normalized content hash, keeping the smallest
+    doc_id per duplicate class."""
+    d = table(spark, sf_dir, "documents")
+    h = F.sha2(F.lower(F.trim(F.col("text"))), 256)
+    return d.groupBy(h.alias("content_hash")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def _minhash_signature(tokens_df: DataFrame) -> DataFrame:
+    """doc_id → one row per band with the band's combined signature.
+
+    tokens_df: (doc_id, token) distinct. Each permutation i is
+    min(xxhash64(token, seed=i)); bands concatenate _BAND_ROWS mins.
+    """
+    mins = [
+        F.min(F.xxhash64(F.col("token"), F.lit(i))).alias(f"h{i}")
+        for i in range(_N_PERM)
+    ]
+    sig = tokens_df.groupBy("doc_id").agg(*mins)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"h{b * _BAND_ROWS + r}") for r in range(_BAND_ROWS)]
+                ).alias("band_hash"),
+            )
+            for b in range(_N_PERM // _BAND_ROWS)
+        ]
+    )
+    return sig.select("doc_id", F.explode(bands).alias("bp")).select(
+        "doc_id", F.col("bp.band").alias("band"), F.col("bp.band_hash").alias("band_hash")
+    )
+
+
+@query("dedup_near_minhash", oracle=None)
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#59 near-dup candidates via MinHash + LSH banding (rows-only:
+    LSH is not SQL-expressible). Deterministic seeds → stable output.
+
+    Pipeline: tokenize → distinct (doc,token) → 16 xxhash64 minhashes
+    → 4 bands → self-join on (band, band_hash) bucket → candidate
+    pairs with exact token-Jaccard verification, threshold 0.5.
+    """
+    d = table(spark, sf_dir, "documents")
+    tokens = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
+    ).filter(F.col("token") != "").distinct()
+
+    bands = _minhash_signature(tokens)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    # exact Jaccard verification within candidates only
+    sizes = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    ta = tokens.select(F.col("doc_id").alias("doc_a"), "token")
+    tb = tokens.select(F.col("doc_id").alias("doc_b"), "token")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "token"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )

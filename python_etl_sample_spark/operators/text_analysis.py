@@ -1,0 +1,255 @@
+"""Text analysis over documents — SURVEY.md §2.10 ops #63-65 plus
+language-ID / quality-scoring / fingerprinting extensions (the
+operations a large-scale training-data pipeline needs).
+
+All JVM-side built-ins (split/explode/groupBy) — tokenization at 100 TB
+is a map-only stage; term statistics are one shuffle on (key, token).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from python_etl_sample_spark.registry import query
+from python_etl_sample_spark.sources import table
+
+_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+_STOP_SQL = "('" + "', '".join(_STOPWORDS) + "')"
+
+
+def _tokens(d: DataFrame) -> DataFrame:
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token"),
+    ).filter((F.col("token") != "") & ~F.col("token").isin(*_STOPWORDS))
+
+
+_TOKENS_SQL = f"""
+    SELECT doc_id, lang, source, t.token
+    FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS t(token)
+    WHERE t.token <> '' AND t.token NOT IN {_STOP_SQL}
+"""
+
+
+@query(
+    "text_tokenize_counts",
+    oracle=f"""
+    WITH tok AS ({_TOKENS_SQL}),
+    counts AS (
+      SELECT lang, token, COUNT(*) AS cnt
+      FROM tok GROUP BY lang, token
+    ),
+    ranked AS (
+      SELECT lang, token, cnt,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rn
+      FROM counts
+    )
+    SELECT lang, token, cnt, rn FROM ranked WHERE rn <= 10
+    """,
+)
+def text_tokenize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#63 tokenize + stopword filter + top-10 terms per language."""
+    d = table(spark, sf_dir, "documents")
+    counts = _tokens(d).groupBy("lang", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("token"))
+    return counts.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+
+
+@query(
+    "text_tfidf_topterms",
+    oracle=f"""
+    WITH tok AS ({_TOKENS_SQL}),
+    n_docs AS (SELECT COUNT(*) AS n FROM documents),
+    tf AS (
+      SELECT source, token, COUNT(*) AS tf
+      FROM tok GROUP BY source, token
+    ),
+    df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df
+      FROM tok GROUP BY token
+    ),
+    scored AS (
+      SELECT tf.source, tf.token,
+             round(tf * ln((n + 1.0) / (df + 1.0)), 6) AS tfidf
+      FROM tf JOIN df ON tf.token = df.token CROSS JOIN n_docs
+    ),
+    ranked AS (
+      SELECT source, token, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY tfidf DESC, token) AS rn
+      FROM scored
+    )
+    SELECT source, token, tfidf, rn FROM ranked WHERE rn <= 5
+    """,
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#64 TF-IDF top-5 terms per source (pure relational algebra:
+    term counts ⋈ doc frequencies ⋈ corpus size)."""
+    d = table(spark, sf_dir, "documents")
+    tok = _tokens(d)
+    n_docs = d.agg(F.count(F.lit(1)).alias("n"))
+    tf = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(df_, "token")
+        .join(F.broadcast(n_docs))
+        .select(
+            "source",
+            "token",
+            F.round(
+                F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("tfidf"), F.asc("token"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+
+
+@query(
+    "text_lang_stats",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           round(quantile_cont(n_chars, 0.25), 6) AS p25,
+           round(quantile_cont(n_chars, 0.50), 6) AS p50,
+           round(quantile_cont(n_chars, 0.75), 6) AS p75
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#65 per-language document stats with exact interpolated
+    percentiles (exact `percentile`, not approx — oracle-checkable;
+    approx_percentile remains the 100 TB default, noted rows-only in
+    `text_quality_score`'s sketch-free design)."""
+    d = table(spark, sf_dir, "documents")
+    pct = F.expr("percentile(n_chars, array(0.25, 0.5, 0.75))")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.round(pct.getItem(0), 6).alias("p25"),
+        F.round(pct.getItem(1), 6).alias("p50"),
+        F.round(pct.getItem(2), 6).alias("p75"),
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle=r"""
+    WITH feat AS (
+      SELECT doc_id, lang,
+             CASE
+               WHEN length(regexp_replace(text, '[\x00-\x7F]', '', 'g')) * 2 > length(text)
+                 THEN 'cjk-like'
+               WHEN contains(text, ' der ') OR contains(text, ' und ') THEN 'de-like'
+               WHEN contains(text, ' el ') OR contains(text, ' los ') THEN 'es-like'
+               WHEN contains(text, ' le ') OR contains(text, ' les ') THEN 'fr-like'
+               ELSE 'en-like'
+             END AS guessed
+      FROM documents
+    )
+    SELECT lang, guessed, COUNT(*) AS n_docs
+    FROM feat GROUP BY lang, guessed
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (n-gram/marker-word scoring) — confusion
+    counts of guessed vs labeled lang. A real pipeline swaps the
+    heuristic for fastText; the Spark plumbing (map-only scoring +
+    confusion rollup) is identical."""
+    d = table(spark, sf_dir, "documents")
+    non_ascii = F.length(F.regexp_replace(F.col("text"), r"[\x00-\x7F]", ""))
+    guessed = (
+        F.when(non_ascii * 2 > F.length("text"), "cjk-like")
+        .when(
+            F.col("text").contains(" der ") | F.col("text").contains(" und "), "de-like"
+        )
+        .when(
+            F.col("text").contains(" el ") | F.col("text").contains(" los "), "es-like"
+        )
+        .when(
+            F.col("text").contains(" le ") | F.col("text").contains(" les "), "fr-like"
+        )
+        .otherwise("en-like")
+    )
+    return (
+        d.select("lang", guessed.alias("guessed"))
+        .groupBy("lang", "guessed")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=r"""
+    WITH feat AS (
+      SELECT doc_id, lang,
+             length(text) AS n_len,
+             len(string_split_regex(lower(text), '\s+')) AS n_tok,
+             length(text) - length(replace(text, ' ', '')) AS n_spaces
+    FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+             round(
+               0.4 * least(n_len / 400.0, 1.0)
+             + 0.4 * least(n_tok / 80.0, 1.0)
+             + 0.2 * (n_spaces::DOUBLE / n_len), 6) AS quality
+      FROM feat
+    )
+    SELECT lang, round(CAST(SUM(CAST(quality AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS avg_quality,
+           COUNT(*) FILTER (WHERE quality >= 0.8) AS n_high
+    FROM scored GROUP BY lang
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring (length/token/whitespace ratios — the
+    C4-style heuristic family), aggregated per language."""
+    d = table(spark, sf_dir, "documents")
+    n_len = F.length("text")
+    n_tok = F.size(F.split(F.lower(F.col("text")), r"\s+"))
+    n_spaces = n_len - F.length(F.regexp_replace(F.col("text"), " ", ""))
+    quality = F.round(
+        0.4 * F.least(n_len / 400.0, F.lit(1.0))
+        + 0.4 * F.least(n_tok / 80.0, F.lit(1.0))
+        + 0.2 * (n_spaces.cast("double") / n_len),
+        6,
+    )
+    scored = d.select("doc_id", "lang", quality.alias("quality"))
+    return scored.groupBy("lang").agg(
+        F.round(
+            F.sum(F.col("quality").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_quality"),
+        F.count_if(F.col("quality") >= 0.8).alias("n_high"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           substr(sha256(lower(trim(text))), 1, 16) AS fp,
+           COUNT(*) OVER (PARTITION BY substr(sha256(lower(trim(text))), 1, 16)) AS n_same
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: 64-bit (16-hex-char) content
+    fingerprint + duplicate-class size. sha256-prefix rather than
+    xxhash64 because both engines compute sha256 identically (engine-
+    native 64-bit hashes differ); at 100 TB the window is a groupBy-
+    join, same shuffle shape."""
+    d = table(spark, sf_dir, "documents")
+    fp = F.substring(F.sha2(F.lower(F.trim(F.col("text"))), 256), 1, 16)
+    w = Window.partitionBy("fp")
+    return d.select("doc_id", fp.alias("fp")).withColumn(
+        "n_same", F.count(F.lit(1)).over(w)
+    )

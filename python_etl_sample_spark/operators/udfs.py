@@ -1,0 +1,108 @@
+"""Arrow-batched Python UDF surface — SURVEY.md §2.11 ops #67-69.
+
+This is the ONLY place Python touches the data path (SURVEY §3.2
+boundary inventory): scalar pandas UDF, grouped-agg pandas UDF, and
+grouped-map applyInPandas — all Arrow-batched (10-100× over row-at-a-
+time UDFs). Everything deterministic enough is still oracle-checked:
+the scalar UDF's banding is exact string logic, and the float outputs
+are rounded far above the accumulation-order error (~1e-12 relative).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from python_etl_sample_spark.registry import query
+from python_etl_sample_spark.sources import table
+
+
+@query(
+    "udf_scalar_pandas",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_totalprice < 100000 THEN 'low'
+                WHEN o_totalprice < 250000 THEN 'mid'
+                ELSE 'high' END AS band
+    FROM orders
+    """,
+)
+def udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#67 vectorized scalar pandas UDF (price banding). Exact string
+    logic → fully oracle-checked despite crossing the Arrow boundary.
+
+    UDFs are created inside the function: pandas_udf parses its return
+    type against the active session, which does not exist at import time.
+    """
+
+    @pandas_udf("string")
+    def price_band(price: pd.Series) -> pd.Series:
+        return pd.Series(
+            np.where(price < 100000, "low", np.where(price < 250000, "mid", "high")),
+            index=price.index,
+        )
+
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey", "o_totalprice", price_band(F.col("o_totalprice")).alias("band")
+    )
+
+
+@query(
+    "udaf_grouped_agg",
+    oracle="""
+    SELECT l_returnflag,
+           round(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 6) AS wavg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def udaf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#68 grouped-agg pandas UDF: quantity-weighted mean price.
+    Accumulation-order error vs the SQL oracle is ~1e-12 relative;
+    rounded to 6 dp on both sides."""
+
+    @pandas_udf("double")
+    def weighted_mean(price: pd.Series, qty: pd.Series) -> float:
+        return float(np.round(np.sum(price * qty) / np.sum(qty), 6))
+
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        weighted_mean(F.col("l_extendedprice"), F.col("l_quantity")).alias("wavg_price")
+    )
+
+
+@query(
+    "udtf_apply_in_pandas",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           round((c_acctbal - AVG(c_acctbal) OVER seg)
+                 / stddev_samp(c_acctbal) OVER seg, 6) AS z_acctbal
+    FROM customer
+    WINDOW seg AS (PARTITION BY c_mktsegment)
+    """,
+)
+def udtf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#69 grouped-map applyInPandas (UDTF-shaped surface): per-segment
+    z-score normalization. pandas mean/std(ddof=1) vs SQL AVG/
+    stddev_samp agree to ~1e-12; rounded to 6 dp on both sides."""
+    c = table(spark, sf_dir, "customer")
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        bal = pdf["c_acctbal"]
+        z = (bal - bal.mean()) / bal.std(ddof=1)
+        return pd.DataFrame(
+            {
+                "c_custkey": pdf["c_custkey"],
+                "c_mktsegment": pdf["c_mktsegment"],
+                "z_acctbal": np.round(z, 6),
+            }
+        )
+
+    return c.select("c_custkey", "c_mktsegment", "c_acctbal").groupBy(
+        "c_mktsegment"
+    ).applyInPandas(normalize, "c_custkey bigint, c_mktsegment string, z_acctbal double")
