@@ -106,3 +106,15 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.read.parquet(path).filter(F.col("l_returnflag").isin("A", "N"))
     # partition column comes back typed from the directory key; restore string
     return out.withColumn("l_returnflag", F.col("l_returnflag").cast("string"))
+
+
+@query(
+    "source_orc",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#3b ORC ingest round-trip — the third columnar connector format
+    (ETL extract from ORC lakes)."""
+    path = _scratch("source_orc", sf_dir)
+    table(spark, sf_dir, "nation").write.mode("overwrite").orc(path)
+    return spark.read.orc(path).select("n_nationkey", "n_name", "n_regionkey")

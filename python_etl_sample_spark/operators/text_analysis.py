@@ -253,3 +253,28 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fp.alias("fp")).withColumn(
         "n_same", F.count(F.lit(1)).over(w)
     )
+
+
+@query(
+    "text_token_bpe_count",
+    oracle=r"""
+    SELECT doc_id, lang,
+           len(string_split_regex(lower(text), '\s+')) AS n_ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_bpe_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace and a BPE-ish regex
+    (word/number/punctuation classes — the pre-tokenizer split GPT-style
+    BPE vocabularies use). Map-only; both engines run the same regex."""
+    d = table(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(lower, r"\s+")).alias("n_ws_tokens"),
+        F.size(
+            F.expr(r"regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)")
+        ).alias("n_bpe_tokens"),
+    )

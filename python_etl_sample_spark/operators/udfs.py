@@ -106,3 +106,40 @@ def udtf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select("c_custkey", "c_mktsegment", "c_acctbal").groupBy(
         "c_mktsegment"
     ).applyInPandas(normalize, "c_custkey bigint, c_mktsegment string, z_acctbal double")
+
+
+@query(
+    "udtf_python_lateral",
+    oracle="""
+    SELECT o_orderkey, 'net' AS component,
+           round(o_totalprice / 1.05, 6) AS amount
+    FROM orders WHERE o_orderstatus = 'P'
+    UNION ALL
+    SELECT o_orderkey, 'tax' AS component,
+           round(o_totalprice - o_totalprice / 1.05, 6) AS amount
+    FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def udtf_python_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#69b true Python UDTF (Spark 4 table function): each order row
+    laterally expands into net/tax component rows. Deterministic
+    per-row arithmetic → fully oracle-checked (the oracle is the
+    UNION ALL relational equivalent)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="o_orderkey bigint, component string, amount double")
+    class SplitAmount:
+        def eval(self, o_orderkey: int, o_totalprice: float):
+            net = round(o_totalprice / 1.05, 6)
+            yield o_orderkey, "net", net
+            yield o_orderkey, "tax", round(o_totalprice - o_totalprice / 1.05, 6)
+
+    spark.udtf.register("split_amount", SplitAmount)
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT s.o_orderkey, s.component, s.amount
+        FROM orders o, LATERAL split_amount(o.o_orderkey, o.o_totalprice) s
+        WHERE o.o_orderstatus = 'P'
+        """
+    )

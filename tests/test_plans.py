@@ -1,0 +1,91 @@
+"""Physical-plan hygiene checks (SURVEY.md §4): the properties that
+make operators survive 100 TB must be visible in the executed plan —
+not assumed. A regression that silently drops pushdown or broadcast
+still passes value checks; these tests pin the plan shape.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from python_etl_sample_spark.registry import REGISTRY, load_all_operators
+
+load_all_operators()
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_column_pruning_reaches_scan(spark):
+    plan = plan_of(spark, "scan_projected")
+    assert "ReadSchema" in plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "p_partkey" in read_schema and "p_retailprice" in read_schema
+    assert "p_name" not in read_schema, "unprojected column leaked into the scan"
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    plan = plan_of(spark, "filter_pred")
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed, "no PushedFilters in scan"
+    assert "l_quantity" in pushed[0], f"quantity bound not pushed: {pushed[0]}"
+
+
+def test_small_dims_broadcast(spark):
+    plan = plan_of(spark, "join_broadcast")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "dimension join degraded to sort-merge"
+
+
+def test_topk_fuses_to_take_ordered(spark):
+    plan = plan_of(spark, "topk")
+    assert "TakeOrderedAndProject" in plan, "orderBy+limit did not fuse"
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    plan = plan_of(spark, "agg_groupby")
+    assert plan.count("HashAggregate") >= 2, "no map-side partial aggregation"
+
+
+def test_whole_stage_codegen_active(spark):
+    plan = plan_of(spark, "project_derive")
+    assert "[codegen id :" in plan, "no whole-stage codegen span in plan"
+
+
+def test_partition_pruning_on_partitioned_sink(spark):
+    plan = plan_of(spark, "sink_partitioned")
+    assert "PartitionFilters" in plan, "partition column filter not pruning directories"
+
+
+def test_semi_anti_stay_joins(spark):
+    for name, op in [("join_semi", "Semi"), ("join_anti", "Anti")]:
+        plan = plan_of(spark, name)
+        assert op.lower() in plan.lower(), f"{name} lost its {op}-join form"
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted(
+        n
+        for n, spec in REGISTRY.items()
+        if n not in {"stream_demo_tumbling"}  # streaming sink, not a plan check
+    ),
+)
+def test_no_cartesian_products(spark, name):
+    """No query may degrade to an unconstrained cross join — the shape
+    that cannot survive scale. (Intentional tiny broadcasts — the
+    1-row watermark cutoff and the corpus-size scalar in tf-idf — are
+    broadcast nested loops over 1 row, which is fine; true
+    CartesianProduct of two big sides is not.)"""
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, f"{name} plans a CartesianProduct"
