@@ -1,6 +1,7 @@
 """Operator inventory (SURVEY.md §2) — importing a module registers its queries."""
 
 from python_etl_sample_spark.operators import (  # noqa: F401
+    analytics,
     aggregates,
     dedup,
     joins,

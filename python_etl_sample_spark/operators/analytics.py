@@ -1,0 +1,261 @@
+"""Composite analytical queries + distribution-strategy demos.
+
+The first three are TPC-H-shaped business queries adapted to the
+reduced fixture columns (FIXTURES.md — no shippriority/comment etc.),
+exercising multi-join + filter + agg + top-k pipelines end to end: the
+workload the engine exists for.
+
+The last three demonstrate — with hash-checked results equal to their
+naive forms — the three distribution strategies that decide whether a
+join survives 100 TB: broadcast (in joins.py), salting for skew, and
+bucketed co-location that removes the shuffle entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_etl_sample_spark.functions.determinism import dsum, dsum_sql
+from python_etl_sample_spark.registry import query
+from python_etl_sample_spark.sources import table
+
+_REVENUE = "l_extendedprice * (1 - l_discount)"
+
+
+@query(
+    "q_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {dsum_sql(_REVENUE)} AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped: top-10 unshipped BUILDING orders by revenue."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@query(
+    "q_local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name, {dsum_sql(_REVENUE)} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND c.c_nationkey = s.s_nationkey
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped: revenue where customer and supplier share the
+    nation, ASIA, 2 years. Facts sort-merge; dims broadcast."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(revenue).alias("revenue"))
+    )
+
+
+@query(
+    "q_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           {dsum_sql(_REVENUE)} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-04-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-shaped: top-20 customers by returned-item revenue in
+    one quarter."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(revenue).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "sample_split",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT o_totalprice,
+             CASE WHEN (o_orderkey % 1000003) * 31 % 100 < 80 THEN 'train'
+                  WHEN (o_orderkey % 1000003) * 31 % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM orders
+    )
+    SELECT split, COUNT(*) AS n, {dsum_sql('o_totalprice')} AS total_price
+    FROM tagged GROUP BY split
+    """,
+)
+def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split (80/10/10) — the
+    reproducible sampling a training-data pipeline needs. Key-derived
+    modular hashing (not rand(seed), whose draws depend on
+    partitioning) → identical assignment in any engine, at any
+    parallelism, on any day."""
+    o = table(spark, sf_dir, "orders")
+    bucket = (F.col("o_orderkey") % 1000003) * 31 % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        o.select("o_totalprice", split.alias("split"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total_price"))
+    )
+
+
+@query(
+    "join_skew_salted",
+    oracle=f"""
+    SELECT l.l_returnflag, COUNT(*) AS n_items, {dsum_sql('l.l_extendedprice')} AS total
+    FROM lineitem l
+    GROUP BY l.l_returnflag
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation demo with a hash-checked result: join the fact
+    table to a 3-row dimension on an extremely skewed key
+    (l_returnflag — 3 values over the whole table) by SALTING: the dim
+    replicates ×8, the fact side derives salt = l_orderkey % 8, and the
+    join key becomes (flag, salt) — no reducer sees more than ~1/8 of a
+    hot key. The oracle is the unsalted equivalent, proving salting
+    changes the distribution, not the answer."""
+    li = table(spark, sf_dir, "lineitem")
+    n_salt = 8
+    dim = (
+        li.select("l_returnflag")
+        .distinct()
+        .withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))
+        .withColumnRenamed("l_returnflag", "flag")
+    )
+    fact = li.select(
+        "l_returnflag", "l_extendedprice", (F.col("l_orderkey") % n_salt).alias("salt")
+    )
+    joined = fact.join(
+        F.broadcast(dim),
+        (fact.l_returnflag == dim.flag) & (fact.salt == dim.salt),
+    )
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"), dsum("l_extendedprice").alias("total")
+    )
+
+
+@query(
+    "join_bucketed",
+    oracle="""
+    SELECT l.l_orderkey, COUNT(*) AS n_lines, o.o_totalprice
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY l.l_orderkey, o.o_totalprice
+    """,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join: lineitem and orders both bucketed
+    by the join key into 8 buckets (saveAsTable + bucketBy). The join
+    and the following groupBy on the same key then require ZERO
+    exchanges (asserted in tests/test_plans.py) — at 100 TB this is THE
+    difference between a nightly job and an interactive one for
+    repeatedly-joined fact tables."""
+    import os
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    li_tbl, o_tbl = f"b_lineitem_{sf_tag}", f"b_orders_{sf_tag}"
+
+    def ensure_bucketed(tbl: str, src_name: str, cols: list[str], key: str) -> None:
+        if spark.catalog.tableExists(tbl):
+            return
+        # the warehouse directory outlives the in-memory catalog (e.g. a
+        # fresh driver session over an old scratch dir): clear stale data
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
+        table(spark, sf_dir, src_name).select(*cols).write.bucketBy(8, key).sortBy(
+            key
+        ).mode("overwrite").saveAsTable(tbl)
+
+    ensure_bucketed(
+        li_tbl, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"], "l_orderkey"
+    )
+    ensure_bucketed(
+        o_tbl, "orders", ["o_orderkey", "o_totalprice", "o_orderstatus"], "o_orderkey"
+    )
+
+    li = spark.table(li_tbl)
+    o = spark.table(o_tbl).filter(F.col("o_orderstatus") == "F")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_totalprice")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .select("l_orderkey", "n_lines", "o_totalprice")
+    )

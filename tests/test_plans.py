@@ -89,3 +89,17 @@ def test_no_cartesian_products(spark, name):
     CartesianProduct of two big sides is not.)"""
     plan = plan_of(spark, name)
     assert "CartesianProduct" not in plan, f"{name} plans a CartesianProduct"
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """With broadcast disabled (as at real scale, where both facts are
+    huge), the bucketed tables must sort-merge with ZERO exchanges —
+    the shuffle was paid once at write time."""
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, "join_bucketed")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, "bucketed join still shuffles"
