@@ -233,16 +233,16 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     def ensure_bucketed(tbl: str, src_name: str, cols: list[str], key: str) -> None:
         if spark.catalog.tableExists(tbl):
             return
-        # the warehouse directory outlives the in-memory catalog (e.g. a
-        # fresh driver session over an old scratch dir): clear stale data
+        # external table under scratch: the data location is pinned inside
+        # the repo regardless of the session's warehouse dir, and stale
+        # data from a previous session is cleared before re-registering
         import shutil
-        from urllib.parse import urlparse
 
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-        shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
+        path = f"/root/repo/.scratch/bucketed/{tbl}"
+        shutil.rmtree(path, ignore_errors=True)
         table(spark, sf_dir, src_name).select(*cols).write.bucketBy(8, key).sortBy(
             key
-        ).mode("overwrite").saveAsTable(tbl)
+        ).mode("overwrite").option("path", path).saveAsTable(tbl)
 
     ensure_bucketed(
         li_tbl, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"], "l_orderkey"

@@ -246,7 +246,11 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
     )
-    km = KMeans(k=16, seed=42, featuresCol="features", predictionCol="centroid")
+    # coarse quantizer: centroid quality barely matters for list
+    # balance, so cap iterations (deterministic with the fixed seed)
+    km = KMeans(
+        k=16, seed=42, maxIter=8, featuresCol="features", predictionCol="centroid"
+    )
     assigned = km.fit(vecs).transform(vecs).select("vec_id", "embedding", "centroid")
 
     k = 3

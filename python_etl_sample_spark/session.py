@@ -41,9 +41,14 @@ def get_spark(app_name: str = "python-etl-sample-spark") -> SparkSession:
 def ensure_session_configs(spark: SparkSession) -> None:
     """Apply runtime-settable configs to an externally-built session.
 
-    The driver's harness constructs its own SparkSession; both required
+    The driver's harness constructs its own SparkSession; all of these
     configs are dynamic (verified empirically), so the loader calls this
-    before every read.
+    before every read. Shuffle partitions are right-sized for local-mode
+    fixture scale (the 200 default wastes task-launch overhead at sf≤0.1;
+    AQE coalescing makes the number forgiving either way).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
