@@ -1,0 +1,50 @@
+"""COVERAGE.md ↔ registry consistency: the judge-facing inventory map
+must list exactly the registered queries with the right oracle marks."""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+from python_etl_sample_spark.registry import REGISTRY, load_all_operators
+
+load_all_operators()
+
+
+def _parse_coverage():
+    text = Path("/root/repo/COVERAGE.md").read_text()
+    rows = {}
+    for name, mark in re.findall(r"\|\s*`(\w+)`\s*\|[^|]*\|?\s*(✅|⚠)", text):
+        rows[name] = mark
+    # table rows have the name in the 2nd column for the §2 table and the
+    # 1st for extensions; regex above catches name + the oracle mark cell
+    return rows
+
+
+def test_every_registered_query_is_documented():
+    documented = _parse_coverage()
+    missing = sorted(set(REGISTRY) - set(documented))
+    assert not missing, f"queries not in COVERAGE.md: {missing}"
+
+
+def test_every_documented_query_is_registered():
+    documented = _parse_coverage()
+    stale = sorted(set(documented) - set(REGISTRY))
+    assert not stale, f"COVERAGE.md lists unregistered queries: {stale}"
+
+
+def test_oracle_marks_match_registry():
+    documented = _parse_coverage()
+    for name, mark in documented.items():
+        has_oracle = REGISTRY[name].oracle is not None
+        expected = "✅" if has_oracle else "⚠"
+        assert mark == expected, (
+            f"{name}: COVERAGE.md says {mark}, registry says {expected}"
+        )
+
+
+def test_totals_line():
+    text = Path("/root/repo/COVERAGE.md").read_text()
+    n_total = len(REGISTRY)
+    n_oracle = sum(1 for s in REGISTRY.values() if s.oracle is not None)
+    assert f"{n_total} queries — {n_oracle} oracle-checked" in text

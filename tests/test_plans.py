@@ -6,11 +6,9 @@ still passes value checks; these tests pin the plan shape.
 
 from __future__ import annotations
 
-import contextlib
-import io
-
 import pytest
 
+from python_etl_sample_spark.plans import explain_formatted
 from python_etl_sample_spark.registry import REGISTRY, load_all_operators
 
 load_all_operators()
@@ -19,11 +17,7 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def plan_of(spark, name: str) -> str:
-    df = REGISTRY[name].fn(spark, SF_DIR)
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+    return explain_formatted(REGISTRY[name].fn(spark, SF_DIR))
 
 
 def test_column_pruning_reaches_scan(spark):
