@@ -153,3 +153,91 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.8)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+@query("dedup_simhash", oracle=None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup detection (rows-only: engine-specific 64-bit
+    hashing). The third dedup family next to exact-hash and MinHash:
+    one 64-bit signature per doc from bit-majority voting over shingle
+    hashes, then 4×16-bit chunk banding (any hamming-≤8 pair must share
+    a chunk... within the pigeonhole bound) and exact hamming via
+    bit_count(xor).
+
+    Scale: signatures are 8 bytes/doc; the chunk join shuffles
+    signatures, never documents — same posture as MinHash banding.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("toks"))
+    shingles = (
+        toks.filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks)-3),"
+                    " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+                )
+            ).alias("token"),
+        )
+        .distinct()
+        .withColumn("h", F.xxhash64("token"))
+    )
+    # bit-majority: s_i > 0 → bit i set (±1 votes per shingle)
+    votes = shingles.groupBy("doc_id").agg(
+        *[
+            F.sum((F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))) * 2 - 1).alias(
+                f"s{i}"
+            )
+            for i in range(64)
+        ]
+    )
+    simhash = None
+    for i in range(64):
+        term = F.when(
+            F.col(f"s{i}") > 0, F.shiftleft(F.lit(1).cast("bigint"), i)
+        ).otherwise(F.lit(0).cast("bigint"))
+        simhash = term if simhash is None else simhash + term
+    sigs = votes.select("doc_id", simhash.alias("simhash"))
+
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_no"),
+                        F.shiftright(F.col("simhash"), 16 * c)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cp"),
+    ).select("doc_id", "simhash", F.col("cp.chunk_no").alias("chunk_no"), F.col("cp.chunk").alias("chunk"))
+
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_no") == F.col("b.chunk_no"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .filter(F.col("hamming") <= 8)
+        .select("doc_a", "doc_b", "hamming")
+    )

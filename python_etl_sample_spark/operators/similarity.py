@@ -274,3 +274,52 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("centroid").applyInPandas(
         local_knn, "query_id bigint, neighbor_id bigint, sim double, rn int"
     )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding,
+             sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 9) AS sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE round({_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 9) >= 0.45
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection: all pairs with cosine ≥
+    0.45 (the semantic-dedup family — threshold sits in the fixture
+    distribution's top ~0.01%: 7/14/144 pairs at sf0.001/0.01/0.1).
+    Same broadcast-GEMM kernel as sim_cosine_topk; at 100 TB the
+    thresholded variant pre-buckets with ANN (sim_ann_lsh/ivf) and
+    GEMMs within buckets."""
+    import numpy as np
+    import pandas as pd
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    all_pdf = e.toPandas()
+    ids = all_pdf["vec_id"].to_numpy()
+    mat = np.stack(all_pdf["embedding"].to_numpy()).astype(np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+    threshold = 0.45
+
+    def block_pairs(batches):
+        b_ids, b_mat, b_norms = bc.value
+        for pdf in batches:
+            q_ids = pdf["vec_id"].to_numpy()
+            q_mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            q_norms = np.sqrt((q_mat * q_mat).sum(axis=1))
+            sims = np.round((q_mat @ b_mat.T) / np.outer(q_norms, b_norms), 9)
+            qi, bj = np.nonzero((q_ids[:, None] < b_ids[None, :]) & (sims >= threshold))
+            if len(qi):
+                yield pd.DataFrame(
+                    {"vec_a": q_ids[qi], "vec_b": b_ids[bj], "sim": sims[qi, bj]}
+                )
+
+    return e.mapInPandas(block_pairs, "vec_a bigint, vec_b bigint, sim double")
