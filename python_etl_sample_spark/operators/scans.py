@@ -118,3 +118,30 @@ def source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch("source_orc", sf_dir)
     table(spark, sf_dir, "nation").write.mode("overwrite").orc(path)
     return spark.read.orc(path).select("n_nationkey", "n_name", "n_regionkey")
+
+
+@query(
+    "etl_incremental",
+    oracle="""
+    SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr, COUNT(*) AS n
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '2024-01-30'
+    GROUP BY 1, 2
+    """,
+)
+def etl_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (daily-batch) ETL pattern: land events hive-
+    partitioned by event_date, then process ONE day by partition
+    pruning — the scan touches only that day's directory
+    (PartitionFilters), which is what makes a daily job O(day), not
+    O(history), at 100 TB. The classic ETL-sample loop re-expressed as
+    a pruned scan."""
+    path = _scratch("etl_incremental", sf_dir)
+    ev = table(spark, sf_dir, "events")
+    ev.withColumn("event_date", F.col("ts").cast("date")).write.mode(
+        "overwrite"
+    ).partitionBy("event_date").parquet(path)
+    day = spark.read.parquet(path).filter(F.col("event_date") == F.lit("2024-01-30"))
+    return day.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
