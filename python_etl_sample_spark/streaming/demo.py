@@ -111,10 +111,6 @@ def stream_demo_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return demo_tumbling(spark, sf_dir)
 
 
-def _noop(spark: SparkSession, sf_dir: str) -> None:  # pragma: no cover
-    del spark, sf_dir
-
-
 __all__ = [
     "demo_tumbling",
     "demo_session",
