@@ -302,3 +302,40 @@ def self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.l_orderkey").alias("l_orderkey"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey,
+             CASE WHEN c_acctbal < 0 THEN NULL ELSE c_nationkey END AS nk
+      FROM customer
+    ), s AS (
+      SELECT s_suppkey,
+             CASE WHEN s_acctbal < 0 THEN NULL ELSE s_nationkey END AS nk
+      FROM supplier
+    )
+    SELECT c.c_custkey, s.s_suppkey, c.nk AS nationkey
+    FROM c JOIN s ON c.nk IS NOT DISTINCT FROM s.nk
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#12b null-safe equality join (<=> / IS NOT DISTINCT FROM):
+    NULL keys match each other instead of vanishing — the semantics
+    ETL key-reconciliation needs for sentinel rows."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, F.lit(None).cast("int"))
+        .otherwise(F.col("c_nationkey"))
+        .alias("c_nk"),
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.when(F.col("s_acctbal") < 0, F.lit(None).cast("int"))
+        .otherwise(F.col("s_nationkey"))
+        .alias("s_nk"),
+    )
+    return c.join(s, c.c_nk.eqNullSafe(s.s_nk)).select(
+        "c_custkey", "s_suppkey", F.col("c_nk").alias("nationkey")
+    )

@@ -171,3 +171,32 @@ def win_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("c_custkey").over(w2).alias("richest_cust"),
         F.last("c_custkey").over(w2).alias("poorest_cust"),
     )
+
+
+@query(
+    "win_percent_cume",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(percent_rank() OVER w, 9) AS pct_rank,
+           round(cume_dist() OVER w, 9) AS cume,
+           CAST(least(floor(o_totalprice / 60000) + 1, 11) AS INT) AS price_bucket
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def win_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#33b distribution window functions: percent_rank / cume_dist,
+    plus histogram binning (width_bucket-style, written as arithmetic
+    because DuckDB 1.0 lacks width_bucket). Ratios of small ints are
+    IEEE-identical; rounded for belt-and-braces."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+        F.least(F.floor(F.col("o_totalprice") / 60000) + 1, F.lit(11))
+        .cast("int")
+        .alias("price_bucket"),
+    )

@@ -1,0 +1,23 @@
+"""Rows-only queries have no oracle — their grade rests on stable,
+deterministic output. Assert two runs produce identical sorted rows."""
+
+from __future__ import annotations
+
+import pytest
+
+from python_etl_sample_spark.registry import REGISTRY, load_all_operators
+
+load_all_operators()
+
+SF_DIR = "/root/testdata/sf0.001"
+
+ROWS_ONLY = sorted(n for n, s in REGISTRY.items() if s.oracle is None)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_query_is_deterministic(spark, name):
+    fn = REGISTRY[name].fn
+    a = sorted(map(str, fn(spark, SF_DIR).collect()))
+    b = sorted(map(str, fn(spark, SF_DIR).collect()))
+    assert len(a) > 0
+    assert a == b, f"{name} output differs between runs"
