@@ -48,6 +48,28 @@ def _dot_sql(a: str, b: str) -> str:
     return _DOT_SQL.format(a=a, b=b)
 
 
+def _ship(spark: SparkSession, payload):
+    """Ship the GEMM build side to tasks: sc.broadcast when the session
+    has a SparkContext (classic — one copy per executor), else closure
+    capture (Spark Connect — serialized with the UDF; fine at the
+    few-MB scale this payload has)."""
+    try:
+        bc = spark.sparkContext.broadcast(payload)
+        return lambda: bc.value
+    except Exception:
+        return lambda: payload
+
+
+def _corpus_matrix(e: DataFrame):
+    import numpy as np
+
+    all_pdf = e.select("vec_id", "embedding").toPandas()
+    ids = all_pdf["vec_id"].to_numpy()
+    mat = np.stack(all_pdf["embedding"].to_numpy()).astype(np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    return ids, mat, norms
+
+
 @query(
     "sim_cosine_topk",
     oracle=f"""
@@ -83,16 +105,12 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    all_pdf = e.toPandas()  # the broadcast (build) side: n×64 floats
-    ids = all_pdf["vec_id"].to_numpy()
-    mat = np.stack(all_pdf["embedding"].to_numpy()).astype(np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    get_corpus = _ship(spark, _corpus_matrix(e))
 
     k = 20
 
     def block_topk(batches):
-        b_ids, b_mat, b_norms = bc.value
+        b_ids, b_mat, b_norms = get_corpus()
         for pdf in batches:
             q_ids = pdf["vec_id"].to_numpy()
             q_mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
@@ -153,16 +171,12 @@ def sim_knn_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     e = table(spark, sf_dir, "embeddings")
-    all_pdf = e.select("vec_id", "embedding").toPandas()
-    ids = all_pdf["vec_id"].to_numpy()
-    mat = np.stack(all_pdf["embedding"].to_numpy()).astype(np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    get_corpus = _ship(spark, _corpus_matrix(e))
 
     k = 5
 
     def knn_blocks(batches):
-        c_ids, c_mat, c_norms = bc.value
+        c_ids, c_mat, c_norms = get_corpus()
         for pdf in batches:
             q_ids = pdf["vec_id"].to_numpy()
             q_mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
@@ -301,16 +315,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    all_pdf = e.toPandas()
-    ids = all_pdf["vec_id"].to_numpy()
-    mat = np.stack(all_pdf["embedding"].to_numpy()).astype(np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    get_corpus = _ship(spark, _corpus_matrix(e))
 
     threshold = 0.45
 
     def block_pairs(batches):
-        b_ids, b_mat, b_norms = bc.value
+        b_ids, b_mat, b_norms = get_corpus()
         for pdf in batches:
             q_ids = pdf["vec_id"].to_numpy()
             q_mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
