@@ -194,3 +194,30 @@ def fn_json_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.to_json(F.struct(F.col("user_id"), F.col("event_type"))).alias("payload"),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT o_orderstatus,
+           bit_and(o_orderkey) AS band,
+           bit_or(o_orderkey) AS bor,
+           bit_xor(o_orderkey) AS bxor,
+           CAST(SUM(CASE WHEN o_orderkey & 1 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_odd,
+           CAST(MAX(o_orderkey >> 8) AS BIGINT) AS max_shifted
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#48b bitwise family: &, >>, and the bit_and/or/xor aggregates
+    (exact integer ops — trivially engine-identical)."""
+    o = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.groupBy("o_orderstatus").agg(
+        F.bit_and(k).alias("band"),
+        F.bit_or(k).alias("bor"),
+        F.bit_xor(k).alias("bxor"),
+        F.sum(F.when(k.bitwiseAND(1) == 1, 1).otherwise(0)).cast("bigint").alias("n_odd"),
+        F.max(F.shiftright(k, 8)).alias("max_shifted"),
+    )

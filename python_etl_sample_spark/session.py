@@ -47,8 +47,14 @@ def ensure_session_configs(spark: SparkSession) -> None:
     fixture scale (the 200 default wastes task-launch overhead at sf≤0.1;
     AQE coalescing makes the number forgiving either way).
     """
+    if id(spark) in _CONFIGURED_SESSIONS:
+        return
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
+    _CONFIGURED_SESSIONS.add(id(spark))
+
+
+_CONFIGURED_SESSIONS: set[int] = set()
