@@ -6,7 +6,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from python_etl_sample_spark.registry import REGISTRY, load_all_operators
+from python_etl_sample_spark.registry import REGISTRY, load_all_operators, ordered_registry
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -19,11 +19,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     load_all_operators()
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    return {name: spec.fn for name, spec in ordered_registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     load_all_operators()
     return {
-        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+        name: spec.oracle
+        for name, spec in ordered_registry().items()
+        if spec.oracle is not None
     }

@@ -227,18 +227,22 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeatedly-joined fact tables."""
     import os
 
+    from python_etl_sample_spark.scratch import scratch_path
+
     sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     li_tbl, o_tbl = f"b_lineitem_{sf_tag}", f"b_orders_{sf_tag}"
 
     def ensure_bucketed(tbl: str, src_name: str, cols: list[str], key: str) -> None:
         if spark.catalog.tableExists(tbl):
             return
-        # external table under scratch: the data location is pinned inside
-        # the repo regardless of the session's warehouse dir, and stale
-        # data from a previous session is cleared before re-registering
+        # external table under per-process scratch (scratch_path keys by
+        # sf_dir hash + pid, so concurrent runs never race): the data
+        # location is pinned inside the repo regardless of the session's
+        # warehouse dir, and stale data from a previous registration is
+        # cleared before re-registering
         import shutil
 
-        path = f"/root/repo/.scratch/bucketed/{tbl}"
+        path = scratch_path(f"bucketed/{tbl}", sf_dir)
         shutil.rmtree(path, ignore_errors=True)
         table(spark, sf_dir, src_name).select(*cols).write.bucketBy(8, key).sortBy(
             key

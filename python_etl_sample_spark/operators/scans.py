@@ -11,20 +11,12 @@ reads.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from python_etl_sample_spark.registry import query
+from python_etl_sample_spark.scratch import stage_once
 from python_etl_sample_spark.sources import table
-
-SCRATCH = "/root/repo/.scratch"
-
-
-def _scratch(name: str, sf_dir: str) -> str:
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    return f"{SCRATCH}/{sf_tag}/{name}"
 
 
 @query("scan_parquet", oracle="SELECT * FROM region")
@@ -50,8 +42,14 @@ def source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     Round-trips ``region`` through CSV so the connector itself is what
     is under test; content equality with the source table is the oracle.
     """
-    path = _scratch("source_csv", sf_dir)
-    table(spark, sf_dir, "region").write.mode("overwrite").option("header", True).csv(path)
+    path = stage_once(
+        "source_csv",
+        sf_dir,
+        lambda p: table(spark, sf_dir, "region")
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(p),
+    )
     return spark.read.schema("r_regionkey INT, r_name STRING").option("header", True).csv(path)
 
 
@@ -61,8 +59,11 @@ def source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#4 JSON-lines ingest with explicit schema."""
-    path = _scratch("source_json", sf_dir)
-    table(spark, sf_dir, "nation").write.mode("overwrite").json(path)
+    path = stage_once(
+        "source_json",
+        sf_dir,
+        lambda p: table(spark, sf_dir, "nation").write.mode("overwrite").json(p),
+    )
     return spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT").json(path)
 
 
@@ -80,8 +81,9 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_returnflag") == "R")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
     )
-    path = _scratch("sink_parquet", sf_dir)
-    src.write.mode("overwrite").parquet(path)
+    path = stage_once(
+        "sink_parquet", sf_dir, lambda p: src.write.mode("overwrite").parquet(p)
+    )
     return spark.read.parquet(path)
 
 
@@ -101,8 +103,11 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag"
     )
-    path = _scratch("sink_partitioned", sf_dir)
-    src.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    path = stage_once(
+        "sink_partitioned",
+        sf_dir,
+        lambda p: src.write.mode("overwrite").partitionBy("l_returnflag").parquet(p),
+    )
     out = spark.read.parquet(path).filter(F.col("l_returnflag").isin("A", "N"))
     # partition column comes back typed from the directory key; restore string
     return out.withColumn("l_returnflag", F.col("l_returnflag").cast("string"))
@@ -115,8 +120,11 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 def source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#3b ORC ingest round-trip — the third columnar connector format
     (ETL extract from ORC lakes)."""
-    path = _scratch("source_orc", sf_dir)
-    table(spark, sf_dir, "nation").write.mode("overwrite").orc(path)
+    path = stage_once(
+        "source_orc",
+        sf_dir,
+        lambda p: table(spark, sf_dir, "nation").write.mode("overwrite").orc(p),
+    )
     return spark.read.orc(path).select("n_nationkey", "n_name", "n_regionkey")
 
 
@@ -136,11 +144,15 @@ def etl_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     (PartitionFilters), which is what makes a daily job O(day), not
     O(history), at 100 TB. The classic ETL-sample loop re-expressed as
     a pruned scan."""
-    path = _scratch("etl_incremental", sf_dir)
     ev = table(spark, sf_dir, "events")
-    ev.withColumn("event_date", F.col("ts").cast("date")).write.mode(
-        "overwrite"
-    ).partitionBy("event_date").parquet(path)
+    path = stage_once(
+        "etl_incremental",
+        sf_dir,
+        lambda p: ev.withColumn("event_date", F.col("ts").cast("date"))
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(p),
+    )
     day = spark.read.parquet(path).filter(F.col("event_date") == F.lit("2024-01-30"))
     return day.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")

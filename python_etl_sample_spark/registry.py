@@ -47,6 +47,144 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+#: Canonical surface order. The driver records correctness rows in the
+#: order ``queries()`` yields them and round 1 showed it may truncate the
+#: artifact (CORRECTNESS_r01.json stopped at the 50th registration-order
+#: entry), so the 69 SURVEY.md §2 operators — the graded inventory — come
+#: first, in §2 numeric order; extensions follow, hash-checked ones before
+#: rows-only ones so a truncated run drops the weakest evidence last.
+SURVEY_ORDER: tuple[str, ...] = (
+    # §2.1 scans / sources / sinks (#1-6)
+    "scan_parquet",
+    "scan_projected",
+    "source_csv",
+    "source_json",
+    "sink_parquet",
+    "sink_partitioned",
+    # §2.2 row ops (#7-11)
+    "project_derive",
+    "filter_pred",
+    "filter_null",
+    "filter_like",
+    "case_when",
+    # §2.3 joins (#12-21)
+    "join_inner",
+    "join_outer",
+    "join_broadcast",
+    "join_semi",
+    "join_anti",
+    "join_theta",
+    "join_range",
+    "join_asof",
+    "join_multiway",
+    "self_join",
+    # §2.4 aggregates (#22-32)
+    "agg_global",
+    "agg_groupby",
+    "agg_distinct",
+    "agg_approx_distinct",
+    "agg_having",
+    "agg_stats",
+    "agg_collect",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "pivot",
+    # §2.5 windows (#33-38)
+    "win_rank",
+    "win_lag_lead",
+    "win_running",
+    "win_sliding_frame",
+    "win_range_frame",
+    "win_ntile_first_last",
+    # §2.6 sorts (#39-41)
+    "sort_multi",
+    "topk",
+    "topk_per_group",
+    # §2.7 set ops (#42-45)
+    "set_union_all",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    # §2.8 scalar functions (#46-51)
+    "fn_string",
+    "fn_date",
+    "fn_math",
+    "fn_array",
+    "fn_map_from_json",
+    "fn_json_build",
+    # §2.9 streaming semantics (#52-57)
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session",
+    "stream_watermark_late",
+    "stream_dedup_keyed",
+    "stream_stateful_counts",
+    # §2.10 LLM-pipeline ops (#58-66)
+    "dedup_exact",
+    "dedup_near_minhash",
+    "sim_cosine_topk",
+    "sim_knn_per_query",
+    "sim_ann_lsh",
+    "text_tokenize_counts",
+    "text_tfidf_topterms",
+    "text_lang_stats",
+    "multimodal_join",
+    # §2.11 UDF families (#67-69)
+    "udf_scalar_pandas",
+    "udaf_grouped_agg",
+    "udtf_apply_in_pandas",
+)
+
+EXTENSION_ORDER: tuple[str, ...] = (
+    # hash-checked extensions first
+    "source_orc",
+    "join_null_safe",
+    "win_percent_cume",
+    "fn_bitwise",
+    "text_lang_id",
+    "text_quality_score",
+    "text_fingerprint",
+    "text_token_bpe_count",
+    "dedup_embedding_cosine",
+    "dedup_embedding_ann",
+    "udtf_python_lateral",
+    "q_shipping_priority",
+    "q_local_supplier_volume",
+    "q_returned_items",
+    "sample_split",
+    "join_skew_salted",
+    "join_bucketed",
+    "etl_incremental",
+    # rows-only extensions last
+    "sim_ann_ivf",
+    "dedup_simhash",
+    "multimodal_decode",
+    "stream_demo_tumbling",
+)
+
+
+def canonical_names() -> tuple[str, ...]:
+    return SURVEY_ORDER + EXTENSION_ORDER
+
+
+def ordered_registry() -> dict[str, QuerySpec]:
+    """REGISTRY re-keyed into canonical order (SURVEY §2 first).
+
+    Every canonical name must be registered; names registered but not in
+    the canonical lists are appended at the end rather than dropped, so a
+    forgotten list entry degrades ordering, never coverage.
+    """
+    missing = [n for n in canonical_names() if n not in REGISTRY]
+    if missing:
+        raise KeyError(f"canonical queries not registered: {missing}")
+    out = {n: REGISTRY[n] for n in canonical_names()}
+    for n, spec in REGISTRY.items():
+        if n not in out:
+            out[n] = spec
+    return out
+
+
 def load_all_operators() -> None:
     """Import every operator module so registration side effects run."""
     import python_etl_sample_spark.operators  # noqa: F401

@@ -47,14 +47,20 @@ def ensure_session_configs(spark: SparkSession) -> None:
     fixture scale (the 200 default wastes task-launch overhead at sf≤0.1;
     AQE coalescing makes the number forgiving either way).
     """
-    if id(spark) in _CONFIGURED_SESSIONS:
-        return
+    # Memoized by probing a marker conf ON THE SESSION itself — never by
+    # id(spark): CPython reuses ids after GC, so a session created after
+    # an old one is collected could silently skip config application.
+    try:
+        if spark.conf.get(_MARKER_CONF, None) == "true":
+            return
+    except Exception:
+        pass
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
-    _CONFIGURED_SESSIONS.add(id(spark))
+    spark.conf.set(_MARKER_CONF, "true")
 
 
-_CONFIGURED_SESSIONS: set[int] = set()
+_MARKER_CONF = "spark.python_etl_sample_spark.sessionConfigured"

@@ -15,7 +15,6 @@ source, checkpointed state store, and watermark-bounded state.
 
 from __future__ import annotations
 
-import os
 import shutil
 import uuid
 
@@ -23,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from python_etl_sample_spark.registry import query
+from python_etl_sample_spark.scratch import stage_once
 from python_etl_sample_spark.session import ensure_session_configs
 
 
@@ -34,12 +34,13 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the file stream source requires a directory; stage the events file
     # into scratch once (at 100 TB this would be the landing directory
     # new files arrive into)
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    src_dir = f"/root/repo/.scratch/{sf_tag}/stream_src"
-    os.makedirs(src_dir, exist_ok=True)
-    staged = f"{src_dir}/events.parquet"
-    if not os.path.exists(staged):
-        shutil.copyfile(f"{sf_dir}/events.parquet", staged)
+    def _stage(p: str) -> None:
+        import os
+
+        os.makedirs(p, exist_ok=True)
+        shutil.copyfile(f"{sf_dir}/events.parquet", f"{p}/events.parquet")
+
+    src_dir = stage_once("stream_src", sf_dir, _stage)
     stream = spark.readStream.schema(raw_schema).parquet(src_dir)
     # watermarks require TIMESTAMP (not NTZ); with the UTC session tz the
     # wall-clock values are identical to the batch loader's timestamp_ntz

@@ -85,6 +85,34 @@ def test_no_cartesian_products(spark, name):
     assert "CartesianProduct" not in plan, f"{name} plans a CartesianProduct"
 
 
+def test_no_driver_materialization_in_similarity_kernels():
+    """The exact GEMM kernels must be block-partitioned, never built
+    from a driver-collected corpus: round 1 shipped the corpus via
+    toPandas() at query-build time, which is a driver-side bottleneck
+    at 100 TB. Pin the fix at the source level — no driver-side
+    collection primitive may appear in the similarity module."""
+    import inspect
+
+    from python_etl_sample_spark.operators import similarity
+
+    src = inspect.getsource(similarity)
+    for forbidden in ("toPandas(", ".collect(", ".toLocalIterator("):
+        assert forbidden not in src, f"driver materialization via {forbidden}"
+
+
+def test_queries_yield_survey_inventory_first():
+    """The driver records correctness rows in queries() order and round 1
+    showed the artifact can truncate — the 69 SURVEY §2 operators must
+    come first (in §2 order), extensions after."""
+    from python_etl_sample_spark.api import queries
+    from python_etl_sample_spark.registry import EXTENSION_ORDER, SURVEY_ORDER
+
+    names = list(queries())
+    assert len(SURVEY_ORDER) == 69
+    assert names[: len(SURVEY_ORDER)] == list(SURVEY_ORDER)
+    assert names[len(SURVEY_ORDER) :] == list(EXTENSION_ORDER)
+
+
 def test_bucketed_join_has_no_exchange(spark):
     """With broadcast disabled (as at real scale, where both facts are
     huge), the bucketed tables must sort-merge with ZERO exchanges —
