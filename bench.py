@@ -25,6 +25,10 @@ def main() -> int:
     qs = queries()
     # warm the JVM + parquet footers once so timings measure the queries
     qs["agg_groupby"](spark, sf_dir).collect()
+    # warm the Python worker pool (one worker per core spawns lazily on
+    # the first Arrow-UDF stage — ~3-4 s of fork/import cost that would
+    # otherwise land on whichever Python-path query runs first)
+    qs["sim_cosine_topk"](spark, sf_dir).collect()
     # warm the round-trip queries' scratch staging (stage-once per
     # process) so their timed pass measures the read path, not the
     # one-time committer write the op stages its own input with

@@ -160,9 +160,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup detection (rows-only: engine-specific 64-bit
     hashing). The third dedup family next to exact-hash and MinHash:
     one 64-bit signature per doc from bit-majority voting over shingle
-    hashes, then 4×16-bit chunk banding (any hamming-≤8 pair must share
-    a chunk... within the pigeonhole bound) and exact hamming via
-    bit_count(xor).
+    hashes, then 4×16-bit chunk banding and exact hamming via
+    bit_count(xor), reported at radius ≤8.
+
+    Recall bound (pigeonhole, stated honestly): with 4 disjoint chunks,
+    a pair is GUARANTEED to share a chunk only when hamming ≤ 3; pairs
+    at distance 4-8 are found iff their differing bits happen to leave
+    one 16-bit chunk untouched — high-probability for SimHash's
+    scattered bit flips, but not certain. A guaranteed radius-8 scheme
+    needs 9 bands of ~7 bits, whose 128-value chunks collide so densely
+    (≈n²/128 random candidate pairs) that banding stops pruning — the
+    wrong trade at any scale. Near-dup SimHash pairs in practice sit at
+    hamming 0-3, inside the guarantee.
 
     Scale: signatures are 8 bytes/doc; the chunk join shuffles
     signatures, never documents — same posture as MinHash banding.

@@ -82,7 +82,13 @@ def _block_grid(q: DataFrame, c: DataFrame, nb: int = _NB) -> DataFrame:
     qx = _block_rows(q, "q", nb).withColumn(
         "cb", F.explode(F.sequence(F.lit(0), F.lit(nb - 1)))
     )
-    return qx.join(_block_rows(c, "c", nb), "cb")
+    grid = qx.join(_block_rows(c, "c", nb), "cb")
+    # EXPLICIT repartition (not left to AQE): the grid is tiny in bytes
+    # (nb² packed rows) but huge in compute (one GEMM per row), so AQE's
+    # byte-based coalescing folds it onto ONE task and serializes every
+    # block pair. A user-specified partition count is exempt from AQE
+    # coalescing, giving ~one GEMM cell per task.
+    return grid.repartition(nb * nb, "qb", "cb")
 
 
 def _unpack(cell):
@@ -220,49 +226,100 @@ def sim_knn_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("sim_ann_lsh", oracle=None)
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """#62 approximate NN via random-hyperplane LSH
-    (BucketedRandomProjectionLSH, fixed seed → deterministic; rows-only:
-    bucketing is engine-specific). The 100 TB path: candidate pairs come
-    from bucket equality, never the full cross product."""
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
+    """#62 approximate NN via bucketed random-projection LSH, built
+    natively on DataFrame ops (fixed projections → deterministic;
+    rows-only: bucketing is engine-specific). Classic scheme: per hash
+    table t, h_t(v) = floor(⟨v, g_t⟩ / bucketLength); candidate pairs
+    share a (t, h) bucket — never the full cross product — and each
+    candidate bucket runs one exact-distance GEMM block, keeping only
+    pairs within the radius. Duplicate hits across tables collapse with
+    one distinct.
+
+    The 100 TB shape: one shuffle on bucket id (vectors shuffle once per
+    table), per-bucket compute is local and embarrassingly parallel,
+    and the emitted pair set is tiny. Radius 1.2 is the measured
+    selective threshold for these fixtures: random 64-dim pairs sit
+    near dist ≈ sqrt(2), genuine near neighbors at ≈ 1.0, so 1.5 would
+    admit nearly all O(n²) pairs (measured 35 s at sf0.1)."""
+    import numpy as np
+    import pandas as pd
+
+    n_tables, bucket_len, radius = 2, 1.0, 1.2
+    rng = np.random.default_rng(7)
+    projections = rng.standard_normal((n_tables, 64))
 
     e = table(spark, sf_dir, "embeddings")
-    vecs = e.select(
-        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
-    )
-    # threshold must be selective: random 64-dim pairs sit near dist
-    # ≈ sqrt(2)·norm (median 1.414 measured), so 1.5 admits nearly all
-    # O(n²) pairs (measured 35 s at sf0.1); 1.2 keeps the ~0.15% tail of
-    # genuine near neighbors (min dist ≈ 1.0 in the fixtures).
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="features",
-        outputCol="hashes",
-        bucketLength=1.0,
-        numHashTables=2,
-        seed=42,
-    )
-    model = lsh.fit(vecs)
-    pairs = model.approxSimilarityJoin(vecs, vecs, 1.2, distCol="dist")
-    return (
-        pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
-        .select(
-            F.col("datasetA.vec_id").alias("vec_a"),
-            F.col("datasetB.vec_id").alias("vec_b"),
-            F.round(F.col("dist"), 6).alias("euclidean_dist"),
+    vec = F.col("embedding").cast("array<double>")
+    buckets = e.select(
+        "vec_id",
+        vec.alias("vec"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        F.floor(
+                            _dot(vec, F.array(*[F.lit(float(x)) for x in projections[t]]))
+                            / F.lit(bucket_len)
+                        ).alias("h"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", "vec", F.col("bk.tbl").alias("tbl"), F.col("bk.h").alias("h"))
+
+    packed = (
+        buckets.groupBy("tbl", "h")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("vec_id").alias("id"), F.col("vec").alias("vec"))
+            ).alias("rows")
         )
+        # AQE-proofing (see _block_grid): few rows, heavy per-row compute
+        .repartition(32, "tbl", "h")
     )
+
+    def bucket_pairs(batches):
+        for pdf in batches:
+            for cell in pdf["rows"]:
+                ids, mat, _ = _unpack(cell)
+                sq = (mat * mat).sum(axis=1)
+                d2 = np.maximum(sq[:, None] + sq[None, :] - 2.0 * (mat @ mat.T), 0.0)
+                qi, cj = np.nonzero(
+                    (ids[:, None] < ids[None, :]) & (d2 <= radius * radius)
+                )
+                if len(qi):
+                    yield pd.DataFrame(
+                        {
+                            "vec_a": ids[qi],
+                            "vec_b": ids[cj],
+                            "euclidean_dist": np.round(np.sqrt(d2[qi, cj]), 6),
+                        }
+                    )
+
+    # a pair found in both tables computes the identical float both
+    # times (same kernel, same inputs), so distinct collapses it safely
+    return packed.mapInPandas(
+        bucket_pairs, "vec_a bigint, vec_b bigint, euclidean_dist double"
+    ).distinct()
 
 
 @query("sim_ann_ivf", oracle=None)
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate NN (rows-only: centroid assignment is
-    engine-specific): KMeans coarse quantizer (fixed seed) partitions
-    the corpus into inverted lists; each query probes its **nprobe=2**
-    nearest centroids (covering boundary neighbors the nprobe=1 form
-    missed) and searches only those lists via a per-cluster local GEMM
-    inside applyInPandas, then a rank window merges the ≤2 candidate
-    sets per query.
+    engine-specific): a coarse quantizer partitions the corpus into
+    inverted lists; each query probes its **nprobe=2** nearest
+    centroids (covering boundary neighbors an nprobe=1 form misses)
+    and searches only those lists via a per-cluster local GEMM inside
+    applyInPandas, then a rank window merges the ≤2 candidate sets per
+    query.
+
+    The quantizer is Lloyd's k-means trained on a BOUNDED sample (512
+    vectors, seed-pinned NumPy — the standard IVF practice at any
+    corpus size: centroid quality needs a sample, not the corpus, so
+    the only driver-side materialization is 512×64 floats regardless of
+    scale; the corpus itself is never collected).
 
     This is the second at-scale ANN family next to LSH (#62): one
     shuffle on centroid id, then embarrassingly-parallel local search —
@@ -272,23 +329,25 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     e = table(spark, sf_dir, "embeddings")
-    vecs = e.select(
-        "vec_id",
-        "embedding",
-        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    # deterministic bounded sample: lowest 512 vec_ids (TakeOrdered —
+    # a k-row reduce, never a full sort, at any corpus size)
+    sample = np.stack(
+        [
+            np.asarray(r["embedding"], dtype=np.float64)
+            for r in e.select("vec_id", "embedding").orderBy("vec_id").limit(512).collect()
+        ]
     )
-    # coarse quantizer: centroid quality barely matters for list
-    # balance, so cap iterations (deterministic with the fixed seed)
-    km = KMeans(
-        k=16, seed=42, maxIter=8, featuresCol="features", predictionCol="centroid"
-    )
-    model = km.fit(vecs)
-    assigned = model.transform(vecs).select("vec_id", "embedding", "centroid")
-    centers = np.stack([np.asarray(c, dtype=np.float64) for c in model.clusterCenters()])
+    n_cells, iters = 16, 8
+    rng = np.random.default_rng(42)
+    centers = sample[rng.choice(len(sample), n_cells, replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(n_cells):
+            members = assign == j
+            if members.any():
+                centers[j] = sample[members].mean(axis=0)
 
     nprobe, k = 2, 3
 
@@ -300,11 +359,14 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     probe_centroids = F.pandas_udf(_probe, "array<int>")
 
-    probes = assigned.select(
+    # one Arrow pass computes both the primary (list-membership) centroid
+    # — probes[0] — and the probe fan-out
+    probed = e.select("vec_id", "embedding", probe_centroids("embedding").alias("probes"))
+    probes = probed.select(
         "vec_id",
         "embedding",
-        "centroid",
-        F.explode(probe_centroids("embedding")).alias("probe"),
+        F.col("probes")[0].alias("centroid"),
+        F.explode("probes").alias("probe"),
     )
 
     def local_knn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -405,8 +467,10 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured before replacing the earlier MLlib-LSH form).
 
     Mechanics, all declarative until the per-cell-pair GEMM:
-    1. L2-normalize; assign each vector a cell = sign pattern under 4
-       fixed hyperplanes (16 cells, pure JVM expressions, no fit).
+    1. Assign each vector a cell = sign pattern under 4 fixed
+       hyperplanes (16 cells, pure JVM expressions, no fit; signs are
+       scale-invariant so raw vectors suffice — normalization happens
+       in the NumPy kernels on unit-vector geometry).
     2. Per-cell summary (tiny: one row/cell): centroid + max residual
        radius.
     3. Prune the 16×16 cell-pair grid with the triangle inequality:
@@ -432,37 +496,35 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "embeddings")
     vec = F.col("embedding").cast("array<double>")
-    nrm = F.sqrt(_dot(vec, vec))
-    unit = F.transform(vec, lambda x: x / nrm)
     cell = None
     for k in range(planes.shape[0]):
         plane = F.array(*[F.lit(float(x)) for x in planes[k]])
-        bit = (_dot(unit, plane) > 0).cast("int")
+        # sign(dot(v, plane)) is scale-invariant, so the cell bit uses the
+        # RAW vector; normalization happens inside the NumPy kernels
+        # (interpreted HOF array division is the expensive JVM path, and
+        # this frame is evaluated once per downstream consumer)
+        bit = (_dot(vec, plane) > 0).cast("int")
         term = F.shiftleft(bit, k)
         cell = term if cell is None else cell + term
-    cells = e.select(
-        F.col("vec_id"), unit.alias("uvec"), cell.cast("int").alias("cell")
-    )
-
-    packed = cells.groupBy("cell").agg(
-        F.collect_list(F.struct(F.col("vec_id").alias("id"), F.col("uvec").alias("vec"))).alias("rows")
-    )
+    cells = e.select(F.col("vec_id"), vec.alias("vec"), cell.cast("int").alias("cell"))
 
     def cell_stats(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for cell_id, rows in zip(pdf["cell"], pdf["rows"]):
-            mat = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in rows])
-            centroid = mat.mean(axis=0)
-            rad = float(np.sqrt(((mat - centroid) ** 2).sum(axis=1)).max())
-            out.append((int(cell_id), centroid.tolist(), rad))
-        return pd.DataFrame(out, columns=["cell", "centroid", "radius"])
+        mat = np.stack(pdf["vec"].to_numpy())
+        mat = mat / np.sqrt((mat * mat).sum(axis=1))[:, None]
+        centroid = mat.mean(axis=0)
+        rad = float(np.sqrt(((mat - centroid) ** 2).sum(axis=1)).max())
+        return pd.DataFrame(
+            {"cell": [int(pdf["cell"].iloc[0])], "centroid": [centroid.tolist()], "radius": [rad]}
+        )
 
-    stats = packed.groupBy("cell").applyInPandas(
+    stats = cells.groupBy("cell").applyInPandas(
         cell_stats, "cell int, centroid array<double>, radius double"
     )
 
     # 16×16 pair grid via equi-join expansion (never a cartesian), then
-    # the triangle-inequality prune — both on the 16-row stats table
+    # the triangle-inequality prune — both on the 16-row stats table.
+    # Only unordered cell pairs (qcell ≤ ccell) survive: the bound is
+    # symmetric, and each data pair is examined once.
     sa = stats.select(
         F.col("cell").alias("qcell"),
         F.col("centroid").alias("ca"),
@@ -477,29 +539,53 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     cdist = F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x))
     surviving = (
         sa.join(sb, "ccell")
-        .filter(cdist - F.col("ra") - F.col("rb") <= F.lit(radius))
+        .filter(
+            (F.col("qcell") <= F.col("ccell"))
+            & (cdist - F.col("ra") - F.col("rb") <= F.lit(radius))
+        )
         .select("qcell", "ccell")
     )
 
-    # broadcast only the tiny surviving-pair list (≤256 rows); the packed
+    # broadcast only the tiny surviving-pair list (≤136 rows); the packed
     # cell blocks — the actual data — stay distributed and shuffle only
     # to the surviving grid cells
+    packed = cells.groupBy("cell").agg(
+        F.collect_list(
+            F.struct(F.col("vec_id").alias("id"), F.col("vec").alias("vec"))
+        ).alias("rows")
+    )
     qb = packed.select(F.col("cell").alias("qcell"), F.col("rows").alias("qrows"))
     cb2 = packed.select(F.col("cell").alias("ccell"), F.col("rows").alias("crows"))
-    grid = qb.join(F.broadcast(surviving), "qcell").join(cb2, "ccell")
+    grid = (
+        qb.join(F.broadcast(surviving), "qcell")
+        .join(cb2, "ccell")
+        # same AQE-proofing as _block_grid: tiny bytes, heavy compute —
+        # explicit partition count keeps ~one GEMM cell per task
+        .repartition(64, "qcell", "ccell")
+    )
 
     def pair_thresh(batches):
         for pdf in batches:
-            for qcell, ccell in zip(pdf["qrows"], pdf["crows"]):
-                q_ids, q_mat, _ = _unpack(qcell)
-                c_ids, c_mat, _ = _unpack(ccell)
-                sims = np.round(q_mat @ c_mat.T, 9)  # unit vectors: dot = cosine
-                qi, cj = np.nonzero(
-                    (q_ids[:, None] < c_ids[None, :]) & (sims >= threshold)
-                )
+            for qcell_id, ccell_id, qcell, ccell in zip(
+                pdf["qcell"], pdf["ccell"], pdf["qrows"], pdf["crows"]
+            ):
+                q_ids, q_mat, q_norms = _unpack(qcell)
+                c_ids, c_mat, c_norms = _unpack(ccell)
+                # same float ops as the exact kernel (dedup_embedding_cosine)
+                sims = np.round((q_mat @ c_mat.T) / np.outer(q_norms, c_norms), 9)
+                if qcell_id == ccell_id:
+                    mask = q_ids[:, None] < c_ids[None, :]
+                else:  # distinct cells: every cross pair, ordered on emit
+                    mask = np.ones_like(sims, dtype=bool)
+                qi, cj = np.nonzero(mask & (sims >= threshold))
                 if len(qi):
+                    a, b = q_ids[qi], c_ids[cj]
                     yield pd.DataFrame(
-                        {"vec_a": q_ids[qi], "vec_b": c_ids[cj], "sim": sims[qi, cj]}
+                        {
+                            "vec_a": np.minimum(a, b),
+                            "vec_b": np.maximum(a, b),
+                            "sim": sims[qi, cj],
+                        }
                     )
 
     return grid.mapInPandas(pair_thresh, "vec_a bigint, vec_b bigint, sim double")

@@ -77,7 +77,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session",
     oracle="""
     WITH tagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                     OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
                   THEN 1 ELSE 0 END AS is_new
@@ -85,7 +85,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
       SELECT user_id, ts,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM tagged
     )
@@ -101,15 +101,19 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned identically in both engines)."""
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # the running sum carries the module's event_id tie-break too:
+    # duplicate (user_id, ts) rows would otherwise get engine-dependent
+    # session_id assignment in each engine independently
     wrun = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     prev = F.lag("ts").over(w)
     tagged = ev.select(
         "user_id",
         "ts",
+        "event_id",
         F.when(
             prev.isNull() | (F.col("ts") - prev > F.expr("INTERVAL 30 MINUTES")), 1
         )
