@@ -53,14 +53,44 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shingle_hashes(d: DataFrame) -> DataFrame:
+    """Distinct (doc_id, h) where h = xxhash64(3-word shingle).
+
+    The shingle STRING dies inside the map task: hashing before the
+    distinct means every downstream shuffle (the distinct itself, the
+    signature agg, the Jaccard-verify joins) carries 8-byte hashes
+    instead of ~30-byte strings — the at-scale shape for shingle
+    pipelines (set semantics are preserved up to 64-bit collisions,
+    which are deterministic and ~n²/2⁶⁴ rare).
+    """
+    toks = d.select("doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("toks"))
+    return (
+        toks.filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks)-3),"
+                    " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+                )
+            ).alias("tok"),
+        )
+        # hash in the same map task the explode runs in — the string
+        # never reaches a shuffle
+        .select("doc_id", F.xxhash64("tok").alias("h"))
+        .distinct()
+    )
+
+
 def _minhash_signature(tokens_df: DataFrame) -> DataFrame:
     """doc_id → one row per band with the band's combined signature.
 
-    tokens_df: (doc_id, token) distinct. Each permutation i is
-    min(xxhash64(token, seed=i)); bands concatenate _BAND_ROWS mins.
+    tokens_df: (doc_id, h) distinct shingle hashes. Each permutation i
+    is min(xxhash64(h, seed=i)) — re-hashing the shingle hash is a
+    valid permutation family; bands concatenate _BAND_ROWS mins.
     """
     mins = [
-        F.min(F.xxhash64(F.col("token"), F.lit(i))).alias(f"h{i}")
+        F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"h{i}")
         for i in range(_N_PERM)
     ]
     sig = tokens_df.groupBy("doc_id").agg(*mins)
@@ -85,9 +115,10 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#59 near-dup candidates via MinHash + LSH banding (rows-only:
     LSH is not SQL-expressible). Deterministic seeds → stable output.
 
-    Pipeline: 3-word shingles → distinct (doc,shingle) → 32 xxhash64
+    Pipeline: 3-word shingles → hash → distinct (doc, h) → 32 xxhash64
     minhashes → 4 bands × 8 rows → self-join on (band, band_hash)
-    bucket → candidate pairs with exact shingle-Jaccard verification,
+    bucket → candidate pairs with exact shingle-Jaccard verification
+    (on the hashed shingle sets — bijective up to 64-bit collisions),
     threshold 0.8.
 
     Shingles (not unigrams) are load-bearing: this corpus draws from a
@@ -98,20 +129,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     with p ≈ 0.987.
     """
     d = table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("toks"))
-    tokens = (
-        toks.filter(F.size("toks") >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(toks)-3),"
-                    " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
-                )
-            ).alias("token"),
-        )
-        .distinct()
-    )
+    tokens = _shingle_hashes(d)
 
     bands = _minhash_signature(tokens)
     a = bands.alias("a")
@@ -129,13 +147,13 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    # exact Jaccard verification within candidates only
+    # exact Jaccard verification within candidates only (hashed sets)
     sizes = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
-    ta = tokens.select(F.col("doc_id").alias("doc_a"), "token")
-    tb = tokens.select(F.col("doc_id").alias("doc_b"), "token")
+    ta = tokens.select(F.col("doc_id").alias("doc_a"), "h")
+    tb = tokens.select(F.col("doc_id").alias("doc_b"), "h")
     inter = (
         cand.join(ta, "doc_a")
-        .join(tb, ["doc_b", "token"])
+        .join(tb, ["doc_b", "h"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
@@ -177,21 +195,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures, never documents — same posture as MinHash banding.
     """
     d = table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("toks"))
-    shingles = (
-        toks.filter(F.size("toks") >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(toks)-3),"
-                    " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
-                )
-            ).alias("token"),
-        )
-        .distinct()
-        .withColumn("h", F.xxhash64("token"))
-    )
+    shingles = _shingle_hashes(d)
     # bit-majority via PACKED lane aggregation: instead of 64 separate
     # vote-sum columns (512 B/row of aggregation state), pack 4 per-bit
     # set-counts into each bigint as 16-bit lanes → 16 sum columns +
@@ -261,4 +265,72 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= 8)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+      FROM toks, UNNEST(generate_series(1, len(t)-2)) AS u(i)
+      WHERE len(t) >= 3
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, CAST(n_inter AS BIGINT) AS n_inter,
+           round(n_inter / (sa.n + sb.n - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram (word 3-gram) Jaccard near-dup detection — the
+    exact reference the MinHash pipeline (#59) approximates, via an
+    inverted-index equi join instead of banding: pairs sharing ≥1
+    shingle get their intersection counted directly, so every pair with
+    J ≥ 0.8 is found (pairs sharing zero shingles have J = 0 and cannot
+    qualify — the O(n²) pair space never materializes).
+
+    Scale: the join shuffles 8-byte shingle hashes (see
+    ``_shingle_hashes``), and per-shingle fan-out is bounded by document
+    frequency — hot "stop shingles" are the skew risk at 100 TB
+    (AQE skew-join split handles moderate cases; aggressive corpora
+    additionally drop shingles above a document-frequency cap before the
+    join, which only ever removes candidates whose Jaccard is dominated
+    by boilerplate). Threshold as in #59: J ≥ 0.8, planted near-dups sit
+    at J ≥ 0.9.
+
+    The Jaccard division is the same IEEE double op in both engines
+    (bigint counts → double divide → round 6), so the float column is
+    hash-stable.
+    """
+    d = table(spark, sf_dir, "documents")
+    tokens = _shingle_hashes(d)
+
+    sizes = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    ta = tokens.select(F.col("doc_id").alias("doc_a"), "h")
+    tb = tokens.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (
+        ta.join(tb, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("nb"))
+    jac = F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b", "n_inter", F.round(jac, 6).alias("jaccard"))
     )

@@ -148,6 +148,7 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "text_token_bpe_count",
     "dedup_embedding_cosine",
     "dedup_embedding_ann",
+    "dedup_ngram_jaccard",
     "udtf_python_lateral",
     "q_shipping_priority",
     "q_local_supplier_volume",

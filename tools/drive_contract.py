@@ -35,8 +35,10 @@ con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
 
+only = __import__("os").environ.get("PARITY_ONLY")
+names = sorted(qs) if not only else [n for n in sorted(qs) if n in set(only.split(","))]
 ok = bad = 0
-for name in sorted(qs):
+for name in names:
     spdf = qs[name](spark, sf).toPandas()
     if name not in osql:
         print(f"  {name}: rows-only, {len(spdf)} rows"); continue
