@@ -335,3 +335,40 @@ def pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_decile", *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds]
     )
+
+
+@query(
+    "agg_approx_quantile",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           TRUE AS approx_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile family: exact p50/p95 per event type (linear
+    interpolation — identical definition and IEEE ops in both engines,
+    verified bit-equal before rounding) alongside the at-scale sketch.
+
+    The hashed columns are the exact percentiles; ``approx_ok`` asserts
+    ``approx_percentile`` (the 100 TB path — a mergeable KLL-style
+    sketch, no global sort) lands within 1% of the exact median, the
+    same pattern ``agg_approx_distinct`` uses to make a sketch query
+    value-checkable."""
+    ev = table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+        F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("ap50"),
+    )
+    return agg.select(
+        "event_type",
+        "p50",
+        "p95",
+        (F.abs(F.col("ap50") - F.col("p50")) <= 0.01 * F.abs(F.col("p50"))).alias(
+            "approx_ok"
+        ),
+    )

@@ -153,3 +153,153 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return with_payload.mapInPandas(decode_batches, schema)
+
+
+def encode_ppm_stream(frames: list[bytes]) -> bytes:
+    """Concatenated binary-PPM stream — the real container ffmpeg's
+    ``image2pipe``/``ppm_pipe`` emits: back-to-back P6 images."""
+    return b"".join(frames)
+
+
+def iter_ppm_frames(payload: bytes):
+    """Parse a concatenated-P6 stream by walking the real headers."""
+    off = 0
+    while off < len(payload):
+        if payload[off : off + 2] != b"P6":
+            raise ValueError(f"bad frame magic at {off}: {payload[off:off+2]!r}")
+        # header: "P6\n<w> <h>\n<maxval>\n" — three whitespace-separated
+        # ints after the magic, then one whitespace byte, then raw RGB
+        fields, pos = [], off + 2
+        while len(fields) < 3:
+            while payload[pos : pos + 1].isspace():
+                pos += 1
+            start = pos
+            while not payload[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+        pos += 1  # the single whitespace after maxval
+        w, h, _maxval = fields
+        end = pos + w * h * 3
+        yield w, h, payload[pos:end]
+        off = end
+
+
+@query("multimodal_frame_sample", oracle=None)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling (rows-only: payload synthesis and the
+    Arrow UDF are not SQL-expressible): each doc carries a multi-frame
+    concatenated-PPM stream (ffmpeg's image2pipe container), and an
+    Arrow-batched mapInPandas walks the real frame headers, keeps every
+    k-th frame (k=3), and emits per-frame features — the
+    decode → sample → featurize shape a video training pipeline runs.
+
+    Scale: map-only (no shuffle at all); payloads stay columnar binary;
+    one output row per SAMPLED frame bounds the blow-up to n_frames/k.
+    Swapping the PPM walker for an mp4 demuxer changes only the two
+    pure-Python codec helpers."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    every_k = 3
+
+    def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = {k: [] for k in ("doc_id", "frame_no", "width", "height", "mean_r")}
+        for pdf in batches:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n_frames = 2 + int(doc_id) % 7
+                w, h = 4 + int(doc_id) % 5, 3 + int(doc_id) % 4
+                tb = text.encode("utf-8") or b"\x00"
+                need = w * h * 3
+                frames = []
+                for f in range(n_frames):
+                    px = bytes(
+                        tb[(i + f) % len(tb)] for i in range(need)
+                    )  # frame f = text bytes rolled by f
+                    frames.append(encode_ppm(w, h, px))
+                stream = encode_ppm_stream(frames)
+                for fno, (fw, fh, rgb) in enumerate(iter_ppm_frames(stream)):
+                    if fno % every_k:
+                        continue
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_no"].append(fno)
+                    out["width"].append(fw)
+                    out["height"].append(fh)
+                    out["mean_r"].append(round(sum(rgb[0::3]) / (fw * fh), 6))
+        yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        sample_batches,
+        "doc_id bigint, frame_no int, width int, height int, mean_r double",
+    )
+
+
+def encode_wav(sample_rate: int, pcm16: bytes) -> bytes:
+    """Well-formed RIFF/WAVE container: RIFF header + fmt  chunk
+    (PCM, mono, 16-bit) + data chunk."""
+    byte_rate = sample_rate * 2
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate, byte_rate, 2, 16)
+    data = struct.pack("<4sI", b"data", len(pcm16)) + pcm16
+    riff = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(data), b"WAVE")
+    return riff + fmt + data
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Parse a real RIFF/WAVE header: (sample_rate, channels,
+    bits_per_sample, pcm bytes). Pure Python, chunk-walking."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, channels, bits, pcm = 12, None, None, None, b""
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            _, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + size + (size & 1)
+    if rate is None:
+        raise ValueError("missing fmt chunk")
+    return rate, channels, bits, pcm
+
+
+@query("multimodal_audio_features", oracle=None)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction (rows-only: payload synthesis and the
+    Arrow UDF are not SQL-expressible): each doc carries a REAL RIFF/WAV
+    payload (deterministic 16-bit PCM synthesized from doc features); an
+    Arrow-batched mapInPandas walks the actual chunk structure and emits
+    duration / RMS / peak — the decode-and-featurize shape an audio
+    training pipeline runs ahead of filtering.
+
+    Scale: map-only; fixed-size features per clip regardless of payload
+    size; the chunk walker swaps for libsndfile/ffmpeg without touching
+    the plan."""
+    import numpy as np
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def audio_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = {k: [] for k in ("doc_id", "sample_rate", "n_samples", "duration_ms", "rms", "peak")}
+        for pdf in batches:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                rate = 8000
+                n = 200 + (len(text) * 7) % 800
+                # deterministic PCM: quantized sine whose frequency and
+                # amplitude derive from doc features
+                freq = 100 + int(doc_id) % 400
+                amp = 5000 + (int(doc_id) * 37) % 20000
+                t = np.arange(n, dtype=np.float64) / rate
+                pcm = (amp * np.sin(2 * np.pi * freq * t)).astype("<i2")
+                payload = encode_wav(rate, pcm.tobytes())
+                prate, _ch, _bits, raw = decode_wav(payload)
+                sig = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+                out["doc_id"].append(int(doc_id))
+                out["sample_rate"].append(prate)
+                out["n_samples"].append(len(sig))
+                out["duration_ms"].append(round(1000.0 * len(sig) / prate, 3))
+                out["rms"].append(round(float(np.sqrt((sig * sig).mean())), 3))
+                out["peak"].append(int(np.abs(sig).max()))
+        yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        audio_batches,
+        "doc_id bigint, sample_rate int, n_samples int, duration_ms double, rms double, peak int",
+    )

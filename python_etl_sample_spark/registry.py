@@ -149,6 +149,7 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "dedup_embedding_cosine",
     "dedup_embedding_ann",
     "dedup_ngram_jaccard",
+    "agg_approx_quantile",
     "udtf_python_lateral",
     "q_shipping_priority",
     "q_local_supplier_volume",
@@ -161,6 +162,8 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "sim_ann_ivf",
     "dedup_simhash",
     "multimodal_decode",
+    "multimodal_frame_sample",
+    "multimodal_audio_features",
     "stream_demo_tumbling",
 )
 
