@@ -105,6 +105,43 @@ def demo_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(dedup.select("user_id", "event_type"), "append")
 
 
+def demo_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#57 under readStream with a CUSTOM stateful operator:
+    ``applyInPandasWithState`` keeps (n_events, value_sum) per user in
+    the state store and emits each user's totals when the replay drains.
+
+    This is the arbitrary-state API a production pipeline uses when the
+    built-in aggregations can't express the per-key logic (counters
+    here, but the same shape carries sessionizers, CDC mergers, model
+    feature accumulators). State is bounded by #users; at 100 TB the
+    watermark evicts idle keys. Equality with the batch answer
+    (``stream_stateful_counts`` collapsed to final per-user totals) is
+    asserted in tests."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = _events_stream(spark, sf_dir)
+
+    def update_user(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "events_total": [n], "value_total": [round(total, 6)]}
+        )
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update_user,
+        outputStructType="user_id bigint, events_total bigint, value_total double",
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(out, "update")
+
+
 @query("stream_demo_tumbling", oracle=None)
 def stream_demo_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#52-demo declared rows-only: the streaming tumbling aggregation
@@ -116,4 +153,5 @@ __all__ = [
     "demo_tumbling",
     "demo_session",
     "demo_dedup_watermark",
+    "demo_stateful_running",
 ]

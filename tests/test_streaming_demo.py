@@ -40,3 +40,27 @@ def test_streaming_dedup_matches_batch_keys(spark):
     assert _sorted_rows(stream_out, ["user_id", "event_type"]) == _sorted_rows(
         batch_out, ["user_id", "event_type"]
     )
+
+
+def test_streaming_stateful_totals_equal_batch(spark):
+    """applyInPandasWithState per-user totals vs the batch running
+    window collapsed to each user's final row. Floats compare at 6 dp
+    (stream accumulates float64 in arrival order; batch uses the
+    decimal-exact sum)."""
+    from pyspark.sql import functions as F
+
+    stream_out = demo.demo_stateful_running(spark, SF_DIR)
+    batch = REGISTRY["stream_stateful_counts"].fn(spark, SF_DIR)
+    batch_totals = batch.groupBy("user_id").agg(
+        F.max("events_so_far").alias("events_total"),
+        F.round(F.max("value_so_far"), 6).alias("value_total"),
+    )
+    # one state row per user; a user may be emitted once per microbatch,
+    # so keep the final (max-count) emission
+    final = stream_out.groupBy("user_id").agg(
+        F.max("events_total").alias("events_total"),
+        F.max("value_total").alias("value_total"),
+    )
+    s = _sorted_rows(final, ["user_id", "events_total", "value_total"])
+    b = _sorted_rows(batch_totals, ["user_id", "events_total", "value_total"])
+    assert s == b
