@@ -64,7 +64,7 @@ def _shingle_hashes(d: DataFrame) -> DataFrame:
     which are deterministic and ~n²/2⁶⁴ rare).
     """
     toks = d.select("doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("toks"))
-    return (
+    out = (
         toks.filter(F.size("toks") >= 3)
         .select(
             "doc_id",
@@ -80,6 +80,13 @@ def _shingle_hashes(d: DataFrame) -> DataFrame:
         .select("doc_id", F.xxhash64("tok").alias("h"))
         .distinct()
     )
+    # every consumer (minhash: signature + both Jaccard sides; n-gram:
+    # both join sides + sizes) re-derives this frame, and the slightly
+    # different downstream projections defeat ReuseExchange (verified:
+    # 0 ReusedExchange, 6 parquet scans in the minhash plan). Persist is
+    # the standard multi-consumer fix — ~16 B/shingle, ContextCleaner
+    # unpersists once the query's plan is dropped.
+    return out.persist()
 
 
 def _minhash_signature(tokens_df: DataFrame) -> DataFrame:
@@ -131,7 +138,9 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     tokens = _shingle_hashes(d)
 
-    bands = _minhash_signature(tokens)
+    # both self-join sides re-derive the 32-min signature agg — persist
+    # the tiny (doc_id, band, band_hash) frame (see _shingle_hashes)
+    bands = _minhash_signature(tokens).persist()
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -223,7 +232,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             count * 2 > F.col("n_sh"), F.shiftleft(F.lit(1).cast("bigint"), i)
         ).otherwise(F.lit(0).cast("bigint"))
         simhash = term if simhash is None else simhash + term
-    sigs = votes.select("doc_id", simhash.alias("simhash"))
+    # both sides of the chunk self-join re-derive the signature agg
+    # (same ReuseExchange defeat as _shingle_hashes) — persist the tiny
+    # (doc_id, simhash) frame, 16 B/doc
+    sigs = votes.select("doc_id", simhash.alias("simhash")).persist()
 
     chunks = sigs.select(
         "doc_id",
