@@ -79,10 +79,22 @@ def _block_grid(q: DataFrame, c: DataFrame, nb: int = _NB) -> DataFrame:
     """Every (q-block, c-block) pair as one row, via equi-join expansion:
     the q side is exploded across the nb c-block ids and equi-joined —
     a plain shuffle/broadcast hash join on ``cb``, never a cartesian."""
-    qx = _block_rows(q, "q", nb).withColumn(
-        "cb", F.explode(F.sequence(F.lit(0), F.lit(nb - 1)))
-    )
-    grid = qx.join(_block_rows(c, "c", nb), "cb")
+    if q is c:
+        # self-grid (topk, thresholded dedup): pack ONCE and rename —
+        # the packed frame is tiny (nb rows) and both join sides read it
+        # from the block-manager cache instead of re-running the
+        # scan+groupBy (ReuseExchange can't dedupe the two sides: their
+        # aggregate aliases differ)
+        base = _block_rows(q, "q", nb).persist()
+        qx = base
+        cx = base.select(
+            F.col("qb").alias("cb"), F.col("qrows").alias("crows")
+        )
+    else:
+        qx = _block_rows(q, "q", nb)
+        cx = _block_rows(c, "c", nb)
+    qx = qx.withColumn("cb", F.explode(F.sequence(F.lit(0), F.lit(nb - 1))))
+    grid = qx.join(cx, "cb")
     # EXPLICIT repartition (not left to AQE): the grid is tiny in bytes
     # (nb² packed rows) but huge in compute (one GEMM per row), so AQE's
     # byte-based coalescing folds it onto ONE task and serializes every
@@ -506,7 +518,11 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         bit = (_dot(vec, plane) > 0).cast("int")
         term = F.shiftleft(bit, k)
         cell = term if cell is None else cell + term
-    cells = e.select(F.col("vec_id"), vec.alias("vec"), cell.cast("int").alias("cell"))
+    # consumed by the stats kernel AND both packed join sides — persist
+    # (same ReuseExchange defeat as the dedup module; ~0.5 KB/vector)
+    cells = e.select(
+        F.col("vec_id"), vec.alias("vec"), cell.cast("int").alias("cell")
+    ).persist()
 
     def cell_stats(pdf: pd.DataFrame) -> pd.DataFrame:
         mat = np.stack(pdf["vec"].to_numpy())
@@ -553,7 +569,7 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.collect_list(
             F.struct(F.col("vec_id").alias("id"), F.col("vec").alias("vec"))
         ).alias("rows")
-    )
+    ).persist()  # read by both grid join sides
     qb = packed.select(F.col("cell").alias("qcell"), F.col("rows").alias("qrows"))
     cb2 = packed.select(F.col("cell").alias("ccell"), F.col("rows").alias("crows"))
     grid = (

@@ -132,3 +132,21 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan, "bucketed join still shuffles"
+
+
+def test_gemm_grids_pin_their_parallelism(spark):
+    """The packed GEMM grids are tiny in bytes but heavy in compute, so
+    AQE's byte-based coalescing would fold them onto one task (measured
+    3-6x slowdowns). A user-specified repartition count (REPARTITION_BY_NUM,
+    exempt from coalescing) must stay in every grid consumer's plan."""
+    from python_etl_sample_spark.operators import similarity
+
+    sf = "/root/testdata/sf0.001"
+    for fn in (
+        similarity.sim_cosine_topk,
+        similarity.sim_knn_per_query,
+        similarity.dedup_embedding_cosine,
+        similarity.dedup_embedding_ann,
+    ):
+        plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        assert "REPARTITION_BY_NUM" in plan, f"{fn.__name__} lost its AQE-proof repartition"
