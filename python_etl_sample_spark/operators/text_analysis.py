@@ -278,3 +278,62 @@ def text_token_bpe_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(r"regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)")
         ).alias("n_bpe_tokens"),
     )
+
+
+@query(
+    "text_pack_sequences",
+    oracle="""
+    WITH sized AS (
+      SELECT lang, doc_id,
+             len(string_split_regex(lower(text), '\\s+')) AS n_tokens
+      FROM documents
+    ), placed AS (
+      SELECT lang, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS start_offset
+      FROM sized
+    )
+    SELECT lang, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(FLOOR(start_offset / 256) AS BIGINT) AS pack_id,
+           CAST(start_offset % 256 AS BIGINT) AS pack_offset
+    FROM placed
+    """,
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the trainer-side step after dedup/filtering:
+    concatenate documents per language into fixed-budget (256-token)
+    training sequences and record where each doc lands (pack id +
+    offset). Streaming-offset packing: docs in deterministic doc_id
+    order, each doc's pack is where its first token falls; no doc is
+    reordered (the whitespace token count stands in for the tokenizer's
+    count — swap `_TOKENS`-style BPE counting in without changing the
+    plan).
+
+    Scale: one shuffle on the partition key (lang) + an ordered window
+    — identical state shape to the running windows (#35); the pack
+    assignment is pure expression work. At 100 TB the partition key is
+    (lang, shard) so no single ordered partition grows unbounded.
+    """
+    d = table(spark, sf_dir, "documents")
+    budget = 256
+    sized = d.select(
+        "lang",
+        "doc_id",
+        F.size(F.split(F.lower(F.col("text")), r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = sized.withColumn(
+        "start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return placed.select(
+        "lang",
+        "doc_id",
+        "n_tokens",
+        F.floor(F.col("start_offset") / budget).alias("pack_id"),
+        (F.col("start_offset") % budget).alias("pack_offset"),
+    )

@@ -150,6 +150,7 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "dedup_embedding_ann",
     "dedup_ngram_jaccard",
     "agg_approx_quantile",
+    "text_pack_sequences",
     "udtf_python_lateral",
     "q_shipping_priority",
     "q_local_supplier_volume",
