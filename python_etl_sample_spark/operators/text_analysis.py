@@ -337,3 +337,54 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("start_offset") / budget).alias("pack_id"),
         (F.col("start_offset") % budget).alias("pack_offset"),
     )
+
+
+@query(
+    "text_contamination_check",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+      FROM toks, UNNEST(generate_series(1, len(t)-2)) AS u(i)
+      WHERE len(t) >= 3
+    ), tagged AS (
+      SELECT doc_id, sh,
+             (doc_id % 1000003) * 31 % 100 >= 90 AS is_eval
+      FROM sh
+    )
+    SELECT tr.doc_id AS train_doc, ev.doc_id AS eval_doc,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM tagged tr JOIN tagged ev ON tr.sh = ev.sh
+    WHERE NOT tr.is_eval AND ev.is_eval
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 8
+    """,
+)
+def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination sweep — the training-data hygiene step
+    run before every release: flag train-split documents sharing ≥8
+    word-3-gram shingles with any eval-split document (the eval split is
+    the ``sample_split`` hash rule's 'test' bucket, so the split is
+    reproducible at any parallelism, in any engine).
+
+    Same inverted-index shape as ``dedup_ngram_jaccard`` but asymmetric:
+    the join shuffles 8-byte shingle hashes tagged train/eval, and only
+    cross-split shingle matches aggregate — contaminated pairs surface
+    with their overlap count, ready for a drop-or-audit decision. At
+    100 TB the eval side is tiny (benchmarks), so it broadcasts and the
+    sweep is map-side."""
+    from python_etl_sample_spark.operators.dedup import _shingle_hashes
+
+    d = table(spark, sf_dir, "documents")
+    sh = _shingle_hashes(d).withColumn(
+        "is_eval", (F.col("doc_id") % 1000003) * 31 % 100 >= 90
+    )
+    tr = sh.filter(~F.col("is_eval")).select(F.col("doc_id").alias("train_doc"), "h")
+    ev = sh.filter(F.col("is_eval")).select(F.col("doc_id").alias("eval_doc"), "h")
+    return (
+        tr.join(ev, "h")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 8)
+    )

@@ -151,6 +151,7 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "agg_approx_quantile",
     "text_pack_sequences",
+    "text_contamination_check",
     "udtf_python_lateral",
     "q_shipping_priority",
     "q_local_supplier_volume",
