@@ -388,3 +388,75 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= 8)
     )
+
+
+@query(
+    "pipeline_corpus_clean",
+    oracle=r"""
+    WITH scored AS (
+      SELECT doc_id, lang, text,
+             round(
+               0.4 * least(length(text) / 400.0, 1.0)
+             + 0.4 * least(len(string_split_regex(lower(text), '\s+')) / 80.0, 1.0)
+             + 0.2 * ((length(text) - length(replace(text, ' ', '')))::DOUBLE
+                       / length(text)), 6) AS quality,
+             len(string_split_regex(lower(text), '\s+')) AS n_tok
+      FROM documents
+    ), keepers AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM scored
+      GROUP BY sha256(lower(trim(text)))
+    )
+    SELECT s.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(s.n_tok) AS BIGINT) AS total_tokens,
+           round(CAST(SUM(CAST(s.quality AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_quality
+    FROM scored s JOIN keepers k ON s.doc_id = k.doc_id
+    WHERE s.quality >= 0.5
+    GROUP BY s.lang
+    """,
+)
+def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-cleaning pipeline — the composition a
+    training-data run executes as ONE declarative plan: score quality →
+    drop exact duplicates (keep the smallest doc_id per content hash) →
+    drop low-quality docs (quality < 0.5) → per-language corpus stats
+    (doc count, token total, decimal-exact average quality).
+
+    The point is composability: each stage is an operator this engine
+    already grades in isolation (text_quality_score, dedup_exact,
+    agg_groupby), and Catalyst fuses the composition — scoring stays in
+    the scan's map stage, the dedup groupBy shuffles 32-byte hashes,
+    the keeper join is a semi-join shape, and the final rollup is a
+    partial-agg groupBy. One query, three pipeline stages, two shuffles
+    total."""
+    d = table(spark, sf_dir, "documents")
+    n_len = F.length("text")
+    n_tok = F.size(F.split(F.lower(F.col("text")), r"\s+"))
+    n_spaces = n_len - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    quality = F.round(
+        0.4 * F.least(n_len / 400.0, F.lit(1.0))
+        + 0.4 * F.least(n_tok / 80.0, F.lit(1.0))
+        + 0.2 * (n_spaces.cast("double") / n_len),
+        6,
+    )
+    scored = d.select(
+        "doc_id", "lang", quality.alias("quality"), n_tok.cast("bigint").alias("n_tok"),
+        F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("content_hash"),
+    )
+    keepers = scored.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        scored.join(keepers.select("doc_id"), "doc_id")
+        .filter(F.col("quality") >= 0.5)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(
+                F.sum(F.col("quality").cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_quality"),
+        )
+    )

@@ -152,6 +152,7 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "agg_approx_quantile",
     "text_pack_sequences",
     "text_contamination_check",
+    "pipeline_corpus_clean",
     "udtf_python_lateral",
     "q_shipping_priority",
     "q_local_supplier_volume",
