@@ -263,3 +263,55 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_lines"))
         .select("l_orderkey", "n_lines", "o_totalprice")
     )
+
+
+@query(
+    "ts_gap_fill",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT (CAST(floor(epoch(min(ts))) AS BIGINT) // 3600) AS h0,
+             (CAST(floor(epoch(max(ts))) AS BIGINT) // 3600) AS h1
+      FROM events
+    ), grid AS (
+      SELECT t.event_type, gs.hr
+      FROM (SELECT DISTINCT event_type FROM events) t,
+           bounds, UNNEST(generate_series(bounds.h0, bounds.h1)) AS gs(hr)
+    )
+    SELECT g.event_type, g.hr, CAST(COALESCE(h.n, 0) AS BIGINT) AS n
+    FROM grid g LEFT JOIN hourly h
+      ON g.event_type = h.event_type AND g.hr = h.hr
+    """,
+)
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill — the hypertable-style densification every
+    monitoring/feature pipeline needs: hourly counts per event type with
+    MISSING hours materialized as zero rows, so downstream windows and
+    joins see a complete grid.
+
+    Shape: one partial-agg groupBy for the observed hours; the dense
+    hour axis comes from ``sequence()`` over the global [min, max] hour
+    (a 1-row broadcast — never a big-side cross product), exploded per
+    event type; a left join zero-fills. At 100 TB the grid is
+    #types × #hours (tiny by construction) while the fact side
+    aggregates before joining — the join touches pre-aggregated rows
+    only. Hours are exchanged as epoch-hour bigints to keep the grid
+    arithmetic engine-exact."""
+    ev = table(spark, sf_dir, "events")
+    hr = F.expr("unix_timestamp(cast(ts as timestamp)) div 3600")
+    hourly = ev.groupBy(F.col("event_type"), hr.alias("hr")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bounds = ev.agg(
+        F.expr("unix_timestamp(cast(min(ts) as timestamp)) div 3600").alias("h0"),
+        F.expr("unix_timestamp(cast(max(ts) as timestamp)) div 3600").alias("h1"),
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.join(F.broadcast(bounds)).select(
+        "event_type", F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("hr")
+    )
+    return grid.join(hourly, ["event_type", "hr"], "left").select(
+        "event_type", "hr", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )

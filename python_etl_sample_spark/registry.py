@@ -153,6 +153,7 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "text_pack_sequences",
     "text_contamination_check",
     "pipeline_corpus_clean",
+    "ts_gap_fill",
     "udtf_python_lateral",
     "q_shipping_priority",
     "q_local_supplier_volume",
