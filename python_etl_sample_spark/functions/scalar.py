@@ -221,3 +221,34 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(k.bitwiseAND(1) == 1, 1).otherwise(0)).cast("bigint").alias("n_odd"),
         F.max(F.shiftright(k, 8)).alias("max_shifted"),
     )
+
+
+@query(
+    "fn_regex",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_numbers,
+           regexp_replace(text, '[0-9]+', '#', 'g') AS masked,
+           regexp_matches(text, '[.!?]$') AS ends_sentence,
+           CAST(len(regexp_extract_all(lower(text), '[aeiou]{2}')) AS INT) AS n_vowel_pairs
+    FROM documents
+    """,
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#46b regexp family: extract / extract-all-count / replace /
+    match-test over document text. Patterns stay in the ASCII subset
+    where Java regex (Spark) and RE2-ish (DuckDB) agree; regexp_replace
+    is global in both engines (DuckDB needs the explicit 'g' flag).
+    All JVM codegen — the scan's map stage, no shuffle."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract(F.col("text"), r"([A-Za-z]+)", 1).alias("first_word"),
+        F.size(F.expr(r"regexp_extract_all(text, '[0-9]+', 0)")).alias("n_numbers"),
+        F.regexp_replace(F.col("text"), r"[0-9]+", "#").alias("masked"),
+        F.col("text").rlike(r"[.!?]$").alias("ends_sentence"),
+        F.size(F.expr(r"regexp_extract_all(lower(text), '[aeiou]{2}', 0)")).alias(
+            "n_vowel_pairs"
+        ),
+    )

@@ -142,6 +142,7 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "join_null_safe",
     "win_percent_cume",
     "fn_bitwise",
+    "fn_regex",
     "text_lang_id",
     "text_quality_score",
     "text_fingerprint",
