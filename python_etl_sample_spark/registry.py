@@ -170,6 +170,7 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "multimodal_frame_sample",
     "multimodal_audio_features",
     "stream_demo_tumbling",
+    "stream_demo_stateful",
 )
 
 

@@ -149,6 +149,15 @@ def stream_demo_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return demo_tumbling(spark, sf_dir)
 
 
+@query("stream_demo_stateful", oracle=None)
+def stream_demo_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#57-demo declared rows-only: the applyInPandasWithState custom
+    stateful operator under a real readStream (its equality to the
+    batch running-window totals is asserted in tests; value_total is
+    rounded to 6 dp, far above float accumulation-order noise)."""
+    return demo_stateful_running(spark, sf_dir)
+
+
 __all__ = [
     "demo_tumbling",
     "demo_session",

@@ -72,7 +72,7 @@ def test_semi_anti_stay_joins(spark):
     sorted(
         n
         for n, spec in REGISTRY.items()
-        if n not in {"stream_demo_tumbling"}  # streaming sink, not a plan check
+        if n not in {"stream_demo_tumbling", "stream_demo_stateful"}  # streaming sinks, not plan checks
     ),
 )
 def test_no_cartesian_products(spark, name):
