@@ -157,3 +157,23 @@ def etl_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return day.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "source_text",
+    oracle="SELECT n_name AS value FROM nation",
+)
+def source_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#3c line-oriented text ingest round-trip — the fifth connector
+    format (raw-corpus lakes land as one-record-per-line text files
+    before any schema exists; the reader yields a single ``value``
+    column to parse downstream)."""
+    path = stage_once(
+        "source_text",
+        sf_dir,
+        lambda p: table(spark, sf_dir, "nation")
+        .select(F.col("n_name").alias("value"))
+        .write.mode("overwrite")
+        .text(p),
+    )
+    return spark.read.text(path)

@@ -139,6 +139,7 @@ SURVEY_ORDER: tuple[str, ...] = (
 EXTENSION_ORDER: tuple[str, ...] = (
     # hash-checked extensions first
     "source_orc",
+    "source_text",
     "join_null_safe",
     "win_percent_cume",
     "fn_bitwise",
