@@ -43,6 +43,30 @@ def test_oracle_marks_match_registry():
         )
 
 
+def test_driver_order_is_permutation_of_canonical():
+    """DRIVER_ORDER rotates evidence-poor queries first for the driver's
+    50-entry CORRECTNESS artifact; it must stay a permutation of the
+    canonical inventory so rotation never drops coverage."""
+    from python_etl_sample_spark.registry import DRIVER_ORDER, canonical_names
+
+    assert sorted(DRIVER_ORDER) == sorted(canonical_names())
+    assert len(set(DRIVER_ORDER)) == len(DRIVER_ORDER)
+
+
+def test_driver_order_front_loads_unrecorded_queries():
+    """The first 50 driver-order names must include every query with no
+    row in CORRECTNESS_r01 ∪ r02 (the whole point of the rotation)."""
+    import json
+
+    from python_etl_sample_spark.registry import DRIVER_ORDER, canonical_names
+
+    recorded: set[str] = set()
+    for path in ("/root/repo/CORRECTNESS_r01.json", "/root/repo/CORRECTNESS_r02.json"):
+        recorded |= set(json.load(open(path)))
+    never = set(canonical_names()) - recorded
+    assert never <= set(DRIVER_ORDER[:50]), sorted(never - set(DRIVER_ORDER[:50]))
+
+
 def test_totals_line():
     text = Path("/root/repo/COVERAGE.md").read_text()
     n_total = len(REGISTRY)
