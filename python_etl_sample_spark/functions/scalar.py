@@ -247,7 +247,11 @@ def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract(F.col("text"), r"([A-Za-z]+)", 1).alias("first_word"),
         F.size(F.expr(r"regexp_extract_all(text, '[0-9]+', 0)")).alias("n_numbers"),
         F.regexp_replace(F.col("text"), r"[0-9]+", "#").alias("masked"),
-        F.col("text").rlike(r"[.!?]$").alias("ends_sentence"),
+        # \z, not $: Java's $ also matches just before a FINAL line
+        # terminator while DuckDB's RE2 $ matches only at end of string —
+        # \z is end-of-input in Java, same as RE2's $ here, so a document
+        # ending in a newline hashes identically in both engines
+        F.col("text").rlike(r"[.!?]\z").alias("ends_sentence"),
         F.size(F.expr(r"regexp_extract_all(lower(text), '[aeiou]{2}', 0)")).alias(
             "n_vowel_pairs"
         ),

@@ -120,9 +120,13 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     path for cardinality (no exact-distinct shuffle of the full key
     set). Hash-checked: the HLL sketch value itself is engine-specific,
     so the emitted columns are the exact count plus ``approx_ok`` =
-    "the sketch landed within 5× its configured 1% relative error" —
-    value-checkable in both engines while still exercising the sketch
-    (the raw sketch estimate stays out of the hashed output)."""
+    "the sketch landed within 25% of the exact count" — value-checkable
+    in both engines while still exercising the sketch (the raw sketch
+    estimate stays out of the hashed output). The margin is deliberately
+    wide (25× the configured 1% rsd): it still catches a broken sketch
+    (off by 2×, or zero) but no plausible accuracy drift across Spark
+    upgrades turns two individually-correct engines into a graded hash
+    mismatch (round-2 ADVICE)."""
     ev = table(spark, sf_dir, "events")
     agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
@@ -133,7 +137,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         (
             F.abs(F.col("approx_users") - F.col("n_users"))
-            <= 0.05 * F.col("n_users")
+            <= 0.25 * F.col("n_users")
         ).alias("approx_ok"),
     )
 
@@ -355,9 +359,13 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The hashed columns are the exact percentiles; ``approx_ok`` asserts
     ``approx_percentile`` (the 100 TB path — a mergeable KLL-style
-    sketch, no global sort) lands within 1% of the exact median, the
+    sketch, no global sort) lands within 10% of the exact median, the
     same pattern ``agg_approx_distinct`` uses to make a sketch query
-    value-checkable."""
+    value-checkable. The margin is wide on purpose: at accuracy 10000
+    the sketch is near-exact today, and the slack absorbs any
+    accuracy-parameter drift across Spark upgrades without turning two
+    individually-correct engines into a hash mismatch (round-2
+    ADVICE)."""
     ev = table(spark, sf_dir, "events")
     agg = ev.groupBy("event_type").agg(
         F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
@@ -368,7 +376,7 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "p50",
         "p95",
-        (F.abs(F.col("ap50") - F.col("p50")) <= 0.01 * F.abs(F.col("p50"))).alias(
+        (F.abs(F.col("ap50") - F.col("p50")) <= 0.10 * F.abs(F.col("p50"))).alias(
             "approx_ok"
         ),
     )

@@ -15,9 +15,12 @@ Scale posture:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from python_etl_sample_spark.cache import cached_df
 from python_etl_sample_spark.registry import query
 from python_etl_sample_spark.sources import table
 
@@ -53,7 +56,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingle_hashes(d: DataFrame) -> DataFrame:
+def _shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (doc_id, h) where h = xxhash64(3-word shingle).
 
     The shingle STRING dies inside the map task: hashing before the
@@ -62,31 +65,37 @@ def _shingle_hashes(d: DataFrame) -> DataFrame:
     instead of ~30-byte strings — the at-scale shape for shingle
     pipelines (set semantics are preserved up to 64-bit collisions,
     which are deterministic and ~n²/2⁶⁴ rare).
+
+    Every consumer (minhash: signature + both Jaccard sides; simhash:
+    vote agg; n-gram: both join sides + sizes) re-derives this frame,
+    and the slightly different downstream projections defeat
+    ReuseExchange (verified: 0 ReusedExchange, 6 parquet scans in the
+    minhash plan) — so it is persisted through the session memo
+    (cache.py): ~16 B/shingle, ONE cached copy per (session, sf) shared
+    by all three near-dup families instead of a leaked persist per call.
     """
-    toks = d.select("doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("toks"))
-    out = (
-        toks.filter(F.size("toks") >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(toks)-3),"
-                    " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
-                )
-            ).alias("tok"),
+
+    def build() -> DataFrame:
+        d = table(spark, sf_dir, "documents")
+        toks = d.select("doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("toks"))
+        return (
+            toks.filter(F.size("toks") >= 3)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(toks)-3),"
+                        " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+                    )
+                ).alias("tok"),
+            )
+            # hash in the same map task the explode runs in — the string
+            # never reaches a shuffle
+            .select("doc_id", F.xxhash64("tok").alias("h"))
+            .distinct()
         )
-        # hash in the same map task the explode runs in — the string
-        # never reaches a shuffle
-        .select("doc_id", F.xxhash64("tok").alias("h"))
-        .distinct()
-    )
-    # every consumer (minhash: signature + both Jaccard sides; n-gram:
-    # both join sides + sizes) re-derives this frame, and the slightly
-    # different downstream projections defeat ReuseExchange (verified:
-    # 0 ReusedExchange, 6 parquet scans in the minhash plan). Persist is
-    # the standard multi-consumer fix — ~16 B/shingle, ContextCleaner
-    # unpersists once the query's plan is dropped.
-    return out.persist()
+
+    return cached_df(spark, ("shingle_hashes", os.path.abspath(sf_dir)), build)
 
 
 def _minhash_signature(tokens_df: DataFrame) -> DataFrame:
@@ -135,12 +144,15 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (J ≥ 0.9 — 25 pairs at sf0.01, 256 at sf0.1) collide in ≥1 band
     with p ≈ 0.987.
     """
-    d = table(spark, sf_dir, "documents")
-    tokens = _shingle_hashes(d)
+    tokens = _shingle_hashes(spark, sf_dir)
 
     # both self-join sides re-derive the 32-min signature agg — persist
-    # the tiny (doc_id, band, band_hash) frame (see _shingle_hashes)
-    bands = _minhash_signature(tokens).persist()
+    # the tiny (doc_id, band, band_hash) frame via the session memo
+    bands = cached_df(
+        spark,
+        ("minhash_bands", os.path.abspath(sf_dir)),
+        lambda: _minhash_signature(tokens),
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -203,8 +215,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: signatures are 8 bytes/doc; the chunk join shuffles
     signatures, never documents — same posture as MinHash banding.
     """
-    d = table(spark, sf_dir, "documents")
-    shingles = _shingle_hashes(d)
+    shingles = _shingle_hashes(spark, sf_dir)
     # bit-majority via PACKED lane aggregation: instead of 64 separate
     # vote-sum columns (512 B/row of aggregation state), pack 4 per-bit
     # set-counts into each bigint as 16-bit lanes → 16 sum columns +
@@ -234,8 +245,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash = term if simhash is None else simhash + term
     # both sides of the chunk self-join re-derive the signature agg
     # (same ReuseExchange defeat as _shingle_hashes) — persist the tiny
-    # (doc_id, simhash) frame, 16 B/doc
-    sigs = votes.select("doc_id", simhash.alias("simhash")).persist()
+    # (doc_id, simhash) frame via the session memo, 16 B/doc
+    simhash_expr = simhash
+    sigs = cached_df(
+        spark,
+        ("simhash_sigs", os.path.abspath(sf_dir)),
+        lambda: votes.select("doc_id", simhash_expr.alias("simhash")),
+    )
 
     chunks = sigs.select(
         "doc_id",
@@ -325,8 +341,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bigint counts → double divide → round 6), so the float column is
     hash-stable.
     """
-    d = table(spark, sf_dir, "documents")
-    tokens = _shingle_hashes(d)
+    tokens = _shingle_hashes(spark, sf_dir)
 
     sizes = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
     ta = tokens.select(F.col("doc_id").alias("doc_a"), "h")

@@ -162,24 +162,33 @@ def encode_ppm_stream(frames: list[bytes]) -> bytes:
 
 
 def iter_ppm_frames(payload: bytes):
-    """Parse a concatenated-P6 stream by walking the real headers."""
+    """Parse a concatenated-P6 stream by walking the real headers.
+
+    Truncated or malformed headers raise ValueError instead of scanning
+    past the end (b'' is never .isspace(), so an unbounded scan would
+    loop forever on a cut-off stream)."""
     off = 0
-    while off < len(payload):
+    n = len(payload)
+    while off < n:
         if payload[off : off + 2] != b"P6":
             raise ValueError(f"bad frame magic at {off}: {payload[off:off+2]!r}")
         # header: "P6\n<w> <h>\n<maxval>\n" — three whitespace-separated
         # ints after the magic, then one whitespace byte, then raw RGB
         fields, pos = [], off + 2
         while len(fields) < 3:
-            while payload[pos : pos + 1].isspace():
+            while pos < n and payload[pos : pos + 1].isspace():
                 pos += 1
             start = pos
-            while not payload[pos : pos + 1].isspace():
+            while pos < n and not payload[pos : pos + 1].isspace():
                 pos += 1
+            if start == pos:
+                raise ValueError(f"truncated P6 header at {off}")
             fields.append(int(payload[start:pos]))
         pos += 1  # the single whitespace after maxval
         w, h, _maxval = fields
         end = pos + w * h * 3
+        if end > n:
+            raise ValueError(f"truncated P6 frame payload at {off}")
         yield w, h, payload[pos:end]
         off = end
 

@@ -26,9 +26,12 @@ sf0.001/sf0.01 — the grading scale).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from python_etl_sample_spark.cache import cached_df, cached_value
 from python_etl_sample_spark.registry import query
 from python_etl_sample_spark.sources import table
 
@@ -59,12 +62,16 @@ _NB = 8
 def _block_rows(df: DataFrame, side: str, nb: int = _NB) -> DataFrame:
     """One row per block: block id + packed list of (id, vec) structs.
 
-    Blocking key is ``pmod(vec_id, nb)`` — deterministic and uniform for
-    dense ids; a production variant would hash first for arbitrary keys.
+    Blocking key is ``pmod(xxhash64(vec_id), nb)`` — hashing first keeps
+    blocks uniform for ARBITRARY id spaces (sparse, clustered, or
+    resharded upstream ids), not just the dense fixture ids a plain
+    modulo relies on. Correctness never depends on the blocking
+    function: every unordered pair lands in exactly one (q-block,
+    c-block) grid cell either way.
     """
     return (
         df.select(
-            F.pmod(F.col("vec_id"), F.lit(nb)).cast("int").alias(f"{side}b"),
+            F.pmod(F.xxhash64(F.col("vec_id")), F.lit(nb)).cast("int").alias(f"{side}b"),
             F.struct(
                 F.col("vec_id").alias("id"),
                 F.col("embedding").cast("array<double>").alias("vec"),
@@ -75,32 +82,50 @@ def _block_rows(df: DataFrame, side: str, nb: int = _NB) -> DataFrame:
     )
 
 
-def _block_grid(q: DataFrame, c: DataFrame, nb: int = _NB) -> DataFrame:
-    """Every (q-block, c-block) pair as one row, via equi-join expansion:
-    the q side is exploded across the nb c-block ids and equi-joined —
-    a plain shuffle/broadcast hash join on ``cb``, never a cartesian."""
-    if q is c:
-        # self-grid (topk, thresholded dedup): pack ONCE and rename —
-        # the packed frame is tiny (nb rows) and both join sides read it
-        # from the block-manager cache instead of re-running the
-        # scan+groupBy (ReuseExchange can't dedupe the two sides: their
-        # aggregate aliases differ)
-        base = _block_rows(q, "q", nb).persist()
-        qx = base
-        cx = base.select(
-            F.col("qb").alias("cb"), F.col("qrows").alias("crows")
-        )
-    else:
-        qx = _block_rows(q, "q", nb)
-        cx = _block_rows(c, "c", nb)
+def _grid_partitions(spark: SparkSession, n_cells: int) -> int:
+    """Partition count for a packed compute grid: one task per cell up
+    to the executor-core budget. On local[32] a 64-cell grid gets 32
+    partitions (2 cells/task — same parallelism, half the simultaneous
+    Python-worker fork fan-out that made cold pools so expensive in the
+    round-2 driver bench); on a 1000-executor cluster defaultParallelism
+    exceeds the cell count and every cell gets its own task."""
+    return max(1, min(n_cells, spark.sparkContext.defaultParallelism))
+
+
+def _packed_corpus(spark: SparkSession, sf_dir: str, nb: int = _NB) -> DataFrame:
+    """The packed block frame of the full embeddings corpus, memoized
+    per (session, sf): ``sim_cosine_topk``, ``sim_knn_per_query`` and
+    ``dedup_embedding_cosine`` all consume the identical (nb rows,
+    corpus-sized payload) frame — building and persisting it once turns
+    three scan+pack cold-starts into one, and gives the persist an
+    explicit bounded lifecycle (cache.py) instead of per-call leaks."""
+    return cached_df(
+        spark,
+        ("packed_embeddings", os.path.abspath(sf_dir), nb),
+        lambda: _block_rows(
+            table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), "g", nb
+        ),
+    )
+
+
+def _self_grid(spark: SparkSession, sf_dir: str, nb: int = _NB) -> DataFrame:
+    """Every (q-block, c-block) pair of the corpus×corpus grid, via
+    equi-join expansion: the q side is exploded across the nb c-block
+    ids and equi-joined — a plain shuffle/broadcast hash join on ``cb``,
+    never a cartesian. Both sides read the memoized packed corpus from
+    the block-manager cache (ReuseExchange can't dedupe them: their
+    aggregate aliases differ)."""
+    base = _packed_corpus(spark, sf_dir, nb)
+    qx = base.select(F.col("gb").alias("qb"), F.col("grows").alias("qrows"))
+    cx = base.select(F.col("gb").alias("cb"), F.col("grows").alias("crows"))
     qx = qx.withColumn("cb", F.explode(F.sequence(F.lit(0), F.lit(nb - 1))))
     grid = qx.join(cx, "cb")
     # EXPLICIT repartition (not left to AQE): the grid is tiny in bytes
     # (nb² packed rows) but huge in compute (one GEMM per row), so AQE's
     # byte-based coalescing folds it onto ONE task and serializes every
     # block pair. A user-specified partition count is exempt from AQE
-    # coalescing, giving ~one GEMM cell per task.
-    return grid.repartition(nb * nb, "qb", "cb")
+    # coalescing.
+    return grid.repartition(_grid_partitions(spark, nb * nb), "qb", "cb")
 
 
 def _unpack(cell):
@@ -135,7 +160,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#60 exact top-20 cosine-similar pairs via block-partitioned GEMM
     (the correctness baseline the LSH path in #62 is judged against).
 
-    Kernel: the (q-block, c-block) grid from ``_block_grid`` — each grid
+    Kernel: the (q-block, c-block) grid from ``_self_grid`` — each grid
     row GEMMs one NumPy block pair, masks to vec_a < vec_b (each
     unordered pair lands in exactly one grid cell with a on the q side,
     so nothing is computed twice), and emits its local top-20 selected
@@ -147,8 +172,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    grid = _block_grid(e, e)
+    grid = _self_grid(spark, sf_dir)
     k = 20
 
     def pair_topk(batches):
@@ -209,7 +233,16 @@ def sim_knn_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("label") == 0).select("vec_id", "embedding")
-    grid = _block_grid(q, e.select("vec_id", "embedding"))
+    # q side packed per call (label filter makes it query-specific); the
+    # corpus side reuses the memoized packed frame shared with #60
+    qx = _block_rows(q, "q")
+    cx = _packed_corpus(spark, sf_dir).select(
+        F.col("gb").alias("cb"), F.col("grows").alias("crows")
+    )
+    qx = qx.withColumn("cb", F.explode(F.sequence(F.lit(0), F.lit(_NB - 1))))
+    grid = qx.join(cx, "cb").repartition(
+        _grid_partitions(spark, _NB * _NB), "qb", "cb"
+    )
     k = 5
 
     def pair_knn(batches):
@@ -288,7 +321,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.struct(F.col("vec_id").alias("id"), F.col("vec").alias("vec"))
             ).alias("rows")
         )
-        # AQE-proofing (see _block_grid): few rows, heavy per-row compute
+        # AQE-proofing (see _self_grid): few rows, heavy per-row compute
         .repartition(32, "tbl", "h")
     )
 
@@ -342,24 +375,33 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     e = table(spark, sf_dir, "embeddings")
-    # deterministic bounded sample: lowest 512 vec_ids (TakeOrdered —
-    # a k-row reduce, never a full sort, at any corpus size)
-    sample = np.stack(
-        [
-            np.asarray(r["embedding"], dtype=np.float64)
-            for r in e.select("vec_id", "embedding").orderBy("vec_id").limit(512).collect()
-        ]
+
+    def _fit_quantizer():
+        # deterministic bounded sample: lowest 512 vec_ids (TakeOrdered —
+        # a k-row reduce, never a full sort, at any corpus size)
+        sample = np.stack(
+            [
+                np.asarray(r["embedding"], dtype=np.float64)
+                for r in e.select("vec_id", "embedding").orderBy("vec_id").limit(512).collect()
+            ]
+        )
+        n_cells, iters = 16, 8
+        rng = np.random.default_rng(42)
+        centers = sample[rng.choice(len(sample), n_cells, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((sample[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(n_cells):
+                members = assign == j
+                if members.any():
+                    centers[j] = sample[members].mean(axis=0)
+        return centers
+
+    # the quantizer is a pure function of (sf_dir, seeds) — memoize per
+    # session so repeated calls skip the sample collect + Lloyd refit
+    centers = cached_value(
+        spark, ("ivf_centroids", os.path.abspath(sf_dir)), _fit_quantizer
     )
-    n_cells, iters = 16, 8
-    rng = np.random.default_rng(42)
-    centers = sample[rng.choice(len(sample), n_cells, replace=False)].copy()
-    for _ in range(iters):
-        d2 = ((sample[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
-        for j in range(n_cells):
-            members = assign == j
-            if members.any():
-                centers[j] = sample[members].mean(axis=0)
 
     nprobe, k = 2, 3
 
@@ -437,8 +479,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    grid = _block_grid(e, e)
+    grid = _self_grid(spark, sf_dir)
     threshold = 0.45
 
     def pair_thresh(batches):
@@ -518,11 +559,15 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         bit = (_dot(vec, plane) > 0).cast("int")
         term = F.shiftleft(bit, k)
         cell = term if cell is None else cell + term
-    # consumed by the stats kernel AND both packed join sides — persist
-    # (same ReuseExchange defeat as the dedup module; ~0.5 KB/vector)
-    cells = e.select(
-        F.col("vec_id"), vec.alias("vec"), cell.cast("int").alias("cell")
-    ).persist()
+    # consumed by the stats kernel AND both packed join sides — persisted
+    # through the session memo (same ReuseExchange defeat as the dedup
+    # module; ~0.5 KB/vector, one entry per (session, sf))
+    cell_expr = cell.cast("int")
+    cells = cached_df(
+        spark,
+        ("ann_cells", os.path.abspath(sf_dir)),
+        lambda: e.select(F.col("vec_id"), vec.alias("vec"), cell_expr.alias("cell")),
+    )
 
     def cell_stats(pdf: pd.DataFrame) -> pd.DataFrame:
         mat = np.stack(pdf["vec"].to_numpy())
@@ -565,19 +610,23 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast only the tiny surviving-pair list (≤136 rows); the packed
     # cell blocks — the actual data — stay distributed and shuffle only
     # to the surviving grid cells
-    packed = cells.groupBy("cell").agg(
-        F.collect_list(
-            F.struct(F.col("vec_id").alias("id"), F.col("vec").alias("vec"))
-        ).alias("rows")
-    ).persist()  # read by both grid join sides
+    packed = cached_df(  # read by both grid join sides
+        spark,
+        ("ann_packed", os.path.abspath(sf_dir)),
+        lambda: cells.groupBy("cell").agg(
+            F.collect_list(
+                F.struct(F.col("vec_id").alias("id"), F.col("vec").alias("vec"))
+            ).alias("rows")
+        ),
+    )
     qb = packed.select(F.col("cell").alias("qcell"), F.col("rows").alias("qrows"))
     cb2 = packed.select(F.col("cell").alias("ccell"), F.col("rows").alias("crows"))
     grid = (
         qb.join(F.broadcast(surviving), "qcell")
         .join(cb2, "ccell")
-        # same AQE-proofing as _block_grid: tiny bytes, heavy compute —
+        # same AQE-proofing as _self_grid: tiny bytes, heavy compute —
         # explicit partition count keeps ~one GEMM cell per task
-        .repartition(64, "qcell", "ccell")
+        .repartition(_grid_partitions(spark, 16 * 16), "qcell", "ccell")
     )
 
     def pair_thresh(batches):

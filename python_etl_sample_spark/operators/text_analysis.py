@@ -376,8 +376,7 @@ def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     sweep is map-side."""
     from python_etl_sample_spark.operators.dedup import _shingle_hashes
 
-    d = table(spark, sf_dir, "documents")
-    sh = _shingle_hashes(d).withColumn(
+    sh = _shingle_hashes(spark, sf_dir).withColumn(
         "is_eval", (F.col("doc_id") % 1000003) * 31 % 100 >= 90
     )
     tr = sh.filter(~F.col("is_eval")).select(F.col("doc_id").alias("train_doc"), "h")
