@@ -38,15 +38,31 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
 only = __import__("os").environ.get("PARITY_ONLY")
 names = sorted(qs) if not only else [n for n in sorted(qs) if n in set(only.split(","))]
 ok = bad = 0
+results = {}
 for name in names:
     spdf = qs[name](spark, sf).toPandas()
     if name not in osql:
-        print(f"  {name}: rows-only, {len(spdf)} rows"); continue
+        print(f"  {name}: rows-only, {len(spdf)} rows")
+        results[name] = {"rows_match": None, "schema_match": None, "hash_match": None,
+                         "spark_rows": len(spdf), "oracle_rows": None, "err": "no_oracle"}
+        continue
     dpdf = con.execute(osql[name]).df()
     hs, hd = vhash(norm(spdf)), vhash(norm(dpdf))
     status = "MATCH" if hs == hd else "MISMATCH"
     ok += hs == hd; bad += hs != hd
     print(f"  {name}: {status} ({len(spdf)} rows)")
+    results[name] = {"rows_match": len(spdf) == len(dpdf),
+                     "schema_match": sorted(spdf.columns) == sorted(dpdf.columns),
+                     "hash_match": hs == hd,
+                     "spark_rows": len(spdf), "oracle_rows": len(dpdf), "err": None}
 print(f"hash-match {ok}, mismatch {bad}")
+# full-coverage artifact in the driver's CORRECTNESS format (the driver's
+# own artifact caps at 50 entries; this records every query, same check)
+out = __import__("os").environ.get("PARITY_OUT")
+if out and not only:
+    import json
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print("wrote", out)
 spark.stop()
 sys.exit(1 if bad else 0)
