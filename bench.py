@@ -64,6 +64,7 @@ SHARED_INTERMEDIATE = (
     "dedup_ngram_jaccard",
     "text_contamination_check",
     "sim_ann_ivf",
+    "dedup_cluster_keeper",
 )
 
 

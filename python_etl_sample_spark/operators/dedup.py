@@ -296,10 +296,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_ngram_jaccard",
-    oracle="""
-    WITH toks AS (
+#: Shared DuckDB CTE block: word-3-gram shingle sets, per-doc sizes and
+#: pairwise intersections — consumed by dedup_ngram_jaccard's oracle and
+#: re-used (inside WITH RECURSIVE) by dedup_cluster_keeper's.
+_NGRAM_CTES = """
+    toks AS (
       SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents
     ), sh AS (
       SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
@@ -311,7 +312,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY 1, 2
-    )
+    )"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_NGRAM_CTES}
     SELECT doc_a, doc_b, CAST(n_inter AS BIGINT) AS n_inter,
            round(n_inter / (sa.n + sb.n - n_inter), 6) AS jaccard
     FROM inter
@@ -360,4 +367,113 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "doc_b")
         .filter(jac >= 0.8)
         .select("doc_a", "doc_b", "n_inter", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@query(
+    "dedup_cluster_keeper",
+    oracle=f"""
+    WITH RECURSIVE {_NGRAM_CTES},
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.8
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    verts AS (SELECT DISTINCT u FROM edges),
+    reach(u, v) AS (
+      SELECT u, u FROM verts
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+    ),
+    comp AS (SELECT u AS doc_id, MIN(v) AS keeper_doc_id FROM reach GROUP BY u),
+    csize AS (
+      SELECT keeper_doc_id, COUNT(*) AS cluster_size FROM comp GROUP BY keeper_doc_id
+    )
+    SELECT c.doc_id, c.keeper_doc_id, s.cluster_size
+    FROM comp c JOIN csize s USING (keeper_doc_id)
+    """,
+)
+def dedup_cluster_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER resolution — the step every dedup pipeline
+    actually ships: near-dup PAIRS (exact n-gram Jaccard ≥ 0.8, the
+    same edge set as ``dedup_ngram_jaccard``) are closed into connected
+    components, each component elects min(doc_id) as its keeper, and
+    every clustered doc comes back with (keeper_doc_id, cluster_size) —
+    the keep/drop verdict, not just a pair list. Transitivity matters:
+    A≈B≈C must collapse to ONE keeper even when A,C aren't directly
+    similar, which no single join can express.
+
+    Spark plan: iterative min-label propagation on the edge list —
+    labels start as own doc_id; each round every vertex takes the min
+    of its own and its neighbors' labels (one equi join + one groupBy
+    per round); converged when no label changed. The edge list is the
+    NEAR-DUP PAIRS (orders of magnitude smaller than the corpus), so
+    each round shuffles pairs, never documents, and the round count is
+    the component diameter (fixture: ≤3; web-scale near-dup clusters
+    are shallow stars — the classic large-star/small-star variant caps
+    long chains at O(log n) rounds with the same per-round shape).
+    The only driver-side values are the per-round scalar convergence
+    counts. Persisted label frames are released eagerly each round.
+
+    Oracle: DuckDB WITH RECURSIVE transitive closure + MIN over the
+    reachable set — same components, declaratively.
+    """
+    def _converged_labels() -> DataFrame:
+        pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+        edges = pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        ).toDF("u", "v").persist()
+
+        labels = (
+            edges.select(F.col("u").alias("doc_id"))
+            .distinct()
+            .withColumn("label", F.col("doc_id"))
+            .persist()
+        )
+        labels.count()
+        for _ in range(20):  # hard cap >> any real component diameter
+            nbr = edges.join(
+                labels.select(F.col("doc_id").alias("v"), "label"), "v"
+            ).select(F.col("u").alias("doc_id"), "label")
+            new_labels = (
+                labels.unionByName(nbr)
+                .groupBy("doc_id")
+                .agg(F.min("label").alias("label"))
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        edges.unpersist()
+        # hand the converged frame to the session memo, which persists
+        # it under its own bounded lifecycle
+        labels.unpersist()
+        return labels
+
+    labels = cached_df(
+        spark, ("cc_labels", os.path.abspath(sf_dir)), _converged_labels
+    )
+
+    csize = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(csize, "label")
+        .select(
+            "doc_id",
+            F.col("label").alias("keeper_doc_id"),
+            "cluster_size",
+        )
     )

@@ -339,3 +339,94 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(s, c.c_nk.eqNullSafe(s.s_nk)).select(
         "c_custkey", "s_suppkey", F.col("c_nk").alias("nationkey")
     )
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH iv AS (
+      SELECT event_id, event_type,
+             epoch(ts) AS s,
+             epoch(ts) + value * 60 AS e
+      FROM events
+    )
+    SELECT a.event_id AS event_a, b.event_id AS event_b,
+           a.event_type AS event_type,
+           round(least(a.e, b.e) - greatest(a.s, b.s), 6) AS overlap_s
+    FROM iv a JOIN iv b
+      ON a.event_type = b.event_type
+     AND a.event_id < b.event_id
+     AND a.s < b.e AND b.s < a.e
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self join: each event spans [ts, ts + value
+    minutes]; emit every same-type pair of events whose spans overlap,
+    with the overlap length in seconds — the temporal-join family
+    (concurrent-session detection, downtime correlation) the events
+    table exists for.
+
+    The oracle is the obvious theta join; the Spark plan is the
+    **grid-bucketed interval join** — the shape that survives scale
+    where a theta join degrades to a cartesian: time is cut into
+    fixed-width cells (1 h; interval length is bounded by max(value)
+    minutes << cell width, so each interval touches ≤ 2 cells), each
+    interval is replicated to the cells it touches (explode over a
+    2-element sequence — bounded fan-out), and candidates meet in an
+    EQUI join on (cell, event_type) with the overlap predicate applied
+    inside the matched bucket. Each overlapping pair is emitted exactly
+    once, without a distinct: only the cell containing
+    greatest(a.start, b.start) reports the pair (overlapping intervals
+    always co-occupy that cell, any shared earlier cell is skipped).
+
+    Epoch seconds come from one integer-microsecond division in both
+    engines (unix_micros/1e6 vs epoch()), so the doubles are
+    bit-identical and overlap_s is hash-stable at 6 dp.
+    """
+    cell_w = 3600  # seconds; fixture max interval = max(value) min ≈ 20 min
+    ev = table(spark, sf_dir, "events")
+    iv = ev.select(
+        "event_id",
+        "event_type",
+        (F.unix_micros(F.expr("cast(ts as timestamp)")) / F.lit(1_000_000.0)).alias("s"),
+        (
+            F.unix_micros(F.expr("cast(ts as timestamp)")) / F.lit(1_000_000.0)
+            + F.col("value") * 60
+        ).alias("e"),
+    )
+    cells = iv.withColumn(
+        "cell",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s") / cell_w).cast("long"),
+                F.floor(F.col("e") / cell_w).cast("long"),
+            )
+        ),
+    )
+    a = cells.alias("a")
+    b = cells.alias("b")
+    pair_cell_ok = (
+        F.floor(F.greatest(F.col("a.s"), F.col("b.s")) / cell_w).cast("long")
+        == F.col("a.cell")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.event_id") < F.col("b.event_id"))
+            & (F.col("a.s") < F.col("b.e"))
+            & (F.col("b.s") < F.col("a.e")),
+        )
+        .filter(pair_cell_ok)
+        .select(
+            F.col("a.event_id").alias("event_a"),
+            F.col("b.event_id").alias("event_b"),
+            F.col("a.event_type").alias("event_type"),
+            F.round(
+                F.least(F.col("a.e"), F.col("b.e"))
+                - F.greatest(F.col("a.s"), F.col("b.s")),
+                6,
+            ).alias("overlap_s"),
+        )
+    )

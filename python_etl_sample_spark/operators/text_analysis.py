@@ -459,3 +459,62 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_quality"),
         )
     )
+
+
+@query(
+    "text_unigram_lm_score",
+    oracle=f"""
+    WITH tok AS ({_TOKENS_SQL}),
+    tot AS (SELECT COUNT(*) AS n FROM tok),
+    vocab AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+    terms AS (
+      SELECT t.doc_id,
+             CAST(round(log10(v.c / (SELECT n * 1.0 FROM tot)), 9)
+                  AS DECIMAL(28,12)) AS lp
+      FROM tok t JOIN vocab v ON t.token = v.token
+    )
+    SELECT doc_id, COUNT(*) AS n_tok,
+           round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS lm_score
+    FROM terms GROUP BY doc_id
+    """,
+)
+def text_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram language-model quality score — the
+    classic perplexity-proxy filter a training-data pipeline runs to
+    rank documents by fluency-under-the-corpus: score(doc) = mean
+    log10 p(token), p = corpus unigram frequency. Low scores flag
+    rare-token/garbled documents; the same shape with an external LM's
+    vocab table is the production quality gate.
+
+    Plan: one token explode (map-only), one groupBy(token) for the
+    vocabulary, a token-equi join back (at 100 TB the vocab is Zipfian
+    and compact — Catalyst broadcasts it when small, shuffles otherwise;
+    both correct), one groupBy(doc). The corpus token total rides in a
+    broadcast 1-row frame, not a driver round-trip.
+
+    Determinism: p is one IEEE division of exact longs; log10 of the
+    SAME double differs by ≤1 ulp across libms, so each term is rounded
+    to 9 dp and summed as decimal(28,12) (exact, order-independent —
+    the dsum pattern at higher scale since log-probs are not 6-dp
+    exact); final mean is one double division, rounded to 6.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = _tokens(d)
+    total = tok.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    terms = (
+        tok.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.round(F.log10(F.col("c") / F.col("n")), 9)
+            .cast("decimal(28,12)")
+            .alias("lp"),
+        )
+    )
+    return terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.round(
+            F.sum("lp").cast("double") / F.count(F.lit(1)), 6
+        ).alias("lm_score"),
+    )

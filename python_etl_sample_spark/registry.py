@@ -172,6 +172,10 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "multimodal_audio_features",
     "stream_demo_tumbling",
     "stream_demo_stateful",
+    # round-3 additions (hash-checked)
+    "join_interval_overlap",
+    "text_unigram_lm_score",
+    "dedup_cluster_keeper",
 )
 
 
@@ -293,6 +297,11 @@ DRIVER_ORDER: tuple[str, ...] = (
     "fn_math",
     "fn_array",
     "fn_map_from_json",
+    # --- round-3 additions (no prior artifact could contain them; they
+    # take the slots after the banked queries) ---
+    "join_interval_overlap",
+    "text_unigram_lm_score",
+    "dedup_cluster_keeper",
 )
 
 
