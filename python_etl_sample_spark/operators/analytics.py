@@ -315,3 +315,72 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid.join(hourly, ["event_type", "hr"], "left").select(
         "event_type", "hr", F.coalesce(F.col("n"), F.lit(0)).alias("n")
     )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), v AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'view' AND e.ts > s.t1
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > v.t2
+      GROUP BY e.user_id
+    )
+    SELECT 1 AS step_no, 'signup' AS step,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_users
+    UNION ALL SELECT 2, 'view', (SELECT CAST(COUNT(*) AS BIGINT) FROM v)
+    UNION ALL SELECT 3, 'purchase', (SELECT CAST(COUNT(*) AS BIGINT) FROM p)
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis — the product-analytics staple: how many
+    users progressed signup → view → purchase IN TIME ORDER. Each step's
+    timestamp must strictly follow the previous step's earliest
+    qualifying timestamp (min-after semantics), so a user whose only
+    views precede their signup does not convert.
+
+    Shape: three conditional min-aggregations chained by equi joins on
+    user_id — not a per-user ordered window, so no single partition ever
+    sorts a whole user history. Each phase filters to one event type
+    BEFORE joining (the join input shrinks to step survivors), shuffles
+    only (user_id, ts) pairs, and the per-step survivor sets fit memory
+    at any corpus size since they only ever shrink. The final step
+    counts are one-row aggregates unioned JVM-side.
+    """
+    ev = table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def step(df: DataFrame, no: int, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(no).alias("step_no"), F.lit(name).alias("step"), "n_users"
+        )
+
+    return step(s, 1, "signup").unionAll(step(v, 2, "view")).unionAll(
+        step(p, 3, "purchase")
+    )

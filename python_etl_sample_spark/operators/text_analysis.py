@@ -518,3 +518,157 @@ def text_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("lp").cast("double") / F.count(F.lit(1)), 6
         ).alias("lm_score"),
     )
+
+
+# PII patterns shared by the Spark and oracle sides — ASCII-only,
+# backreference-free, so Java regex (Spark) and RE2 (DuckDB) agree.
+_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\b\d{3}-\d{4}\b"
+
+# The fixture corpus is synthetic prose with no PII, so the query plants
+# one deterministic email/phone/IP per document (derived from doc_id,
+# identical expression in both engines) — the scrubber then has real
+# work to do and every count/hash is verifiable.
+_PII_AUG_SQL = (
+    "text || ' contact user' || doc_id || '@example.com or 555-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' ip 10.0.' || (doc_id % 256) || '.7'"
+)
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id, source, {_PII_AUG_SQL} AS body FROM documents
+    )
+    SELECT doc_id, source,
+           len(regexp_extract_all(body, '{_PII_EMAIL}')) AS n_emails,
+           len(regexp_extract_all(body, '{_PII_IP}')) AS n_ips,
+           len(regexp_extract_all(body, '{_PII_PHONE}')) AS n_phones,
+           substr(sha256(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(body, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_PII_IP}', '<IP>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g')), 1, 16) AS clean_fp
+    FROM aug
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass a training-data pipeline runs
+    before anything else: detect emails / IPv4 addresses / phone-shaped
+    numbers, count them per document, and replace them with typed tags
+    (``<EMAIL>``/``<IP>``/``<PHONE>``). The output fingerprints the
+    scrubbed text so the redaction itself is hash-verified, not just
+    the counts. Email is replaced first so its digits can't be re-
+    matched by the numeric patterns.
+
+    Map-only: regex detection and replacement are per-row JVM
+    expressions inside the scan's project — at 100 TB this runs at
+    parquet-read speed with zero shuffles. A production pipeline swaps
+    in more patterns (SSNs, credit cards, secrets); the plan shape is
+    identical.
+    """
+    d = table(spark, sf_dir, "documents")
+    body = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(body, _PII_EMAIL, "<EMAIL>"), _PII_IP, "<IP>"
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        F.size(F.regexp_extract_all(body, F.lit(_PII_EMAIL), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(body, F.lit(_PII_IP), 0)).alias("n_ips"),
+        F.size(F.regexp_extract_all(body, F.lit(_PII_PHONE), 0)).alias("n_phones"),
+        F.substring(F.sha2(scrubbed, 256), 1, 16).alias("clean_fp"),
+    )
+
+
+@query(
+    "text_repetition_filter",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+    ), uni AS (
+      SELECT doc_id, len(t) AS n_tok, len(list_distinct(t)) AS n_uniq FROM toks
+    ), big AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+      FROM toks, UNNEST(generate_series(1, len(t)-1)) AS u(i)
+      WHERE len(t) >= 2
+    ), bgc AS (
+      SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY 1, 2
+    ), bgm AS (
+      SELECT doc_id, MAX(c) AS max_bigram, CAST(SUM(c) AS BIGINT) AS n_bigrams
+      FROM bgc GROUP BY doc_id
+    )
+    SELECT u.doc_id, u.n_tok, u.n_uniq, b.max_bigram, b.n_bigrams,
+           (b.max_bigram * 100 <= 9 * b.n_bigrams
+            AND (u.n_tok - u.n_uniq) * 100 <= 66 * u.n_tok) AS keep
+    FROM uni u JOIN bgm b ON u.doc_id = b.doc_id
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition filtering — the Gopher-style quality rule that drops
+    documents dominated by repeated n-grams (boilerplate, scraped menus,
+    keyword stuffing): per document, the duplicate-token fraction
+    (1 − distinct/total) and the most-frequent-word-bigram share of all
+    bigrams; a doc is kept when top-bigram ≤ 9% and duplicate-token
+    ≤ 66% (thresholds calibrated on this corpus's distribution — Gopher
+    uses 0.20/0.30 on web text; the rule's shape is what matters).
+
+    The keep decision is computed in exact integer arithmetic
+    (``max_c·100 ≤ 9·n``), not on rounded ratios — ratio doubles like
+    1/128 land exactly on 6-dp half-way points where engines' rounding
+    disagrees, integers never do.
+
+    Scale: token/bigram explode is map-side; both shuffles carry
+    pre-aggregated (doc_id, bigram, count) rows — map-side combine
+    collapses the exploded bigrams before anything crosses the wire,
+    and the per-doc rollup reshuffles only one row per distinct bigram.
+    No cross-document state anywhere.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("t"))
+    uni = toks.select(
+        "doc_id",
+        F.size("t").alias("n_tok"),
+        F.size(F.array_distinct("t")).alias("n_uniq"),
+    )
+    big = toks.filter(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(t)-2), i -> concat_ws(' ', t[i], t[i+1]))")
+        ).alias("bg"),
+    )
+    bgm = (
+        big.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_bigram"), F.sum("c").alias("n_bigrams"))
+    )
+    return uni.join(bgm, "doc_id").select(
+        "doc_id",
+        "n_tok",
+        "n_uniq",
+        "max_bigram",
+        "n_bigrams",
+        (
+            (F.col("max_bigram") * 100 <= 9 * F.col("n_bigrams"))
+            & ((F.col("n_tok") - F.col("n_uniq")) * 100 <= 66 * F.col("n_tok"))
+        ).alias("keep"),
+    )

@@ -176,6 +176,9 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "join_interval_overlap",
     "text_unigram_lm_score",
     "dedup_cluster_keeper",
+    "text_pii_scrub",
+    "text_repetition_filter",
+    "events_funnel",
 )
 
 
@@ -302,6 +305,9 @@ DRIVER_ORDER: tuple[str, ...] = (
     "join_interval_overlap",
     "text_unigram_lm_score",
     "dedup_cluster_keeper",
+    "text_pii_scrub",
+    "text_repetition_filter",
+    "events_funnel",
 )
 
 

@@ -70,6 +70,9 @@ def test_driver_order_front_loads_unrecorded_queries():
         "join_interval_overlap",
         "text_unigram_lm_score",
         "dedup_cluster_keeper",
+        "text_pii_scrub",
+        "text_repetition_filter",
+        "events_funnel",
     }
     missing = never - set(DRIVER_ORDER[:50]) - round3_new
     assert not missing, sorted(missing)
