@@ -13,7 +13,7 @@ bucketed co-location that removes the shuffle entirely.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from python_etl_sample_spark.functions.determinism import dsum, dsum_sql
@@ -383,4 +383,118 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return step(s, 1, "signup").unionAll(step(v, 2, "view")).unionAll(
         step(p, 3, "purchase")
+    )
+
+
+@query(
+    "etl_scd2_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), changes AS (
+      SELECT user_id, event_type AS state, ts AS valid_from, event_id
+      FROM ordered WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, state, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, event_id) AS valid_to,
+           LEAD(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, event_id) IS NULL AS is_current
+    FROM changes
+    """,
+)
+def etl_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build — the warehouse pattern
+    for turning an event stream into validity intervals: collapse each
+    user's event history into change-points (rows where the event type
+    differs from the previous one), then stitch [valid_from, valid_to)
+    ranges with the next change's timestamp; the open interval is the
+    current state. Ties on ts break on event_id in BOTH windows so the
+    history is deterministic at any parallelism.
+
+    Scale: one shuffle on user_id; both windows sort within the same
+    partitioning, so the lag-detect and lead-stitch phases reuse one
+    exchange (the change-point filter shrinks rows between them). The
+    compressed history is what downstream point-in-time joins
+    (join_asof) consume."""
+    ev = table(spark, sf_dir, "events")
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w_lag))
+        .filter(
+            F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            "event_id",
+        )
+    )
+    w_lead = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return changes.select(
+        "user_id",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w_lead).alias("valid_to"),
+        F.lead("valid_from").over(w_lead).isNull().alias("is_current"),
+    )
+
+
+@query(
+    "attribution_last_touch",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_id, event_type, ts,
+             LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+      FROM events WHERE event_type IN ('click', 'purchase')
+    )
+    SELECT user_id, event_id, last_click_ts IS NOT NULL AS attributed,
+           date_diff('microsecond', last_click_ts, ts) AS latency_us
+    FROM t WHERE event_type = 'purchase'
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution — for every purchase, find the same
+    user's most recent STRICTLY PRIOR click (ignore-nulls last_value
+    over a ROWS … 1 PRECEDING frame) and report whether the purchase is
+    attributed plus the click→purchase latency in microseconds — the
+    fixtures' native resolution, where timestampdiff (full units
+    elapsed) and DuckDB's date_diff (boundaries crossed) coincide
+    exactly; at coarser units the two engines' semantics diverge on
+    sub-unit fractions. Unattributed purchases surface with NULL
+    latency rather than dropping, so conversion accounting stays
+    complete.
+
+    Scale: events filter to the two relevant types BEFORE the shuffle;
+    one exchange on user_id, one sort, map-side projection after — the
+    same shape at any fan-in. The frame is running state, not a
+    re-scan per row."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("last_click_ts", last_click)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            F.col("last_click_ts").isNotNull().alias("attributed"),
+            F.expr("timestampdiff(MICROSECOND, last_click_ts, ts)")
+            .cast("bigint")
+            .alias("latency_us"),
+        )
     )

@@ -654,3 +654,49 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
 
     return grid.mapInPandas(pair_thresh, "vec_a bigint, vec_b bigint, sim double")
+
+
+@query(
+    "embeddings_centroid",
+    oracle="""
+    WITH dims AS (
+      SELECT label, u.i - 1 AS pos,
+             CAST(round(CAST(embedding[u.i] AS DOUBLE), 9)
+                  AS DECIMAL(28,12)) AS v
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+    )
+    SELECT label, pos, COUNT(*) AS n_vecs,
+           round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS dim_mean
+    FROM dims GROUP BY label, pos
+    """,
+)
+def embeddings_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroid, one row per (label, dimension) —
+    the building block for class prototypes, IVF coarse quantizers and
+    drift monitoring. Emitted relationally (label, pos, mean) rather
+    than re-assembled into an array column: per-dim rows keep the
+    result joinable/verifiable, and the array re-pack is a trivial
+    downstream ``collect_list`` when a consumer wants it.
+
+    Float parity: float32 dims are rounded at 9 dp and summed as
+    decimal(28,12) — exact and order-independent, so Spark's partial
+    aggregation tree and DuckDB's sequential sum agree bit-for-bit
+    (the proven lm-score pattern; a plain double SUM would drift by
+    association).
+
+    Scale: posexplode is map-side (64 rows per vector); ONE shuffle on
+    (label, pos) with map-side combine already reducing each partition
+    to ≤ labels×dims rows — at 100 TB the wire carries partial sums,
+    not embeddings."""
+    e = table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "label", F.posexplode("embedding").alias("pos", "raw")
+    ).select(
+        "label",
+        "pos",
+        F.round(F.col("raw").cast("double"), 9).cast("decimal(28,12)").alias("v"),
+    )
+    return dims.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.sum("v").cast("double") / F.count(F.lit(1)), 6).alias("dim_mean"),
+    )

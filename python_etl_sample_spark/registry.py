@@ -179,6 +179,9 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "text_pii_scrub",
     "text_repetition_filter",
     "events_funnel",
+    "etl_scd2_history",
+    "attribution_last_touch",
+    "embeddings_centroid",
 )
 
 
@@ -308,6 +311,9 @@ DRIVER_ORDER: tuple[str, ...] = (
     "text_pii_scrub",
     "text_repetition_filter",
     "events_funnel",
+    "etl_scd2_history",
+    "attribution_last_touch",
+    "embeddings_centroid",
 )
 
 

@@ -73,6 +73,9 @@ def test_driver_order_front_loads_unrecorded_queries():
         "text_pii_scrub",
         "text_repetition_filter",
         "events_funnel",
+        "etl_scd2_history",
+        "attribution_last_touch",
+        "embeddings_centroid",
     }
     missing = never - set(DRIVER_ORDER[:50]) - round3_new
     assert not missing, sorted(missing)
