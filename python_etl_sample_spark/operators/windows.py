@@ -200,3 +200,62 @@ def win_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("price_bucket"),
     )
+
+
+@query(
+    "win_streak_gaps_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), grp AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS anchor
+      FROM days
+    ), streaks AS (
+      SELECT user_id, COUNT(*) AS streak_len, MIN(d) AS streak_start
+      FROM grp GROUP BY user_id, anchor
+    ), ranked AS (
+      SELECT user_id, streak_len, streak_start,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY streak_len DESC, streak_start) AS rn
+      FROM streaks
+    )
+    SELECT user_id, streak_len,
+           CAST(streak_start AS TIMESTAMP) AS streak_start
+    FROM ranked WHERE rn = 1
+    """,
+)
+def win_streak_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's LONGEST run of consecutive active
+    days (earliest such run on ties). The classic trick — day minus its
+    per-user row_number is constant within a consecutive island — turns
+    streak detection into a plain groupBy, with no self-join and no
+    iterative logic.
+
+    Scale: the distinct (user, day) set is tiny relative to raw events
+    (map-side partial distinct first), then ONE shuffle on user_id
+    serves the ordering window, the island groupBy, and the longest-
+    pick window alike. Nothing touches raw event rows after the first
+    aggregation."""
+    ev = table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn("anchor", F.date_sub("d", F.row_number().over(w)))
+    streaks = grp.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("streak_len"), F.min("d").alias("streak_start")
+    )
+    w2 = Window.partitionBy("user_id").orderBy(
+        F.desc("streak_len"), F.asc("streak_start")
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "streak_len",
+            # date -> midnight timestamp on both sides: pandas lands both
+            # engines on datetime64, where raw DATE dtypes diverge
+            F.col("streak_start").cast("timestamp_ntz").alias("streak_start"),
+        )
+    )

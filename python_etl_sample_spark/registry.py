@@ -182,6 +182,7 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "etl_scd2_history",
     "attribution_last_touch",
     "embeddings_centroid",
+    "win_streak_gaps_islands",
 )
 
 
@@ -314,6 +315,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "etl_scd2_history",
     "attribution_last_touch",
     "embeddings_centroid",
+    "win_streak_gaps_islands",
 )
 
 

@@ -76,6 +76,7 @@ def test_driver_order_front_loads_unrecorded_queries():
         "etl_scd2_history",
         "attribution_last_touch",
         "embeddings_centroid",
+        "win_streak_gaps_islands",
     }
     missing = never - set(DRIVER_ORDER[:50]) - round3_new
     assert not missing, sorted(missing)
