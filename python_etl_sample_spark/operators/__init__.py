@@ -6,6 +6,7 @@ from python_etl_sample_spark.operators import (  # noqa: F401
     dedup,
     joins,
     multimodal,
+    profiling,
     projections,
     scans,
     setops,

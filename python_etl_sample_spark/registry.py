@@ -183,6 +183,12 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "attribution_last_touch",
     "embeddings_centroid",
     "win_streak_gaps_islands",
+    "data_profile",
+    "agg_histogram",
+    "stats_corr_matrix",
+    "events_retention_cohort",
+    "q_top_suppliers",
+    "corpus_mix_weights",
 )
 
 
@@ -233,7 +239,26 @@ DRIVER_ORDER: tuple[str, ...] = (
     "multimodal_audio_features",
     "stream_demo_tumbling",
     "stream_demo_stateful",
-    # --- recorded in exactly one prior round (refresh slots 34-50+) ---
+    # --- round-3 additions (no prior artifact could contain them; with
+    # the 33 never-recorded above they fill 49 of the 50 artifact slots,
+    # so EVERY query ends round 3 with a driver row in r1 ∪ r2 ∪ r3) ---
+    "join_interval_overlap",
+    "text_unigram_lm_score",
+    "dedup_cluster_keeper",
+    "text_pii_scrub",
+    "text_repetition_filter",
+    "events_funnel",
+    "etl_scd2_history",
+    "attribution_last_touch",
+    "embeddings_centroid",
+    "win_streak_gaps_islands",
+    "data_profile",
+    "agg_histogram",
+    "stats_corr_matrix",
+    "events_retention_cohort",
+    "q_top_suppliers",
+    "corpus_mix_weights",
+    # --- recorded in exactly one prior round (refresh slots 50+) ---
     "scan_parquet",
     "scan_projected",
     "source_csv",
@@ -304,18 +329,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "fn_math",
     "fn_array",
     "fn_map_from_json",
-    # --- round-3 additions (no prior artifact could contain them; they
-    # take the slots after the banked queries) ---
-    "join_interval_overlap",
-    "text_unigram_lm_score",
-    "dedup_cluster_keeper",
-    "text_pii_scrub",
-    "text_repetition_filter",
-    "events_funnel",
-    "etl_scd2_history",
-    "attribution_last_touch",
-    "embeddings_centroid",
-    "win_streak_gaps_islands",
 )
 
 

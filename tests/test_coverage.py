@@ -77,9 +77,20 @@ def test_driver_order_front_loads_unrecorded_queries():
         "attribution_last_touch",
         "embeddings_centroid",
         "win_streak_gaps_islands",
+        "data_profile",
+        "agg_histogram",
+        "stats_corr_matrix",
+        "events_retention_cohort",
+        "q_top_suppliers",
+        "corpus_mix_weights",
     }
     missing = never - set(DRIVER_ORDER[:50]) - round3_new
     assert not missing, sorted(missing)
+    # the round-3 additions themselves must also sit inside the 50
+    # recorded slots — that's the point of the rotation
+    assert round3_new <= set(DRIVER_ORDER[:50]), sorted(
+        round3_new - set(DRIVER_ORDER[:50])
+    )
 
 
 def test_totals_line():
