@@ -10,6 +10,7 @@ from python_etl_sample_spark.operators import (  # noqa: F401
     projections,
     scans,
     setops,
+    subqueries,
     similarity,
     sorts,
     text_analysis,

@@ -189,6 +189,12 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "events_retention_cohort",
     "q_top_suppliers",
     "corpus_mix_weights",
+    "subquery_exists",
+    "subquery_in_having",
+    "subquery_scalar_correlated",
+    "subquery_not_exists_inactive",
+    "join_lateral_topk",
+    "subquery_not_in_null_aware",
 )
 
 
@@ -329,6 +335,14 @@ DRIVER_ORDER: tuple[str, ...] = (
     "fn_math",
     "fn_array",
     "fn_map_from_json",
+    # --- added mid-round-3 after the 50 recorded slots were already
+    # committed; first artifact slots available in round 4 ---
+    "subquery_exists",
+    "subquery_in_having",
+    "subquery_scalar_correlated",
+    "subquery_not_exists_inactive",
+    "join_lateral_topk",
+    "subquery_not_in_null_aware",
 )
 
 

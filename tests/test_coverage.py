@@ -84,7 +84,17 @@ def test_driver_order_front_loads_unrecorded_queries():
         "q_top_suppliers",
         "corpus_mix_weights",
     }
-    missing = never - set(DRIVER_ORDER[:50]) - round3_new
+    # added after round 3's 50 recorded slots were full; they take
+    # round 4's refresh slots instead
+    round4_queue = {
+        "subquery_exists",
+        "subquery_in_having",
+        "subquery_scalar_correlated",
+        "subquery_not_exists_inactive",
+        "join_lateral_topk",
+        "subquery_not_in_null_aware",
+    }
+    missing = never - set(DRIVER_ORDER[:50]) - round3_new - round4_queue
     assert not missing, sorted(missing)
     # the round-3 additions themselves must also sit inside the 50
     # recorded slots — that's the point of the rotation

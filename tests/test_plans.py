@@ -150,3 +150,31 @@ def test_gemm_grids_pin_their_parallelism(spark):
     ):
         plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
         assert "REPARTITION_BY_NUM" in plan, f"{fn.__name__} lost its AQE-proof repartition"
+
+
+def test_subqueries_decorrelate_to_hash_joins(spark):
+    """Catalyst must rewrite every correlated subquery into a join —
+    per-outer-row re-execution (BroadcastNestedLoopJoin over a big
+    side, or a surviving correlated predicate) is the shape that dies
+    at scale. Also pins the NOT IN query to the null-aware anti join
+    (the `true` build flag), since losing it silently changes NULL
+    semantics AND plan shape."""
+    for name in (
+        "subquery_exists",
+        "subquery_in_having",
+        "subquery_scalar_correlated",
+        "subquery_not_exists_inactive",
+        "join_lateral_topk",
+        "subquery_not_in_null_aware",
+    ):
+        plan = plan_of(spark, name)
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name} nested-loops"
+        assert "CartesianProduct" not in plan, f"{name} goes cartesian"
+    naaj = (
+        REGISTRY["subquery_not_in_null_aware"]
+        .fn(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftAnti, BuildRight, true" in naaj, "NOT IN lost its null-aware anti join"
