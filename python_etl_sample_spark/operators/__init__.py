@@ -13,6 +13,7 @@ from python_etl_sample_spark.operators import (  # noqa: F401
     subqueries,
     similarity,
     sorts,
+    statistics,
     text_analysis,
     udfs,
     windows,

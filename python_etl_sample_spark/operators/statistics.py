@@ -1,0 +1,302 @@
+"""Statistical aggregates beyond agg_stats: exact quantiles,
+deterministic mode, higher moments (skewness/kurtosis), ordered string
+aggregation, z-score outlier detection, and stratified sampling.
+
+Engine-parity ground rules (functions/determinism.py):
+
+- l_quantity is integer-valued (≤ ~51), so its powers up to x⁴ are
+  exact BIGINTs whose sums stay far inside int64 — the higher moments
+  use plain integer sums, the strongest possible cross-engine base.
+- Interpolated quantiles follow the shared definition (linear at rank
+  q·(n-1)) in Spark's ``percentile`` and DuckDB's ``quantile_cont``;
+  outputs are rounded to 6 dp so the last-ulp of the interpolation
+  arithmetic can never reach the hash.
+- Mode is NOT Spark's ``mode()`` (tie order undefined) — both engines
+  rank (count DESC, value ASC) and take row 1, so ties are law, not
+  luck.
+- Derived ratios (z-scores, skew/kurt) combine exact sums in double
+  with the association mirrored textually in the oracle, rounded 6 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from python_etl_sample_spark.functions.determinism import dsum, dsum_sql
+from python_etl_sample_spark.registry import query
+from python_etl_sample_spark.sources import table
+
+
+@query(
+    "agg_percentile_exact",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25,
+           ROUND(quantile_cont(l_quantity, 0.50), 6) AS p50,
+           ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75,
+           ROUND(quantile_cont(l_quantity, 0.99), 6) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles of quantity per return flag —
+    the ground truth agg_approx_quantile's sketch is graded against.
+
+    Scale: exact percentile must see every value — Spark's
+    ``percentile`` buffers each group's values on the reducer, which is
+    fine for bounded-cardinality numeric domains (qty has ~50 distinct
+    values; the digest is a counting map, not the row set). For
+    unbounded domains at 100 TB, approx_percentile (agg_approx_quantile)
+    is the path; this operator is its accuracy oracle."""
+    li = table(spark, sf_dir, "lineitem")
+    pct = F.expr("percentile(l_quantity, array(0.25, 0.50, 0.75, 0.99))")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pct.alias("p"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("p")[0], 6).alias("p25"),
+            F.round(F.col("p")[1], 6).alias("p50"),
+            F.round(F.col("p")[2], 6).alias("p75"),
+            F.round(F.col("p")[3], 6).alias("p99"),
+        )
+    )
+
+
+@query(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH counts AS (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ), ranked AS (
+      SELECT o_orderstatus, o_orderpriority, cnt,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY cnt DESC, o_orderpriority) AS rn
+      FROM counts
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt
+    FROM ranked WHERE rn = 1
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent order priority per status, with the tie broken
+    lexicographically — a deterministic MODE().
+
+    Built-in ``mode()`` leaves tie order engine-defined, so both sides
+    rank (count DESC, value ASC) explicitly instead. Scale: the rank
+    runs over the ~25-row count table, not the raw rows; the heavy step
+    is the map-side-combined groupBy."""
+    o = table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("cnt"), F.asc("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "cnt",
+        )
+    )
+
+
+def _moments_sql() -> dict[str, str]:
+    q = "CAST(l_quantity AS BIGINT)"
+    return {
+        "n": "CAST(COUNT(*) AS DOUBLE)",
+        "s1": f"CAST(SUM({q}) AS DOUBLE)",
+        "s2": f"CAST(SUM({q} * {q}) AS DOUBLE)",
+        "s3": f"CAST(SUM({q} * {q} * {q}) AS DOUBLE)",
+        "s4": f"CAST(SUM({q} * {q} * {q} * {q}) AS DOUBLE)",
+    }
+
+
+_SKEW_KURT_SQL = """
+    WITH sums AS (
+      SELECT l_returnflag, {n} AS n, {s1} AS s1, {s2} AS s2, {s3} AS s3, {s4} AS s4
+      FROM lineitem GROUP BY l_returnflag
+    ), mom AS (
+      SELECT l_returnflag, n, s1 / n AS mu,
+             s2 / n - (s1 / n) * (s1 / n) AS m2,
+             s3 / n - 3.0 * (s1 / n) * (s2 / n)
+                  + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+             s4 / n - 4.0 * (s1 / n) * (s3 / n)
+                  + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+                  - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+      FROM sums
+    )
+    SELECT l_returnflag, ROUND(mu, 6) AS mean_qty,
+           ROUND(m3 / (SQRT(m2) * SQRT(m2) * SQRT(m2)), 6) AS skewness,
+           ROUND(m4 / (m2 * m2) - 3.0, 6) AS kurtosis_excess
+    FROM mom
+""".format(**_moments_sql())
+
+
+@query("agg_skew_kurt", oracle=_SKEW_KURT_SQL)
+def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness and excess kurtosis of quantity per return flag, from
+    EXACT integer power sums (qty is integer-valued, Σx⁴ ≪ 2⁶³).
+
+    Why not F.skewness/F.kurtosis: their single-pass float accumulation
+    is partition-order-dependent — two runs of the same engine can
+    disagree in the last bits, let alone two engines. Four exact int64
+    sums are order-free; the central-moment algebra then runs in double
+    with every association mirrored in the oracle text. Scale: one
+    map-side-combined aggregate, four extra longs of state per group."""
+    li = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q).cast("double").alias("s1"),
+        F.sum(q * q).cast("double").alias("s2"),
+        F.sum(q * q * q).cast("double").alias("s3"),
+        F.sum(q * q * q * q).cast("double").alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    m3 = s3 / n - F.lit(3.0) * mu * (s2 / n) + F.lit(2.0) * mu * mu * mu
+    m4 = (
+        s4 / n
+        - F.lit(4.0) * mu * (s3 / n)
+        + F.lit(6.0) * mu * mu * (s2 / n)
+        - F.lit(3.0) * mu * mu * mu * mu
+    )
+    return sums.select(
+        "l_returnflag",
+        F.round(mu, 6).alias("mean_qty"),
+        F.round(m3 / (F.sqrt(m2) * F.sqrt(m2) * F.sqrt(m2)), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - F.lit(3.0), 6).alias("kurtosis_excess"),
+    )
+
+
+@query(
+    "agg_listagg_ordered",
+    oracle="""
+    SELECT n.n_regionkey, r.r_name, COUNT(*) AS n_nations,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_regionkey, r.r_name
+    """,
+)
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg): nation names
+    per region as one comma-joined, name-ordered string.
+
+    collect_list's arrival order is partition-dependent, so the value
+    is sorted BEFORE joining — array_sort's binary ordering equals the
+    oracle's ORDER BY on these ASCII names. Scale: collect_list is safe
+    only for bounded groups (≤ ~25 here); unbounded text aggregation at
+    100 TB should stay relational instead (see text_pack_sequences)."""
+    n = table(spark, sf_dir, "nation")
+    r = F.broadcast(table(spark, sf_dir, "region"))
+    return (
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_regionkey", "r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+        )
+    )
+
+
+# z = (x - μ) / σ with μ, σ from exact decimal sums; the one-row stats
+# frame broadcasts into the filter. Σx² uses the IEEE square (identical
+# in both engines) cast once to decimal — the defined transform dsum
+# applies to any double.
+_ZSCORE_SQL = f"""
+    WITH stats AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             {dsum_sql('value')} AS s1,
+             {dsum_sql('value * value')} AS s2
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND((e.value - s.s1 / s.n) /
+                 SQRT(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n)), 6) AS zscore
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE ABS((e.value - s.s1 / s.n) /
+              SQRT(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n))) > 3.0
+"""
+
+
+@query("stats_zscore_outliers", oracle=_ZSCORE_SQL)
+def stats_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outliers (|z| > 3) — the numeric-column
+    anomaly screen of a data-quality pipeline.
+
+    Scale: the per-type stats are ONE map-side-combined aggregate (a
+    handful of rows) broadcast back onto the events scan — the raw
+    table is read once and never shuffled. The filter and the emitted
+    score share one expression, so the boundary row set is exactly the
+    rounded-score set in both engines."""
+    ev = table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value").alias("s1"),
+        dsum(F.col("value") * F.col("value")).alias("s2"),
+    )
+    mu = F.col("s1") / F.col("n")
+    sigma = F.sqrt(F.col("s2") / F.col("n") - mu * mu)
+    z = (F.col("value") - mu) / sigma
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 3.0)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 6).alias("zscore"),
+        )
+    )
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+    WITH sampled AS (
+      SELECT c_mktsegment, c_acctbal
+      FROM customer
+      WHERE (c_custkey % 1000003) * 31 % 100 <
+            CASE c_mktsegment WHEN 'BUILDING' THEN 20
+                              WHEN 'AUTOMOBILE' THEN 10
+                              ELSE 5 END
+    )
+    SELECT c_mktsegment, COUNT(*) AS n_sampled,
+           {dsum_sql('c_acctbal')} AS bal_sampled
+    FROM sampled GROUP BY c_mktsegment
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-segment rates (20/10/5%)
+    applied through the same key-derived modular hash as sample_split —
+    reproducible across engines, partitionings, and reruns, unlike
+    rand(seed).
+
+    Scale: a map-only filter (the rate CASE folds to a constant per
+    row) followed by one small aggregate; nothing shuffles but the
+    per-segment partial counts."""
+    c = table(spark, sf_dir, "customer")
+    bucket = (F.col("c_custkey") % 1000003) * 31 % 100
+    rate = (
+        F.when(F.col("c_mktsegment") == "BUILDING", 20)
+        .when(F.col("c_mktsegment") == "AUTOMOBILE", 10)
+        .otherwise(5)
+    )
+    return (
+        c.filter(bucket < rate)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            dsum("c_acctbal").alias("bal_sampled"),
+        )
+    )

@@ -195,6 +195,12 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "subquery_not_exists_inactive",
     "join_lateral_topk",
     "subquery_not_in_null_aware",
+    "agg_percentile_exact",
+    "agg_mode_deterministic",
+    "agg_skew_kurt",
+    "agg_listagg_ordered",
+    "stats_zscore_outliers",
+    "sample_stratified",
 )
 
 
@@ -343,6 +349,12 @@ DRIVER_ORDER: tuple[str, ...] = (
     "subquery_not_exists_inactive",
     "join_lateral_topk",
     "subquery_not_in_null_aware",
+    "agg_percentile_exact",
+    "agg_mode_deterministic",
+    "agg_skew_kurt",
+    "agg_listagg_ordered",
+    "stats_zscore_outliers",
+    "sample_stratified",
 )
 
 

@@ -93,6 +93,12 @@ def test_driver_order_front_loads_unrecorded_queries():
         "subquery_not_exists_inactive",
         "join_lateral_topk",
         "subquery_not_in_null_aware",
+        "agg_percentile_exact",
+        "agg_mode_deterministic",
+        "agg_skew_kurt",
+        "agg_listagg_ordered",
+        "stats_zscore_outliers",
+        "sample_stratified",
     }
     missing = never - set(DRIVER_ORDER[:50]) - round3_new - round4_queue
     assert not missing, sorted(missing)
