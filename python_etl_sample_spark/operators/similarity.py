@@ -700,3 +700,92 @@ def embeddings_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vecs"),
         F.round(F.sum("v").cast("double") / F.count(F.lit(1)), 6).alias("dim_mean"),
     )
+
+
+@query(
+    "embeddings_class_separation",
+    oracle="""
+    WITH dims AS (
+      SELECT label, u.i - 1 AS pos,
+             CAST(round(CAST(embedding[u.i] AS DOUBLE), 9)
+                  AS DECIMAL(28,12)) AS v
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+    ), cent AS (
+      SELECT label, pos,
+             CAST(round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6)
+                  AS DECIMAL(18,6)) AS m
+      FROM dims GROUP BY label, pos
+    ), pairs AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             SUM(a.m * b.m) AS sab,
+             SUM(a.m * a.m) AS saa,
+             SUM(b.m * b.m) AS sbb
+      FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+      GROUP BY a.label, b.label
+    )
+    SELECT label_a, label_b,
+           round(CAST(sab AS DOUBLE) /
+                 (SQRT(CAST(saa AS DOUBLE)) * SQRT(CAST(sbb AS DOUBLE))),
+                 6) AS centroid_cosine
+    FROM pairs
+    """,
+)
+def embeddings_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-class centroid cosine matrix — the compact separability /
+    drift report over a labeled embedding table (how close are class
+    prototypes to each other).
+
+    Float parity: per-dim means follow embeddings_centroid's
+    decimal-sum scheme, then are ROUNDED TO 6 dp AND RE-CAST to
+    decimal(18,6) before the pairwise products — 6-dp operands make
+    every product exact at 12 dp, so the 64-term dot products are
+    decimal-exact (order-free) in both engines; only the final
+    normalize runs in (mirrored) double. Scale: the heavy step is the
+    ONE (label, pos) aggregate over the corpus; everything after
+    operates on labels×64 rows — the pos-equi self join and the pair
+    aggregate are metadata-sized at any corpus size."""
+    e = table(spark, sf_dir, "embeddings")
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("pos", "raw"))
+        .select(
+            "label",
+            "pos",
+            F.round(F.col("raw").cast("double"), 9)
+            .cast("decimal(28,12)")
+            .alias("v"),
+        )
+        .groupBy("label", "pos")
+        .agg(
+            F.round(F.sum("v").cast("double") / F.count(F.lit(1)), 6)
+            .cast("decimal(18,6)")
+            .alias("m")
+        )
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "pos", F.col("m").alias("ma")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "pos", F.col("m").alias("mb")
+    )
+    pairs = (
+        a.join(b, ["pos"])
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("ma") * F.col("mb")).alias("sab"),
+            F.sum(F.col("ma") * F.col("ma")).alias("saa"),
+            F.sum(F.col("mb") * F.col("mb")).alias("sbb"),
+        )
+    )
+    return pairs.select(
+        "label_a",
+        "label_b",
+        F.round(
+            F.col("sab").cast("double")
+            / (
+                F.sqrt(F.col("saa").cast("double"))
+                * F.sqrt(F.col("sbb").cast("double"))
+            ),
+            6,
+        ).alias("centroid_cosine"),
+    )

@@ -300,3 +300,66 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal").alias("bal_sampled"),
         )
     )
+
+
+_MAD_SQL = """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_type, m.med, ABS(e.value - m.med) AS d
+      FROM events e JOIN med m ON e.event_type = m.event_type
+    ), mad AS (
+      SELECT event_type, ANY_VALUE(med) AS med,
+             quantile_cont(d, 0.5) AS mad, COUNT(*) AS n
+      FROM dev GROUP BY event_type
+    )
+    SELECT v.event_type, ROUND(v.med, 6) AS median_value,
+           ROUND(v.mad, 6) AS mad,
+           COUNT(*) FILTER (WHERE dev.d > 3.0 * 1.4826 * v.mad) AS n_outliers
+    FROM mad v JOIN dev ON dev.event_type = v.event_type
+    GROUP BY v.event_type, v.med, v.mad
+"""
+
+
+@query("ts_mad_outliers", oracle=_MAD_SQL)
+def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen: per event type, the median / MAD scale
+    estimate and how many events exceed 3 robust sigmas (1.4826·MAD) —
+    the screen that, unlike stats_zscore_outliers, is not itself
+    dragged by the outliers it hunts.
+
+    Parity: both engines use interpolated medians (percentile /
+    quantile_cont share the linear-at-rank-q·(n-1) definition; verified
+    bit-compatible by agg_percentile_exact) and the threshold compare
+    runs on identically-derived doubles. Scale: two aggregate passes
+    over events with the tiny per-type frames broadcast back — exact
+    medians buffer per-group value multisets on reducers, so at 100 TB
+    swap in approx_percentile the same way agg_approx_quantile pairs
+    with agg_percentile_exact."""
+    ev = table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("d")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.first("med").alias("med2"),
+        F.expr("percentile(d, 0.5)").alias("mad"),
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med2", "mad")
+        .agg(
+            F.count(F.when(F.col("d") > 3.0 * 1.4826 * F.col("mad"), 1)).alias(
+                "n_outliers"
+            )
+        )
+        .select(
+            "event_type",
+            F.round(F.col("med2"), 6).alias("median_value"),
+            F.round(F.col("mad"), 6).alias("mad"),
+            "n_outliers",
+        )
+    )

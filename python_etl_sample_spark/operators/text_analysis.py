@@ -672,3 +672,52 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ((F.col("n_tok") - F.col("n_uniq")) * 100 <= 66 * F.col("n_tok"))
         ).alias("keep"),
     )
+
+
+@query(
+    "text_bigram_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ), bigrams AS (
+      SELECT t.bg
+      FROM toks, unnest(list_transform(range(2, len(w)+1),
+                                       i -> w[i-1] || ' ' || w[i])) AS t(bg)
+    )
+    SELECT bg AS bigram, COUNT(*) AS cnt
+    FROM bigrams GROUP BY bg
+    ORDER BY cnt DESC, bigram
+    LIMIT 20
+    """,
+)
+def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 bigrams — the vocabulary-building pass of a
+    tokenizer pipeline (the unigram twin lives in text_tokenize_counts).
+
+    Scale: bigram expansion is map-side (transform over the token
+    array, no shuffle); the groupBy partial-aggregates the vocab
+    map-side, and the global top-20 fuses to TakeOrderedAndProject —
+    the full bigram vocabulary is never sorted, only each partition's
+    top slice reaches the driver-side heap. Tie at the cut is broken
+    lexicographically in both engines."""
+    d = table(spark, sf_dir, "documents")
+    w = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != F.lit("")
+    )
+    return (
+        d.select(w.alias("w"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w)-2),"
+                    " i -> concat_ws(' ', w[i], w[i+1]))"
+                )
+            ).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(20)
+    )

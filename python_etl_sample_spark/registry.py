@@ -201,6 +201,9 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "agg_listagg_ordered",
     "stats_zscore_outliers",
     "sample_stratified",
+    "text_bigram_topk",
+    "embeddings_class_separation",
+    "ts_mad_outliers",
 )
 
 
@@ -355,6 +358,9 @@ DRIVER_ORDER: tuple[str, ...] = (
     "agg_listagg_ordered",
     "stats_zscore_outliers",
     "sample_stratified",
+    "text_bigram_topk",
+    "embeddings_class_separation",
+    "ts_mad_outliers",
 )
 
 

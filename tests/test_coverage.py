@@ -99,6 +99,9 @@ def test_driver_order_front_loads_unrecorded_queries():
         "agg_listagg_ordered",
         "stats_zscore_outliers",
         "sample_stratified",
+        "text_bigram_topk",
+        "embeddings_class_separation",
+        "ts_mad_outliers",
     }
     missing = never - set(DRIVER_ORDER[:50]) - round3_new - round4_queue
     assert not missing, sorted(missing)
