@@ -131,8 +131,10 @@ def subquery_scalar_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Q22-shaped: scalar-subquery threshold (exact decimal sum / count with
 # the association mirrored textually) + NOT EXISTS → left-anti join.
-# Every fixture customer has SOME order, so the inactivity predicate is
-# time-scoped: no order since 1998-01-01.
+# Every fixture customer keeps ordering in every window, so plain
+# time-scoped inactivity selects nothing at sf0.001; "no URGENT order
+# since 1997" is non-empty at every fixture scale (12 @ sf0.001,
+# 147 @ sf0.01).
 _NOT_EXISTS_SQL = f"""
 SELECT c_nationkey, COUNT(*) AS n_custs, {dsum_sql('c_acctbal')} AS total_bal
 FROM customer c
@@ -143,7 +145,8 @@ WHERE c.c_acctbal > (
 AND NOT EXISTS (
   SELECT 1 FROM orders o
   WHERE o.o_custkey = c.c_custkey
-    AND o.o_orderdate >= TIMESTAMP '1998-01-01'
+    AND o.o_orderpriority = '1-URGENT'
+    AND o.o_orderdate >= TIMESTAMP '1997-01-01'
 )
 GROUP BY c_nationkey
 """
@@ -153,7 +156,8 @@ GROUP BY c_nationkey
 def subquery_not_exists_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q22-shaped: well-funded customers (balance above the
     positive-balance average, an uncorrelated scalar subquery) with no
-    1998 activity (correlated NOT EXISTS), rolled up per nation.
+    urgent order since 1997 (correlated NOT EXISTS), rolled up per
+    nation.
 
     Scale: the scalar threshold is a one-row aggregate broadcast into
     the filter; NOT EXISTS becomes a left-anti hash join on c_custkey
