@@ -207,18 +207,52 @@ EXTENSION_ORDER: tuple[str, ...] = (
 )
 
 
-#: Driver-facing rotation for round 3. The driver's CORRECTNESS artifact
-#: records at most 50 entries per round in ``queries()`` order; rounds 1+2
-#: banked green rows for 69 of the 102 queries, leaving 33 with no driver
-#: row in ANY artifact. This order puts those 33 first (SURVEY §2 ops
-#: before extensions, oracle-checked before rows-only), then the queries
-#: recorded in exactly one prior round, then the twice-recorded rest — so
-#: the r3 artifact's 50 rows complete coverage: every query has a row in
-#: CORRECTNESS_r1 ∪ r2 ∪ r3 (see tools/correctness_union.py and
-#: COVERAGE.md §"Driver-artifact rotation").
+#: Driver-facing rotation for round 4. The driver's CORRECTNESS artifact
+#: records at most 50 entries per round in ``queries()`` order; rounds 1-3
+#: banked green rows for 118 of the 133 round-3 queries. The 15 queries
+#: added mid-round-3 AFTER the r3 artifact's 50 slots were committed have
+#: no driver row in any artifact — they go first, followed by every
+#: operator added in round 4 (new code is the least-evidenced code), then
+#: the previously-recorded rest ordered by how little evidence they have
+#: (see tools/correctness_union.py and COVERAGE.md §"Driver-artifact
+#: rotation").
 DRIVER_ORDER: tuple[str, ...] = (
-    # --- never recorded in r1 or r2 (33) ---
-    # SURVEY §2 ops first (#52-57, #63-65, #67-69)
+    # --- never recorded in r1/r2/r3 (15; added mid-round-3) ---
+    "subquery_exists",
+    "subquery_in_having",
+    "subquery_scalar_correlated",
+    "subquery_not_exists_inactive",
+    "join_lateral_topk",
+    "subquery_not_in_null_aware",
+    "agg_percentile_exact",
+    "agg_mode_deterministic",
+    "agg_skew_kurt",
+    "agg_listagg_ordered",
+    "stats_zscore_outliers",
+    "sample_stratified",
+    "text_bigram_topk",
+    "embeddings_class_separation",
+    "ts_mad_outliers",
+    # --- round-4 additions (first possible artifact slots) ---
+    # (inserted here as they are implemented)
+    # --- recorded once in r3 only ---
+    "join_interval_overlap",
+    "text_unigram_lm_score",
+    "dedup_cluster_keeper",
+    "text_pii_scrub",
+    "text_repetition_filter",
+    "events_funnel",
+    "etl_scd2_history",
+    "attribution_last_touch",
+    "embeddings_centroid",
+    "win_streak_gaps_islands",
+    "data_profile",
+    "agg_histogram",
+    "stats_corr_matrix",
+    "events_retention_cohort",
+    "q_top_suppliers",
+    "corpus_mix_weights",
+    # --- recorded in r3 + one earlier round ---
     "stream_tumbling",
     "stream_sliding",
     "stream_session",
@@ -231,7 +265,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "udf_scalar_pandas",
     "udaf_grouped_agg",
     "udtf_apply_in_pandas",
-    # oracle-checked extensions
     "source_orc",
     "source_text",
     "win_percent_cume",
@@ -249,31 +282,11 @@ DRIVER_ORDER: tuple[str, ...] = (
     "ts_gap_fill",
     "udtf_python_lateral",
     "etl_incremental",
-    # rows-only extensions
     "multimodal_frame_sample",
     "multimodal_audio_features",
     "stream_demo_tumbling",
     "stream_demo_stateful",
-    # --- round-3 additions (no prior artifact could contain them; with
-    # the 33 never-recorded above they fill 49 of the 50 artifact slots,
-    # so EVERY query ends round 3 with a driver row in r1 ∪ r2 ∪ r3) ---
-    "join_interval_overlap",
-    "text_unigram_lm_score",
-    "dedup_cluster_keeper",
-    "text_pii_scrub",
-    "text_repetition_filter",
-    "events_funnel",
-    "etl_scd2_history",
-    "attribution_last_touch",
-    "embeddings_centroid",
-    "win_streak_gaps_islands",
-    "data_profile",
-    "agg_histogram",
-    "stats_corr_matrix",
-    "events_retention_cohort",
-    "q_top_suppliers",
-    "corpus_mix_weights",
-    # --- recorded in exactly one prior round (refresh slots 50+) ---
+    # --- recorded in exactly one early round ---
     "scan_parquet",
     "scan_projected",
     "source_csv",
@@ -344,23 +357,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "fn_math",
     "fn_array",
     "fn_map_from_json",
-    # --- added mid-round-3 after the 50 recorded slots were already
-    # committed; first artifact slots available in round 4 ---
-    "subquery_exists",
-    "subquery_in_having",
-    "subquery_scalar_correlated",
-    "subquery_not_exists_inactive",
-    "join_lateral_topk",
-    "subquery_not_in_null_aware",
-    "agg_percentile_exact",
-    "agg_mode_deterministic",
-    "agg_skew_kurt",
-    "agg_listagg_ordered",
-    "stats_zscore_outliers",
-    "sample_stratified",
-    "text_bigram_topk",
-    "embeddings_class_separation",
-    "ts_mad_outliers",
 )
 
 

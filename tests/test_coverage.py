@@ -55,61 +55,30 @@ def test_driver_order_is_permutation_of_canonical():
 
 def test_driver_order_front_loads_unrecorded_queries():
     """The first 50 driver-order names must include every query with no
-    row in CORRECTNESS_r01 ∪ r02 (the whole point of the rotation)."""
+    row in CORRECTNESS_r01 ∪ r02 ∪ r03 (the whole point of the round-4
+    rotation). Queries ADDED in round 4 have no artifact row either, by
+    construction — the registry front-loads them too, and this test pins
+    the invariant without naming them: never-recorded = not in any
+    artifact, whether old or new."""
     import json
 
     from python_etl_sample_spark.registry import DRIVER_ORDER, canonical_names
 
     recorded: set[str] = set()
-    for path in ("/root/repo/CORRECTNESS_r01.json", "/root/repo/CORRECTNESS_r02.json"):
+    for path in (
+        "/root/repo/CORRECTNESS_r01.json",
+        "/root/repo/CORRECTNESS_r02.json",
+        "/root/repo/CORRECTNESS_r03.json",
+    ):
         recorded |= set(json.load(open(path)))
     never = set(canonical_names()) - recorded
-    # queries ADDED in round 3 didn't exist when r1/r2 ran; they queue
-    # behind the banked ones rather than displacing never-recorded slots
-    round3_new = {
-        "join_interval_overlap",
-        "text_unigram_lm_score",
-        "dedup_cluster_keeper",
-        "text_pii_scrub",
-        "text_repetition_filter",
-        "events_funnel",
-        "etl_scd2_history",
-        "attribution_last_touch",
-        "embeddings_centroid",
-        "win_streak_gaps_islands",
-        "data_profile",
-        "agg_histogram",
-        "stats_corr_matrix",
-        "events_retention_cohort",
-        "q_top_suppliers",
-        "corpus_mix_weights",
-    }
-    # added after round 3's 50 recorded slots were full; they take
-    # round 4's refresh slots instead
-    round4_queue = {
-        "subquery_exists",
-        "subquery_in_having",
-        "subquery_scalar_correlated",
-        "subquery_not_exists_inactive",
-        "join_lateral_topk",
-        "subquery_not_in_null_aware",
-        "agg_percentile_exact",
-        "agg_mode_deterministic",
-        "agg_skew_kurt",
-        "agg_listagg_ordered",
-        "stats_zscore_outliers",
-        "sample_stratified",
-        "text_bigram_topk",
-        "embeddings_class_separation",
-        "ts_mad_outliers",
-    }
-    missing = never - set(DRIVER_ORDER[:50]) - round3_new - round4_queue
-    assert not missing, sorted(missing)
-    # the round-3 additions themselves must also sit inside the 50
-    # recorded slots — that's the point of the rotation
-    assert round3_new <= set(DRIVER_ORDER[:50]), sorted(
-        round3_new - set(DRIVER_ORDER[:50])
-    )
+    if len(never) <= 50:
+        missing = never - set(DRIVER_ORDER[:50])
+        assert not missing, sorted(missing)
+    else:
+        # more unrecorded queries than artifact slots: the 50 slots must
+        # at least all go to unrecorded queries
+        assert set(DRIVER_ORDER[:50]) <= never
 
 
 def test_totals_line():
