@@ -8,8 +8,10 @@ from python_etl_sample_spark.operators import (  # noqa: F401
     multimodal,
     profiling,
     projections,
+    reshape,
     scans,
     setops,
+    sql_extras,
     subqueries,
     similarity,
     sorts,

@@ -204,6 +204,14 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "text_bigram_topk",
     "embeddings_class_separation",
     "ts_mad_outliers",
+    # round-4 additions (hash-checked)
+    "agg_filter_clause",
+    "agg_minmax_by",
+    "agg_bool_bit",
+    "agg_count_distinct_multi",
+    "agg_regression_ols",
+    "unpivot_metrics",
+    "explode_token_positions",
 )
 
 
@@ -234,7 +242,13 @@ DRIVER_ORDER: tuple[str, ...] = (
     "embeddings_class_separation",
     "ts_mad_outliers",
     # --- round-4 additions (first possible artifact slots) ---
-    # (inserted here as they are implemented)
+    "agg_filter_clause",
+    "agg_minmax_by",
+    "agg_bool_bit",
+    "agg_count_distinct_multi",
+    "agg_regression_ols",
+    "unpivot_metrics",
+    "explode_token_positions",
     # --- recorded once in r3 only ---
     "join_interval_overlap",
     "text_unigram_lm_score",

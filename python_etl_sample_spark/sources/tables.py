@@ -1,12 +1,15 @@
 """Parquet table loader + normalization layer (SURVEY.md §7 M0).
 
 The one semantic normalization this engine needs at load time
-(FIXTURES.md): ``events.ts`` arrives as bigint nanoseconds (because
-Spark reads timestamp[ns] parquet as long under
-``nanosAsLong=true``) and is converted to ``timestamp_ntz`` via
-**integer-division** microseconds — ``ts div 1000`` — which is
-value-exact against DuckDB's native read of the same column (verified;
-plain ``/`` would round through double and drift at ns scale).
+(FIXTURES.md): ``events.ts`` must come out as ``timestamp_ntz``
+whatever physical unit the fixture generation used. The driver has
+shipped the column both as timestamp[ns] (rounds 1-3 — Spark reads it
+as bigint nanos under ``nanosAsLong=true``; convert via
+**integer-division** microseconds ``ts div 1000``, value-exact against
+DuckDB) and as timestamp[us] (round 4+ — Spark reads it natively as
+TIMESTAMP_NTZ; no conversion). The loader branches on the LOADED type,
+not on an assumption about the file, so either vintage of fixture
+works unmodified.
 
 Scale note: loading is purely lazy — each table is a parquet scan plan,
 so Catalyst column-pruning/predicate-pushdown reach the scan. No
@@ -17,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 from python_etl_sample_spark.session import ensure_session_configs
 
@@ -39,9 +43,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_configs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-        )
+        if isinstance(df.schema["ts"].dataType, LongType):
+            # timestamp[ns] fixture read as bigint nanos (nanosAsLong)
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+            )
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return df
 
 

@@ -43,8 +43,14 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_dir = stage_once("stream_src", sf_dir, _stage)
     stream = spark.readStream.schema(raw_schema).parquet(src_dir)
     # watermarks require TIMESTAMP (not NTZ); with the UTC session tz the
-    # wall-clock values are identical to the batch loader's timestamp_ntz
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # wall-clock values are identical to the batch loader's timestamp_ntz.
+    # Branch on the LOADED ts type exactly as the batch loader does
+    # (sources/tables.py): bigint = nanos fixture vintage, else native.
+    from pyspark.sql.types import LongType
+
+    if isinstance(raw_schema["ts"].dataType, LongType):
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _run_to_memory(result: DataFrame, mode: str) -> DataFrame:
