@@ -4,6 +4,8 @@ from python_etl_sample_spark.operators import (  # noqa: F401
     analytics,
     aggregates,
     dedup,
+    event_sequences,
+    graph,
     joins,
     multimodal,
     profiling,

@@ -1,0 +1,215 @@
+"""Ordered-event analytics round 4: Markov transitions, cumulative
+distinct users, forward as-of join with tolerance, and OHLC resampling.
+
+All four run on the events stream table and share one discipline: any
+"order of arrival" semantics is pinned to the total order
+``(ts, event_id)`` — the same tie-break law the streaming family uses
+(streaming/batch_semantics.py) — so results are identical across
+engines, partitionings, and reruns.
+
+Scale: every operator here is one shuffle on a bounded key
+(user_id / event_type / hour). Per-user windows assume a user's history
+fits an executor — the standard sessionization contract; a 100 TB run
+partitions by user and sorts within partitions, which is exactly the
+plan Spark produces for these window specs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from python_etl_sample_spark.functions.determinism import dsum, dsum_sql
+from python_etl_sample_spark.registry import query
+from python_etl_sample_spark.sources import table
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH nxt AS (
+      SELECT event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ), pairs AS (
+      SELECT event_type, next_type, COUNT(*) AS n
+      FROM nxt WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    )
+    SELECT event_type, next_type, n,
+           ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY event_type), 6) AS p
+    FROM pairs
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for each
+    ordered pair of adjacent events per user, the transition count and
+    conditional probability P(next | current).
+
+    The adjacency comes from LEAD over the (ts, event_id) total order;
+    the probability normalizes within the source state over the tiny
+    5×5 pair table, not the raw events. Scale: one shuffle by user for
+    the lag, one map-side-combined count — the classic two-stage
+    sessionization shape."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = Window.partitionBy("event_type")
+    return pairs.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") * 1.0 / F.sum("n").over(wt), 6).alias("p"),
+    )
+
+
+@query(
+    "events_cum_distinct_users",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id
+    ), per_day AS (
+      SELECT day, COUNT(*) AS new_users FROM first_day GROUP BY day
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_users
+    FROM per_day
+    """,
+)
+def events_cum_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day — the growth curve — via the
+    first-touch rewrite: a user contributes to the cumulative count
+    exactly on their first-ever day, so running COUNT(DISTINCT) over an
+    expanding frame (quadratic state, unbounded memory) collapses to
+    min-per-user + running SUM over the tiny per-day frame.
+
+    Scale: the expensive step is one groupBy(user_id) min — map-side
+    combined, one shuffle; the window runs over ≤30 rows. This rewrite
+    is THE way to compute cumulative-distinct at 100 TB."""
+    ev = table(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("day"))
+    per_day = first_day.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        # date -> midnight timestamp on both sides (see win_streak note)
+        F.col("day").cast("timestamp_ntz").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    SELECT err.event_id, err.user_id,
+           MIN(p.ts) AS next_purchase_ts,
+           CAST(date_diff('second', err.ts, MIN(p.ts)) AS BIGINT) AS gap_s
+    FROM events err
+    JOIN events p
+      ON p.user_id = err.user_id
+     AND p.event_type = 'purchase'
+     AND (p.ts > err.ts OR (p.ts = err.ts AND p.event_id > err.event_id))
+     AND p.ts <= err.ts + INTERVAL 1 HOUR
+    WHERE err.event_type = 'error'
+    GROUP BY err.event_id, err.user_id, err.ts
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with tolerance: each error event matched to
+    the SAME user's next purchase within 1 hour — the
+    direction='forward' twin of join_asof (joins.py), used for
+    "did the incident convert anyway" analyses.
+
+    The Spark plan is NOT the oracle's O(n·m) self-join: one window
+    over (user_id, ts, event_id) computes the next-purchase timestamp
+    for every row in a single pass (min of a conditional over the
+    strictly-following frame), then the tolerance filter keeps matches.
+    Same answer, linear work — the scale-right as-of formulation."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = ev.withColumn(
+        "next_purchase_ts",
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).over(w),
+    )
+    return (
+        nxt.filter(
+            (F.col("event_type") == "error")
+            & F.col("next_purchase_ts").isNotNull()
+            & (F.col("next_purchase_ts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "next_purchase_ts",
+            (
+                F.unix_timestamp("next_purchase_ts") - F.unix_timestamp("ts")
+            ).alias("gap_s"),
+        )
+    )
+
+
+@query(
+    "ts_ohlc_bars",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, ts, event_id, value
+      FROM events
+    ), r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY event_type, hour
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, hour
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM b
+    )
+    SELECT event_type, hour,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           COUNT(*) AS n_events,
+           {dsum_sql('value')} AS volume
+    FROM r GROUP BY event_type, hour
+    """,
+)
+def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC resampling per event type: open/high/low/close of
+    ``value`` plus count and exact volume — the time-series downsample
+    every monitoring and market pipeline runs.
+
+    Open/close are arg-extrema over the (ts, event_id) total order via
+    ``min_by``/``max_by`` on a struct key — ONE map-side-combined
+    aggregate carrying constant state per bar, no sort, no window. The
+    oracle needs two ROW_NUMBER windows for the same semantics because
+    DuckDB's arg_min can't take a composite ordering; the Spark shape
+    is the one that survives 100 TB."""
+    ev = table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    return b.groupBy("event_type", "hour").agg(
+        F.expr("min_by(value, struct(ts, event_id))").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.expr("max_by(value, struct(ts, event_id))").alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("volume"),
+    )

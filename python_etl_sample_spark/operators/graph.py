@@ -1,0 +1,184 @@
+"""Graph and frontier operators round 4: iterative connected components
+(hash-min label propagation) and a window-based Pareto skyline.
+
+Connected components is the one algorithm in this engine that is
+genuinely ITERATIVE — a driver loop over DataFrame joins, converging in
+O(graph diameter) rounds. It powers duplicate-cluster resolution at
+corpus scale: dedup candidate pairs (MinHash/SimHash/embedding) form
+edges, and each component is one duplicate cluster whose minimum doc_id
+becomes the keeper — the same resolution dedup_cluster_keeper
+(dedup.py) computes for its two-hop fixture, generalized to arbitrary
+chain depth.
+
+The oracle is a recursive CTE (DuckDB WITH RECURSIVE) computing the
+minimum reachable node id — semantically identical, but materializing
+the full reachability set (quadratic in component size), which is why
+the iterative hash-min formulation, not the CTE, is the 100 TB path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from python_etl_sample_spark.registry import query
+from python_etl_sample_spark.sources import table
+
+
+def _doc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic candidate-pair graph over documents: within each
+    (lang, source) block, adjacent docs in n_chars order are linked when
+    their lengths differ by ≤ 3 chars — a cheap stand-in for "near-dup
+    candidates from a banding join", chosen because it produces chains
+    (variable-depth components) rather than cliques, which is the case
+    that actually needs iteration."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    w = Window.partitionBy("lang", "source").orderBy("n_chars", "doc_id")
+    nxt = d.select(
+        F.col("doc_id").alias("src"),
+        F.lead("doc_id").over(w).alias("dst"),
+        (F.lead("n_chars").over(w) - F.col("n_chars")).alias("gap"),
+    )
+    return nxt.filter(F.col("dst").isNotNull() & (F.col("gap") <= 3)).select(
+        "src", "dst"
+    )
+
+
+_CC_SQL = """
+    WITH RECURSIVE
+    base AS (
+      SELECT doc_id, lang, source, n_chars,
+             LEAD(doc_id)  OVER (PARTITION BY lang, source
+                                 ORDER BY n_chars, doc_id) AS nxt_id,
+             LEAD(n_chars) OVER (PARTITION BY lang, source
+                                 ORDER BY n_chars, doc_id) AS nxt_chars
+      FROM documents
+    ),
+    fwd AS (
+      SELECT doc_id AS src, nxt_id AS dst FROM base
+      WHERE nxt_id IS NOT NULL AND nxt_chars - n_chars <= 3
+    ),
+    edges AS (
+      SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd
+    ),
+    reach(node, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, MIN(lab) AS component FROM reach GROUP BY node
+    )
+    SELECT component, COUNT(*) AS n_docs,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM comp GROUP BY component
+"""
+
+
+@query("graph_connected_components", oracle=_CC_SQL)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the document candidate-pair graph via
+    iterative hash-min label propagation; one row per component with
+    its size and extremes. Labels start as each node's own id; each
+    round every node takes the min of its label and its neighbors'
+    labels; at the fixpoint the label is the component's minimum id.
+
+    Scale: each round is one join (edges × labels, shuffled on node id)
+    plus a groupBy-min — all hash-partitioned on the same key, so AQE
+    reuses the exchange. Rounds needed = graph diameter (≤ chain length
+    here, typically ≤ log n with path-doubling variants).
+    ``localCheckpoint`` truncates the lineage each round so the plan
+    doesn't grow with iterations — THE standard Spark idiom for
+    iterative algorithms. The recursive-CTE oracle materializes full
+    reachability instead (quadratic in component size): correct at
+    fixture scale, hopeless at 100 TB."""
+    edges_fwd = _doc_edges(spark, sf_dir)
+    edges = edges_fwd.union(
+        edges_fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("node"), F.col("doc_id").alias("lab"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(64):  # hard bound; converges at graph diameter
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.min("lab").alias("nlab"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))).alias(
+                    "lab"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.groupBy(F.col("lab").alias("component")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("node").alias("max_doc"),
+    )
+
+
+@query(
+    "skyline_pareto",
+    oracle="""
+    WITH per_price AS (
+      SELECT p_retailprice AS price, MAX(p_size) AS msize
+      FROM part GROUP BY p_retailprice
+    ), ranked AS (
+      SELECT price,
+             MAX(msize) OVER (ORDER BY price
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax
+      FROM per_price
+    ), prevmax AS (
+      SELECT price, LAG(runmax) OVER (ORDER BY price) AS pmax FROM ranked
+    )
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p JOIN prevmax v ON p.p_retailprice = v.price
+    WHERE v.pmax IS NULL OR p.p_size >= v.pmax
+    """,
+)
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline of parts — every part not strictly dominated on
+    (cheaper price, bigger size): the classic multi-objective frontier
+    query (skyline operator, Börzsönyi et al. 2001).
+
+    The naive formulation is a quadratic NOT EXISTS self-join. This
+    plan is O(n log n): collapse to one max-size row per distinct
+    price, take a running max over the price order, and lag it by one
+    price step — a part is dominated iff some STRICTLY cheaper price
+    saw a STRICTLY larger size, i.e. iff lag(running_max) > its size.
+    Scale: the windows run over |distinct prices| rows, not parts, and
+    the dominance test broadcasts back onto the scan. A global-order
+    window appears, but on the collapsed frame — at 100 TB use a
+    range-partitioned sort, which is exactly what Spark plans here."""
+    p = table(spark, sf_dir, "part")
+    per_price = p.groupBy(F.col("p_retailprice").alias("price")).agg(
+        F.max("p_size").alias("msize")
+    )
+    w_run = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, 0)
+    w_lag = Window.orderBy("price")
+    ranked = per_price.withColumn("runmax", F.max("msize").over(w_run))
+    prevmax = ranked.select("price", F.lag("runmax").over(w_lag).alias("pmax"))
+    return (
+        p.join(
+            F.broadcast(prevmax), p.p_retailprice == prevmax.price, "inner"
+        )
+        .filter(F.col("pmax").isNull() | (F.col("p_size") >= F.col("pmax")))
+        .select("p_partkey", "p_retailprice", "p_size")
+    )

@@ -212,6 +212,12 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "agg_regression_ols",
     "unpivot_metrics",
     "explode_token_positions",
+    "events_transition_matrix",
+    "events_cum_distinct_users",
+    "join_asof_forward",
+    "ts_ohlc_bars",
+    "graph_connected_components",
+    "skyline_pareto",
 )
 
 
@@ -249,6 +255,12 @@ DRIVER_ORDER: tuple[str, ...] = (
     "agg_regression_ols",
     "unpivot_metrics",
     "explode_token_positions",
+    "events_transition_matrix",
+    "events_cum_distinct_users",
+    "join_asof_forward",
+    "ts_ohlc_bars",
+    "graph_connected_components",
+    "skyline_pareto",
     # --- recorded once in r3 only ---
     "join_interval_overlap",
     "text_unigram_lm_score",
