@@ -1,0 +1,141 @@
+"""Text-corpus extensions round 4: edit-distance fuzzy dedup and a
+Zipf rank-frequency fit.
+
+Complements the dedup family (operators/dedup.py) with the
+CHARACTER-level near-duplicate detector the token-level MinHash/SimHash
+signatures miss (small in-place edits, OCR noise), and adds the
+corpus-health diagnostic (Zipf slope) every tokenizer/LM data report
+includes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from python_etl_sample_spark.functions.determinism import dsum_sql
+from python_etl_sample_spark.registry import query
+from python_etl_sample_spark.sources import table
+
+
+@query(
+    "dedup_fuzzy_levenshtein",
+    oracle="""
+    SELECT a.doc_id, b.doc_id AS doc_id2,
+           levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60)) AS dist
+    FROM documents a
+    JOIN documents b
+      ON a.lang = b.lang AND a.source = b.source
+     AND a.doc_id < b.doc_id
+     AND abs(a.n_chars - b.n_chars) <= 5
+    WHERE levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60)) <= 20
+    """,
+)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-dup candidates by edit distance: within each
+    (lang, source) block, doc pairs whose 60-char prefixes are within
+    Levenshtein distance 20 — the character-level complement to the
+    token-level MinHash/SimHash detectors (small edits, OCR noise).
+
+    Scale shape: the O(n²) comparison is fenced twice BEFORE any
+    distance is computed — an equi-join on the (lang, source) block key
+    (a shuffle, not a cartesian) and a ±5-char length gate (edit
+    distance ≥ length difference, so this prunes nothing that could
+    match at threshold 20... it prunes pairs that could never be CLOSE
+    — kept deliberately loose so the DP actually runs). Levenshtein on
+    60-char prefixes bounds each comparison at 3 600 DP cells
+    regardless of document length. Both engines implement the classic
+    unit-cost DP, so distances are exactly equal."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars", F.substring("text", 1, 60).alias("p")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    dist = F.levenshtein(F.col("a.p"), F.col("b.p"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 5),
+        )
+        .filter(dist <= 20)
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("doc_id2"),
+            dist.alias("dist"),
+        )
+    )
+
+
+_ZIPF_SQL = f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ), counts AS (
+      SELECT token, COUNT(*) AS c FROM tok GROUP BY token
+    ), ranked AS (
+      SELECT token, c,
+             ROW_NUMBER() OVER (ORDER BY c DESC, token) AS r
+      FROM counts
+    ), top AS (
+      SELECT ROUND(log10(CAST(r AS DOUBLE)), 9) AS x,
+             ROUND(log10(CAST(c AS DOUBLE)), 9) AS y
+      FROM ranked WHERE r <= 100
+    ), sums AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             {dsum_sql('x')} AS sx, {dsum_sql('y')} AS sy,
+             {dsum_sql('x * x')} AS sxx, {dsum_sql('x * y')} AS sxy
+      FROM top
+    )
+    SELECT CAST(n AS BIGINT) AS n_ranks,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+             AS intercept_log10
+    FROM sums
+"""
+
+
+@query("text_zipf_slope", oracle=_ZIPF_SQL)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit: OLS slope of log10(count) on
+    log10(rank) over the corpus's top-100 tokens — natural text sits
+    near −1; a flat or cliffy slope flags templated/synthetic corpora
+    (the standard LM-data health check).
+
+    Determinism: rank ties break lexicographically (count DESC, token
+    ASC) in both engines; log10 outputs are rounded to 9 dp BEFORE the
+    regression (the unigram-LM convention for libm values —
+    text_analysis.py) so the sums run on identical doubles, then go
+    through decimal; the closed form mirrors agg_regression_ols. Scale:
+    token counting is the only big stage (one shuffle); the window and
+    fit run on 100 rows."""
+    d = table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("token"))
+    top = (
+        counts.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 100)
+        .select(
+            F.round(F.log10(F.col("r").cast("double")), 9).alias("x"),
+            F.round(F.log10(F.col("c").cast("double")), 9).alias("y"),
+        )
+    )
+    dec = lambda c: F.sum(c.cast("decimal(28,6)")).cast("double")  # noqa: E731
+    sums = top.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dec(F.col("x")).alias("sx"),
+        dec(F.col("y")).alias("sy"),
+        dec(F.col("x") * F.col("x")).alias("sxx"),
+        dec(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy, sxx, sxy = (F.col(c) for c in ("n", "sx", "sy", "sxx", "sxy"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return sums.select(
+        n.cast("bigint").alias("n_ranks"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept_log10"),
+    )

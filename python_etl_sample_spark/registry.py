@@ -218,6 +218,16 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "ts_ohlc_bars",
     "graph_connected_components",
     "skyline_pareto",
+    "embedding_int8_quantize",
+    "embedding_matryoshka_energy",
+    "dedup_fuzzy_levenshtein",
+    "text_zipf_slope",
+    "dq_expectations",
+    "etl_merge_upsert",
+    "source_schema_evolution",
+    "q_order_count_distribution",
+    "q_promo_share",
+    "q_small_quantity_revenue",
 )
 
 
@@ -261,6 +271,16 @@ DRIVER_ORDER: tuple[str, ...] = (
     "ts_ohlc_bars",
     "graph_connected_components",
     "skyline_pareto",
+    "embedding_int8_quantize",
+    "embedding_matryoshka_energy",
+    "dedup_fuzzy_levenshtein",
+    "text_zipf_slope",
+    "dq_expectations",
+    "etl_merge_upsert",
+    "source_schema_evolution",
+    "q_order_count_distribution",
+    "q_promo_share",
+    "q_small_quantity_revenue",
     # --- recorded once in r3 only ---
     "join_interval_overlap",
     "text_unigram_lm_score",
