@@ -228,6 +228,14 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "q_order_count_distribution",
     "q_promo_share",
     "q_small_quantity_revenue",
+    "win_qualify_latest",
+    "join_existence_flags",
+    "events_ab_lift",
+    "stats_chi2_independence",
+    "ts_ewma_halflife",
+    "text_vocab_coverage",
+    "fn_url_parse",
+    "fn_calendar_buckets",
 )
 
 
@@ -281,6 +289,14 @@ DRIVER_ORDER: tuple[str, ...] = (
     "q_order_count_distribution",
     "q_promo_share",
     "q_small_quantity_revenue",
+    "win_qualify_latest",
+    "join_existence_flags",
+    "events_ab_lift",
+    "stats_chi2_independence",
+    "ts_ewma_halflife",
+    "text_vocab_coverage",
+    "fn_url_parse",
+    "fn_calendar_buckets",
     # --- recorded once in r3 only ---
     "join_interval_overlap",
     "text_unigram_lm_score",
