@@ -213,3 +213,72 @@ def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum("value").alias("volume"),
     )
+
+
+@query(
+    "events_error_rate_anomaly",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             COUNT(*) AS n_events,
+             COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors
+      FROM events GROUP BY date_trunc('hour', ts)
+    ), ma AS (
+      SELECT hour, n_events, n_errors,
+             CAST(SUM(n_errors) OVER (ORDER BY hour
+                  ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS BIGINT)
+               AS err_prev3,
+             CAST(SUM(n_events) OVER (ORDER BY hour
+                  ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS BIGINT)
+               AS ev_prev3
+      FROM hourly
+    )
+    SELECT hour, n_events, n_errors,
+           ROUND(n_errors * 1.0 / n_events, 6) AS err_rate
+    FROM ma
+    WHERE ev_prev3 IS NOT NULL AND err_prev3 IS NOT NULL
+      AND n_errors * ev_prev3 * 2 > err_prev3 * n_events * 3
+    """,
+)
+def events_error_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed anomaly screen: hours whose error rate exceeds 1.5× the
+    trailing-3-hour baseline — the alerting query behind every
+    error-budget dashboard.
+
+    The comparison `rate > 1.5 · baseline` is cross-multiplied into
+    pure integer arithmetic (n_errors·ev_prev3·2 > err_prev3·n_events·3)
+    so the anomaly SET is decided without a single float; the reported
+    rate is one rounded division for display. Scale: events collapse to
+    ~720 hourly rows before any window runs — the window cost is
+    negligible and the heavy stage is one map-side-combined count."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+    )
+    w = Window.orderBy("hour").rowsBetween(-3, -1)
+    ma = hourly.select(
+        "hour",
+        "n_events",
+        "n_errors",
+        F.sum("n_errors").over(w).alias("err_prev3"),
+        F.sum("n_events").over(w).alias("ev_prev3"),
+    )
+    return (
+        ma.filter(
+            F.col("ev_prev3").isNotNull()
+            & F.col("err_prev3").isNotNull()
+            & (
+                F.col("n_errors") * F.col("ev_prev3") * 2
+                > F.col("err_prev3") * F.col("n_events") * 3
+            )
+        )
+        .select(
+            "hour",
+            "n_events",
+            "n_errors",
+            F.round(F.col("n_errors") * 1.0 / F.col("n_events"), 6).alias(
+                "err_rate"
+            ),
+        )
+    )

@@ -139,3 +139,41 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("zipf_slope"),
         F.round((sy - slope * sx) / n, 6).alias("intercept_log10"),
     )
+
+
+@query(
+    "text_dedup_prefix",
+    oracle="""
+    WITH pref AS (
+      SELECT doc_id,
+             array_to_string(string_split(text, ' ')[1:8], ' ') AS prefix
+      FROM documents
+    )
+    SELECT prefix, COUNT(*) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc,
+           COUNT(*) - 1 AS n_dropped
+    FROM pref GROUP BY prefix HAVING COUNT(*) > 1
+    """,
+)
+def text_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix dedup: documents sharing an identical 8-token prefix
+    grouped into clusters with the lowest doc_id as keeper — the cheap
+    first pass of a dedup cascade (boilerplate headers, templated
+    intros) that removes easy mass before MinHash/SimHash spend
+    signatures on it.
+
+    Scale: the prefix is a short derived key, so only ~50 bytes per doc
+    shuffle — the groupBy never moves document bodies. HAVING > 1 keeps
+    the output to actual duplicate clusters."""
+    d = table(spark, sf_dir, "documents")
+    prefix = F.array_join(F.slice(F.split("text", " "), 1, 8), " ")
+    return (
+        d.select("doc_id", prefix.alias("prefix"))
+        .groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc"),
+            (F.count(F.lit(1)) - 1).alias("n_dropped"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -10,10 +10,10 @@ real report workloads do.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from python_etl_sample_spark.functions.determinism import dsum_sql
+from python_etl_sample_spark.functions.determinism import dsum, dsum_sql
 from python_etl_sample_spark.registry import query
 from python_etl_sample_spark.sources import table
 
@@ -137,4 +137,65 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("avg_yearly")
         )
+    )
+
+
+@query(
+    "q_national_market_share",
+    oracle=f"""
+    WITH rev AS (
+      SELECT r.r_name AS region,
+             CAST(date_part('year', o.o_orderdate) AS INTEGER) AS year,
+             l.l_extendedprice * (1 - l.l_discount) AS amount
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+    ), agg AS (
+      SELECT region, year, {dsum_sql('amount')} AS rev
+      FROM rev GROUP BY region, year
+    )
+    SELECT region, year,
+           ROUND(rev, 6) AS revenue,
+           ROUND(rev / SUM(rev) OVER (PARTITION BY year), 6) AS mkt_share
+    FROM agg
+    """,
+)
+def q_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 analog: each region's share of global discounted
+    revenue per year — the five-table star join rolled up to a
+    share-of-total window.
+
+    Plan shape: lineitem (the fact) joins orders on orderkey (the one
+    big shuffle), then every remaining dimension — customer, nation,
+    region — broadcasts; the share window runs over the ≤35-row
+    (region, year) aggregate. Revenue sums are exact decimals; the
+    share is one double division of two exact sums, rounded. At 100 TB
+    the orders join co-partitions (or buckets) on orderkey and nothing
+    else shuffles at all."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("r_name").alias("region"),
+            F.year("o_orderdate").alias("year"),
+            amount.alias("amount"),
+        )
+    )
+    agg = rev.groupBy("region", "year").agg(dsum("amount").alias("rev"))
+    w = Window.partitionBy("year")
+    return agg.select(
+        "region",
+        "year",
+        F.round(F.col("rev"), 6).alias("revenue"),
+        F.round(F.col("rev") / F.sum("rev").over(w), 6).alias("mkt_share"),
     )

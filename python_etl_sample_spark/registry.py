@@ -236,6 +236,10 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "text_vocab_coverage",
     "fn_url_parse",
     "fn_calendar_buckets",
+    "text_dedup_prefix",
+    "events_error_rate_anomaly",
+    "q_national_market_share",
+    "stream_demo_session",
 )
 
 
@@ -297,6 +301,10 @@ DRIVER_ORDER: tuple[str, ...] = (
     "text_vocab_coverage",
     "fn_url_parse",
     "fn_calendar_buckets",
+    "text_dedup_prefix",
+    "events_error_rate_anomaly",
+    "q_national_market_share",
+    "stream_demo_session",
     # --- recorded once in r3 only ---
     "join_interval_overlap",
     "text_unigram_lm_score",

@@ -155,6 +155,18 @@ def stream_demo_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return demo_tumbling(spark, sf_dir)
 
 
+@query("stream_demo_session", oracle=None)
+def stream_demo_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#54-demo declared rows-only: native ``session_window`` with a
+    30-minute gap under a real readStream (its equality to the batch
+    gap-sessionization — stream_session's engine — is asserted in
+    tests). Session windows are the one window type whose extent is
+    DATA-dependent; the state store merges windows as late rows arrive,
+    which is exactly what the batch twin's gaps-and-islands pass does
+    in one shot."""
+    return demo_session(spark, sf_dir)
+
+
 @query("stream_demo_stateful", oracle=None)
 def stream_demo_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#57-demo declared rows-only: the applyInPandasWithState custom
