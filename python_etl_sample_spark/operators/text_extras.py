@@ -49,7 +49,20 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "n_chars", F.substring("text", 1, 60).alias("p")
     )
-    a, b = d.alias("a"), d.alias("b")
+    # Candidate pairs are CHEAP (equi-join on the block key + length
+    # gate) but each surviving pair costs a 3 600-cell DP, and the DP
+    # filter — being deterministic — is pushed INTO the join stage, so
+    # the join's parallelism IS the DP's parallelism. AQE sees only the
+    # tiny shuffle bytes and coalesces that stage to ONE task, putting
+    # every DP on one core (measured 9.2 s at sf0.1; a repartition AFTER
+    # the join does not help because the filter pushes back through it).
+    # Fix: pre-partition both sides by the block key with an EXPLICIT
+    # partition count — user-specified counts are exempt from AQE
+    # coalescing, so the join and its fused DP run 32-wide. The general
+    # rule: when per-row CPU, not bytes, dominates a stage, pin its
+    # parallelism explicitly.
+    a = d.repartition(32, "lang", "source").alias("a")
+    b = d.repartition(32, "lang", "source").alias("b")
     dist = F.levenshtein(F.col("a.p"), F.col("b.p"))
     return (
         a.join(

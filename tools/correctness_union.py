@@ -43,6 +43,21 @@ def load_rounds(repo_root: str) -> dict[int, dict]:
     return rounds
 
 
+def load_local_rounds(repo_root: str) -> dict[int, dict]:
+    """Full-coverage artifacts from tools/drive_contract.py (the driver's
+    exact methodology run locally, not capped at 50 entries)."""
+    rounds = {}
+    for path in sorted(
+        glob.glob(os.path.join(repo_root, "CORRECTNESS_local_r*.json"))
+    ):
+        m = re.search(r"CORRECTNESS_local_r(\d+)\.json$", path)
+        if not m:
+            continue
+        with open(path) as f:
+            rounds[int(m.group(1))] = json.load(f)
+    return rounds
+
+
 def best_evidence(name: str, rounds: dict[int, dict], has_oracle: bool):
     """(status, round_of_record) — strongest driver evidence across rounds."""
     best = ("never", None)
@@ -71,36 +86,53 @@ def main() -> int:
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     load_all_operators()
     rounds = load_rounds(repo_root)
+    local_rounds = load_local_rounds(repo_root)
 
     lines = [
         "# CORRECTNESS union — best driver evidence per query",
         "",
-        "Merged artifacts: "
+        "Merged driver artifacts: "
         + ", ".join(f"r{n}" for n in sorted(rounds))
-        + " (each capped at 50 entries by the driver).",
+        + " (each capped at 50 entries by the driver). Local column: "
+        + ", ".join(f"local r{n}" for n in sorted(local_rounds))
+        + " — tools/drive_contract.py, the driver's exact methodology"
+        " (plain session, sf0.01, order-insensitive value hash) run over"
+        " ALL queries; weaker provenance (builder-run), same check.",
         "",
-        "| query | oracle | best evidence | round |",
-        "|---|---|---|---|",
+        "| query | oracle | driver evidence | round | local evidence |",
+        "|---|---|---|---|---|",
     ]
     counts = {"hash_pass": 0, "rows_only": 0, "fail": 0, "never": 0}
+    local_counts = {"hash_pass": 0, "rows_only": 0, "fail": 0, "never": 0}
+    shown_map = {
+        "hash_pass": "hash pass",
+        "rows_only": "rows-only clean",
+        "fail": "FAIL",
+        "never": "—",
+    }
     for name in canonical_names():
         has_oracle = REGISTRY[name].oracle is not None
         status, rnum = best_evidence(name, rounds, has_oracle)
+        lstatus, lrnum = best_evidence(name, local_rounds, has_oracle)
         counts[status] += 1
+        local_counts[lstatus] += 1
         mark = "✅" if has_oracle else "⚠ rows-only by design"
-        shown = {
-            "hash_pass": "hash pass",
-            "rows_only": "rows-only clean",
-            "fail": "FAIL",
-            "never": "—",
-        }[status]
-        lines.append(f"| `{name}` | {mark} | {shown} | {f'r{rnum}' if rnum else '—'} |")
+        local_shown = (
+            f"{shown_map[lstatus]} (local r{lrnum})" if lrnum else "—"
+        )
+        lines.append(
+            f"| `{name}` | {mark} | {shown_map[status]} |"
+            f" {f'r{rnum}' if rnum else '—'} | {local_shown} |"
+        )
 
     lines += [
         "",
-        f"Totals: {counts['hash_pass']} hash-pass, {counts['rows_only']} rows-only"
-        f" clean, {counts['fail']} failed, {counts['never']} never recorded"
-        f" (of {len(canonical_names())} queries).",
+        f"Driver totals: {counts['hash_pass']} hash-pass, {counts['rows_only']}"
+        f" rows-only clean, {counts['fail']} failed, {counts['never']} never"
+        f" recorded (of {len(canonical_names())} queries). Local totals:"
+        f" {local_counts['hash_pass']} hash-pass, {local_counts['rows_only']}"
+        f" rows-only clean, {local_counts['fail']} failed,"
+        f" {local_counts['never']} not in any local artifact.",
     ]
     report = "\n".join(lines)
     print(report)
