@@ -312,3 +312,89 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         audio_batches,
         "doc_id bigint, sample_rate int, n_samples int, duration_ms double, rms double, peak int",
     )
+
+
+def decode_bmp_pixels(payload: bytes) -> tuple[int, int, bytes]:
+    """Full pixel decode of the 24-bit BMPs encode_bmp produces: strips
+    the 54-byte header and the per-row 4-byte alignment padding,
+    returning (width, height, packed RGB rows bottom-up as stored)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    width, height = abs(width), abs(height)
+    row = width * 3
+    pad = (4 - row % 4) % 4
+    out = bytearray()
+    off = 54
+    for _ in range(height):
+        out += payload[off : off + row]
+        off += row + pad
+    return width, height, bytes(out)
+
+
+def thumbnail_bmp(payload: bytes) -> bytes:
+    """2× nearest-neighbor downsample of a 24-bit BMP — every other
+    pixel of every other row — re-encoded as a well-formed BMP."""
+    width, height, pix = decode_bmp_pixels(payload)
+    tw, th = max(1, width // 2), max(1, height // 2)
+    row = width * 3
+    out = bytearray()
+    for r in range(th):
+        src = pix[(r * 2) * row : (r * 2) * row + row]
+        for c in range(tw):
+            out += src[c * 6 : c * 6 + 3]
+    return encode_bmp(tw, th, bytes(out))
+
+
+@query("multimodal_image_thumbnail", oracle=None)
+def multimodal_image_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize stage (rows-only: binary payloads + Arrow UDFs are
+    not SQL-expressible): synthesize real BMP payloads, then a
+    mapInPandas stage decodes the actual pixel rows (header + alignment
+    padding) and re-encodes a 2× nearest-neighbor thumbnail, emitting
+    the new geometry plus a crc32 of the thumbnail container so the
+    transform is pinned byte-exactly.
+
+    This is the multimodal preprocessing shape at 100 TB: map-only
+    (zero shuffle), Arrow-batched, payload column pruned straight into
+    the UDF, output a fraction of input bytes. Swapping the kernel for
+    PIL/turbojpeg changes thumbnail_bmp's body only."""
+    import zlib
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                width = 6 + int(doc_id) % 11
+                height = 4 + len(text) % 7
+                need = width * height * 3 + 64
+                raw = text.encode("utf-8") or b"\x00"
+                pix = raw * (need // len(raw) + 1)
+                payloads.append(encode_bmp(width, height, pix))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    with_payload = d.mapInPandas(synth, "doc_id bigint, payload binary")
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = pdf["payload"].map(thumbnail_bmp)
+            dims = thumbs.map(decode_image)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "thumb_width": dims.map(lambda t: t[0]),
+                    "thumb_height": dims.map(lambda t: t[1]),
+                    "thumb_bytes": thumbs.map(len),
+                    "thumb_crc32": thumbs.map(
+                        lambda b: zlib.crc32(b) & 0xFFFFFFFF
+                    ),
+                }
+            )
+
+    return with_payload.mapInPandas(
+        resize,
+        "doc_id bigint, thumb_width int, thumb_height int,"
+        " thumb_bytes bigint, thumb_crc32 bigint",
+    )

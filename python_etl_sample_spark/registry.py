@@ -240,6 +240,8 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "events_error_rate_anomaly",
     "q_national_market_share",
     "stream_demo_session",
+    "stream_demo_static_join",
+    "multimodal_image_thumbnail",
 )
 
 
@@ -305,6 +307,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "events_error_rate_anomaly",
     "q_national_market_share",
     "stream_demo_session",
+    "stream_demo_static_join",
+    "multimodal_image_thumbnail",
     # --- recorded once in r3 only ---
     "join_interval_overlap",
     "text_unigram_lm_score",

@@ -155,6 +155,48 @@ def stream_demo_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return demo_tumbling(spark, sf_dir)
 
 
+@query(
+    "stream_demo_static_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(28,6))) AS DOUBLE) AS value_total
+    FROM events e
+    LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def stream_demo_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join under a REAL readStream — the
+    micro-batch pattern that attaches slowly-changing dimensions to a
+    stream without any stream-stream state: each micro-batch of events
+    broadcast-joins the static customer table, then a complete-mode
+    aggregation rolls the enriched stream up per segment.
+
+    Unlike the other stream demos this one IS oracle-checked: the
+    AvailableNow replay drains the whole fixture, so the complete-mode
+    aggregate must equal the batch left-join aggregate exactly — counts
+    are order-free and the value sum is decimal-accumulated. This is
+    the strongest streaming evidence in the suite: a DuckDB hash match
+    THROUGH the streaming engine. Scale: the dimension broadcasts to
+    every executor once per micro-batch; state is |segments| rows."""
+    from python_etl_sample_spark.functions.determinism import dsum
+    from python_etl_sample_spark.sources import table as load_table
+
+    ev = _events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_key"), "c_mktsegment"
+    )
+    joined = ev.join(
+        F.broadcast(cust), ev.user_id == F.col("user_key"), "left"
+    )
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("value_total"),
+    )
+    return _run_to_memory(agg, "complete")
+
+
 @query("stream_demo_session", oracle=None)
 def stream_demo_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#54-demo declared rows-only: native ``session_window`` with a
