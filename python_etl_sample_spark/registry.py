@@ -306,8 +306,12 @@ DRIVER_ORDER: tuple[str, ...] = (
     "text_dedup_prefix",
     "events_error_rate_anomaly",
     "q_national_market_share",
-    "stream_demo_session",
     "stream_demo_static_join",
+    # the two rows-only round-4 demos yield their artifact slots to the
+    # oracle-checked ops above (52 candidates, 50 slots); both have
+    # local full-coverage evidence (CORRECTNESS_local_r4, UNION.md) and
+    # queue first for round 5
+    "stream_demo_session",
     "multimodal_image_thumbnail",
     # --- recorded once in r3 only ---
     "join_interval_overlap",
