@@ -239,9 +239,11 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "text_dedup_prefix",
     "events_error_rate_anomaly",
     "q_national_market_share",
+    "agg_approx_topk",
     "stream_demo_session",
     "stream_demo_static_join",
     "multimodal_image_thumbnail",
+    "sketch_hll_mergeable",
 )
 
 
@@ -307,12 +309,14 @@ DRIVER_ORDER: tuple[str, ...] = (
     "events_error_rate_anomaly",
     "q_national_market_share",
     "stream_demo_static_join",
+    "agg_approx_topk",
     # the two rows-only round-4 demos yield their artifact slots to the
     # oracle-checked ops above (52 candidates, 50 slots); both have
     # local full-coverage evidence (CORRECTNESS_local_r4, UNION.md) and
     # queue first for round 5
     "stream_demo_session",
     "multimodal_image_thumbnail",
+    "sketch_hll_mergeable",
     # --- recorded once in r3 only ---
     "join_interval_overlap",
     "text_unigram_lm_score",

@@ -110,3 +110,21 @@ def test_connected_components_matches_naive_reference(spark):
         for r in REGISTRY["graph_connected_components"].fn(spark, SF_DIR).collect()
     }
     assert got == expected
+
+
+def test_hll_estimates_close_to_exact(spark):
+    """The DataSketches HLL estimates must sit within 5% of the exact
+    distinct counts at fixture scale (lgK=12 default: ~1.6% RSE)."""
+    rows = REGISTRY["sketch_hll_mergeable"].fn(spark, SF_DIR).collect()
+    per_flag = [r for r in rows if r["level"] == "per_flag"]
+    assert per_flag, rows
+    for r in per_flag:
+        exact, est = r["exact_distinct"], r["est_distinct"]
+        assert abs(est - exact) <= max(2, 0.05 * exact), r
+    union = [r for r in rows if r["level"] == "union"][0]
+    # the union of per-flag sketches estimates the GLOBAL distinct count;
+    # bound it against the sum of per-flag exacts (upper) and the max
+    # per-flag exact (lower)
+    lo = max(r["exact_distinct"] for r in per_flag)
+    hi = sum(r["exact_distinct"] for r in per_flag)
+    assert lo * 0.9 <= union["est_distinct"] <= hi * 1.05, union
