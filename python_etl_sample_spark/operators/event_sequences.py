@@ -282,3 +282,45 @@ def events_error_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "win_time_range_frame",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE), 6)
+             AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame: per event, the trailing-1-hour event
+    count and value sum within its type — the rolling-window metric
+    behind rate limits and moving KPIs, where the frame is defined by
+    TIME, not row count (win_range_frame's numeric twin, #37).
+
+    The order key is whole microseconds (unix_micros/epoch_us) on both
+    engines — DuckDB's bare epoch() returns fractional seconds while
+    Spark's unix_timestamp truncates, so second-precision keys would
+    place sub-second peers differently. RANGE frames include ALL peers
+    of the current key, so tie handling is engine-identical by
+    definition, and the frame sum goes through decimal, making peer
+    ORDER irrelevant too. Scale: one shuffle on event_type; Spark
+    maintains the sliding frame incrementally per partition."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3600000000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,6)")).over(w).cast("double"), 6
+        ).alias("sum_1h"),
+    )

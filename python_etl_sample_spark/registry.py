@@ -239,6 +239,7 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "text_dedup_prefix",
     "events_error_rate_anomaly",
     "q_national_market_share",
+    "win_time_range_frame",
     "agg_approx_topk",
     "stream_demo_session",
     "stream_demo_static_join",
@@ -310,6 +311,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "q_national_market_share",
     "stream_demo_static_join",
     "agg_approx_topk",
+    "win_time_range_frame",
     # the two rows-only round-4 demos yield their artifact slots to the
     # oracle-checked ops above (52 candidates, 50 slots); both have
     # local full-coverage evidence (CORRECTNESS_local_r4, UNION.md) and
