@@ -52,6 +52,7 @@ STAGED_READS = (
     "sink_parquet",
     "sink_partitioned",
     "etl_incremental",
+    "etl_partition_overwrite",
     "join_bucketed",
 )
 

@@ -230,3 +230,57 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(path)
         .select("n_nationkey", "n_name", "region_name")
     )
+
+
+@query(
+    "etl_partition_overwrite",
+    oracle=f"""
+    WITH final AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderstatus = 'P'
+                  THEN o_totalprice * 0.5 ELSE o_totalprice END AS o_totalprice
+      FROM orders
+    )
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           {dsum_sql('o_totalprice')} AS total_price
+    FROM final GROUP BY o_orderstatus
+    """,
+)
+def etl_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the backfill primitive: rewrite
+    ONLY the partitions present in the incoming batch (here: the 'P'
+    status partition, with repriced rows) while every other partition's
+    files are left untouched. The read-back fingerprint proves both
+    halves: 'P' carries the new values, 'F'/'O' the originals.
+
+    The per-write ``partitionOverwriteMode=dynamic`` option is the
+    whole trick — static mode (the default) would TRUNCATE the table
+    root and delete the partitions the batch didn't mention, the
+    classic backfill footgun. At 100 TB this is how daily re-runs
+    replace one day's directory under a multi-year table without
+    touching the rest."""
+    src = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+
+    def write_then_backfill(p: str) -> None:
+        src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(p)
+        patch = src.filter(F.col("o_orderstatus") == "P").withColumn(
+            "o_totalprice", F.col("o_totalprice") * 0.5
+        )
+        patch.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("o_orderstatus").parquet(p)
+
+    path = stage_once("partition_overwrite", sf_dir, write_then_backfill)
+    out = spark.read.parquet(path)
+    return (
+        out.withColumn(
+            "o_orderstatus", F.col("o_orderstatus").cast("string")
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+    )

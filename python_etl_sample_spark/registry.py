@@ -240,6 +240,7 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "events_error_rate_anomaly",
     "q_national_market_share",
     "win_time_range_frame",
+    "etl_partition_overwrite",
     "agg_approx_topk",
     "stream_demo_session",
     "stream_demo_static_join",
@@ -312,6 +313,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "stream_demo_static_join",
     "agg_approx_topk",
     "win_time_range_frame",
+    "etl_partition_overwrite",
     # the two rows-only round-4 demos yield their artifact slots to the
     # oracle-checked ops above (52 candidates, 50 slots); both have
     # local full-coverage evidence (CORRECTNESS_local_r4, UNION.md) and
