@@ -53,6 +53,7 @@ STAGED_READS = (
     "sink_partitioned",
     "etl_incremental",
     "etl_partition_overwrite",
+    "scan_corrupt_records",
     "join_bucketed",
 )
 

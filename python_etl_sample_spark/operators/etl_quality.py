@@ -284,3 +284,54 @@ def etl_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("total_price"),
         )
     )
+
+
+@query(
+    "scan_corrupt_records",
+    oracle="""
+    SELECT COUNT(*) FILTER (WHERE n_nationkey % 5 <> 0) AS n_good,
+           COUNT(*) FILTER (WHERE n_nationkey % 5 = 0) AS n_corrupt,
+           CAST(SUM(CASE WHEN n_nationkey % 5 <> 0
+                         THEN n_nationkey END) AS BIGINT) AS good_key_sum
+    FROM nation
+    """,
+)
+def scan_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record tolerance: a JSONL batch where every 5th record
+    is deliberately truncated mid-object, read back in PERMISSIVE mode
+    with the ``_corrupt_record`` rescue column — the
+    ingestion-robustness contract (count the damage, quarantine the
+    bytes, never fail the load) that real feeds require.
+
+    The corrupt lines are synthesized distributively (to_json for good
+    rows, a truncated prefix for bad ones, written via the text sink).
+    PERMISSIVE caveat baked in: Spark refuses a query that references
+    ONLY the rescue column, so the aggregate reads data columns
+    alongside it. At 100 TB the same read quarantines bad records into
+    a dead-letter sink instead of killing a multi-hour load (FAILFAST
+    is the validation mode, not the production mode)."""
+    n = table(spark, sf_dir, "nation")
+    line = F.when(
+        F.col("n_nationkey") % 5 == 0,
+        # truncated JSON: unclosed object — unparseable by any reader
+        F.concat(F.lit('{"n_nationkey": '), F.col("n_nationkey").cast("string")),
+    ).otherwise(F.to_json(F.struct("n_nationkey", "n_name", "n_regionkey")))
+
+    def write_feed(p: str) -> None:
+        n.select(line.alias("value")).coalesce(1).write.mode("overwrite").text(p)
+
+    path = stage_once("corrupt_feed", sf_dir, write_feed)
+    parsed = spark.read.schema(
+        "n_nationkey INT, n_name STRING, n_regionkey INT, _corrupt_record STRING"
+    ).json(path)
+    return parsed.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("n_good"),
+        F.count(F.when(F.col("_corrupt_record").isNotNull(), 1)).alias(
+            "n_corrupt"
+        ),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNull(), F.col("n_nationkey"))
+        )
+        .cast("bigint")
+        .alias("good_key_sum"),
+    )

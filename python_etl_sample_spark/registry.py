@@ -241,6 +241,7 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "q_national_market_share",
     "win_time_range_frame",
     "etl_partition_overwrite",
+    "scan_corrupt_records",
     "agg_approx_topk",
     "stream_demo_session",
     "stream_demo_static_join",
@@ -314,6 +315,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "agg_approx_topk",
     "win_time_range_frame",
     "etl_partition_overwrite",
+    "scan_corrupt_records",
     # the two rows-only round-4 demos yield their artifact slots to the
     # oracle-checked ops above (52 candidates, 50 slots); both have
     # local full-coverage evidence (CORRECTNESS_local_r4, UNION.md) and
