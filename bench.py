@@ -54,6 +54,7 @@ STAGED_READS = (
     "etl_incremental",
     "etl_partition_overwrite",
     "scan_corrupt_records",
+    "pipeline_daily_etl",
     "join_bucketed",
 )
 

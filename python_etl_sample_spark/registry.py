@@ -242,6 +242,8 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "win_time_range_frame",
     "etl_partition_overwrite",
     "scan_corrupt_records",
+    "pipeline_daily_etl",
+    "pipeline_feature_store",
     "agg_approx_topk",
     "stream_demo_session",
     "stream_demo_static_join",
@@ -316,6 +318,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "win_time_range_frame",
     "etl_partition_overwrite",
     "scan_corrupt_records",
+    "pipeline_daily_etl",
+    "pipeline_feature_store",
     # the two rows-only round-4 demos yield their artifact slots to the
     # oracle-checked ops above (52 candidates, 50 slots); both have
     # local full-coverage evidence (CORRECTNESS_local_r4, UNION.md) and
