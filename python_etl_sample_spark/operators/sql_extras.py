@@ -240,3 +240,124 @@ def agg_regression_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+@query(
+    "set_intersect_except_all",
+    oracle="""
+    WITH a AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'),
+         r AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'),
+         ia AS (SELECT l_partkey FROM a INTERSECT ALL SELECT l_partkey FROM r),
+         ea AS (SELECT l_partkey FROM a EXCEPT ALL SELECT l_partkey FROM r)
+    SELECT (SELECT COUNT(*) FROM ia) AS n_intersect_all,
+           (SELECT COUNT(DISTINCT l_partkey) FROM ia) AS n_distinct_intersect,
+           (SELECT COUNT(*) FROM ea) AS n_except_all,
+           (SELECT COUNT(DISTINCT l_partkey) FROM ea) AS n_distinct_except
+    """,
+)
+def set_intersect_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set operations — INTERSECT ALL / EXCEPT ALL — between
+    the part-key bags of returned ('A') and refused ('R') lineitems,
+    completing the §2.7 family's distinct-only variants with the
+    duplicate-preserving semantics SQL defines for bags: INTERSECT ALL
+    keeps min(multiplicity), EXCEPT ALL subtracts multiplicities.
+
+    Spark compiles intersectAll/exceptAll to an aggregate of per-side
+    counts + a generator replaying min/difference counts — one shuffle
+    on the value, no join explosion. The summary row pins all four
+    cardinalities so multiplicity handling (the part distinct-ops can't
+    see) is what's checked."""
+    li = table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_partkey")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    ia = a.intersectAll(r)
+    ea = a.exceptAll(r)
+    ia_counts = ia.agg(
+        F.count(F.lit(1)).alias("n_intersect_all"),
+        F.countDistinct("l_partkey").alias("n_distinct_intersect"),
+    )
+    ea_counts = ea.agg(
+        F.count(F.lit(1)).alias("n_except_all"),
+        F.countDistinct("l_partkey").alias("n_distinct_except"),
+    )
+    return ia_counts.crossJoin(ea_counts)
+
+
+@query(
+    "fn_try_safe",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(TRY_CAST(o_orderstatus AS INTEGER)) AS n_status_numeric,
+           COUNT(TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER))
+             AS n_prio_numeric,
+           COUNT(o_totalprice / NULLIF(o_orderkey % 3, 0)) AS n_div_ok,
+           CAST(SUM(CAST(o_totalprice / NULLIF(o_orderkey % 3, 0)
+                    AS DECIMAL(28,6))) AS DOUBLE) AS div_sum
+    FROM orders
+    """,
+)
+def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression family: ``try_cast`` of non-numeric and
+    numeric strings, ``try_divide`` with a key-derived zero divisor —
+    NULL instead of job-killing exceptions, the ANSI-mode survival kit
+    for dirty data (a malformed row must quarantine, not fail a 100 TB
+    job; compare scan_corrupt_records for the reader-level analog).
+
+    DuckDB lacks try_divide, so the oracle spells the same semantics as
+    ``x / NULLIF(d, 0)`` — which is exactly the rewrite try_divide
+    performs. All counts skip NULLs by SQL's COUNT(expr) definition, so
+    the two engines count the same survivors; the surviving quotient
+    sum goes through decimal as usual."""
+    o = table(spark, sf_dir, "orders")
+    div = F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 3)
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.try_to_number(F.col("o_orderstatus"), F.lit("9"))).alias(
+            "n_status_numeric"
+        ),
+        F.count(
+            F.try_to_number(F.substring("o_orderpriority", 1, 1), F.lit("9"))
+        ).alias("n_prio_numeric"),
+        F.count(div).alias("n_div_ok"),
+        F.sum(div.cast("decimal(28,6)")).cast("double").alias("div_sum"),
+    )
+
+
+@query(
+    "agg_grouping_id",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           GROUPING(o_orderstatus) AS g_status,
+           GROUPING(o_orderpriority) AS g_priority,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING flags: subtotal rows labeled 'ALL' and the
+    per-column grouping indicator that lets consumers tell a real NULL
+    key from a subtotal row — the piece agg_rollup (#29) omits and
+    every BI layer on top of rollups needs.
+
+    The flags come from the Expand node's grouping-id bitmask — zero
+    extra cost over the plain rollup. Both engines emit identical
+    0/1 flags; the COALESCE label makes subtotal rows self-describing
+    in the hashed output."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "g_status",
+            "g_priority",
+            "n_orders",
+        )
+    )

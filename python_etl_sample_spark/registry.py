@@ -244,6 +244,9 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "scan_corrupt_records",
     "pipeline_daily_etl",
     "pipeline_feature_store",
+    "set_intersect_except_all",
+    "fn_try_safe",
+    "agg_grouping_id",
     "agg_approx_topk",
     "stream_demo_session",
     "stream_demo_static_join",
@@ -320,6 +323,9 @@ DRIVER_ORDER: tuple[str, ...] = (
     "scan_corrupt_records",
     "pipeline_daily_etl",
     "pipeline_feature_store",
+    "set_intersect_except_all",
+    "fn_try_safe",
+    "agg_grouping_id",
     # the two rows-only round-4 demos yield their artifact slots to the
     # oracle-checked ops above (52 candidates, 50 slots); both have
     # local full-coverage evidence (CORRECTNESS_local_r4, UNION.md) and
