@@ -361,3 +361,35 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+_SQL_FRONTEND = """
+    SELECT n.n_name AS nation,
+           COUNT(DISTINCT c.c_custkey) AS n_customers,
+           COUNT(o.o_orderkey) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+             AS total_revenue
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY n.n_name
+"""
+
+
+@query("api_sql_frontend", oracle=_SQL_FRONTEND)
+def api_sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front end as a first-class API surface: the SAME text a
+    DuckDB user would write runs verbatim through ``spark.sql`` over
+    registered temp views — one string, two engines, one hash. This is
+    the "switch engines without rewriting queries" property the
+    engine's users get: every other operator demonstrates the DataFrame
+    API; this one proves the ANSI-SQL path parses, plans, and answers
+    identically (the oracle IS the query text).
+
+    Scale: identical Catalyst plan to the DataFrame formulation —
+    spark.sql and the DataFrame API meet at the same logical plan, so
+    nothing is lost (or gained) by choosing SQL."""
+    from python_etl_sample_spark.sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_FRONTEND)

@@ -247,6 +247,7 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "set_intersect_except_all",
     "fn_try_safe",
     "agg_grouping_id",
+    "api_sql_frontend",
     "agg_approx_topk",
     "stream_demo_session",
     "stream_demo_static_join",
@@ -326,6 +327,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "set_intersect_except_all",
     "fn_try_safe",
     "agg_grouping_id",
+    "api_sql_frontend",
     # the two rows-only round-4 demos yield their artifact slots to the
     # oracle-checked ops above (52 candidates, 50 slots); both have
     # local full-coverage evidence (CORRECTNESS_local_r4, UNION.md) and
