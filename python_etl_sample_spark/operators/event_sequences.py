@@ -324,3 +324,72 @@ def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(28,6)")).over(w).cast("double"), 6
         ).alias("sum_1h"),
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH err AS (
+      SELECT event_id, user_id, ts, event_id AS eid FROM events
+      WHERE event_type = 'error'
+    ), cand AS (
+      SELECT e.event_id, e.user_id,
+             p.ts AS p_ts, p.event_id AS p_eid,
+             ABS(date_diff('microseconds', e.ts, p.ts)) AS adist
+      FROM err e
+      JOIN events p
+        ON p.user_id = e.user_id AND p.event_type = 'purchase'
+       AND p.ts BETWEEN e.ts - INTERVAL 30 MINUTE
+                    AND e.ts + INTERVAL 30 MINUTE
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+                                   ORDER BY adist, p_ts, p_eid) AS rn
+      FROM cand
+    )
+    SELECT event_id, user_id, p_ts AS nearest_purchase_ts,
+           CAST(adist AS BIGINT) AS abs_gap_us
+    FROM ranked WHERE rn = 1
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join: each error matched to the SAME
+    user's temporally CLOSEST purchase within ±30 minutes — completing
+    the as-of trio (backward join_asof, forward join_asof_forward).
+    Ties at equal distance break toward the earlier purchase, then
+    event_id — spelled out in both engines, never left to the planner.
+
+    Plan: a banded self-join on (user_id, ±30min) — an equi-join on
+    user with a range predicate, NOT a cartesian — then one window
+    picks the per-error minimum-distance candidate. At 100 TB the band
+    join keys on (user_id, ts-bucket) so each side joins only adjacent
+    time buckets; the same shape join_interval_overlap pins."""
+    ev = table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_eid"),
+    )
+    cand = err.join(
+        pur,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("p_ts") <= F.col("ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).withColumn(
+        "adist",
+        F.abs(F.unix_micros(F.col("p_ts").cast("timestamp"))
+              - F.unix_micros(F.col("ts").cast("timestamp"))),
+    )
+    w = Window.partitionBy("event_id").orderBy("adist", "p_ts", "p_eid")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("p_ts").alias("nearest_purchase_ts"),
+            F.col("adist").alias("abs_gap_us"),
+        )
+    )

@@ -190,3 +190,79 @@ def text_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+@query(
+    "text_lang_overlap_jaccard",
+    oracle="""
+    WITH vocab AS (
+      SELECT DISTINCT lang, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ), sizes AS (
+      SELECT lang, COUNT(*) AS n FROM vocab GROUP BY lang
+    ), inter AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b, COUNT(*) AS n_common
+      FROM vocab a JOIN vocab b
+        ON a.token = b.token AND a.lang < b.lang
+      GROUP BY a.lang, b.lang
+    )
+    SELECT i.lang_a, i.lang_b, i.n_common,
+           sa.n AS n_a, sb.n AS n_b,
+           ROUND(i.n_common * 1.0 / (sa.n + sb.n - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.lang = i.lang_a
+    JOIN sizes sb ON sb.lang = i.lang_b
+    """,
+)
+def text_lang_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-language vocabulary overlap: token-set Jaccard for every
+    language pair — the corpus-composition diagnostic that flags
+    mislabeled languages (high overlap where none belongs) and shared
+    boilerplate across subcorpora.
+
+    Set semantics via distinct (lang, token); the intersection is an
+    equi-join on token (an inverted index, not an all-pairs scan) and
+    the union comes free by inclusion-exclusion — the same
+    |A∩B| / (|A|+|B|−|A∩B|) identity dedup_ngram_jaccard uses per
+    document pair, lifted to whole subcorpora. All counts exact ints;
+    one rounded division. Scale: distinct-vocab frames are tiny
+    relative to raw text, and the token join shuffles only (lang,
+    token) pairs."""
+    d = table(spark, sf_dir, "documents")
+    vocab = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .distinct()
+    )
+    sizes = vocab.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    a = vocab.alias("a")
+    b = vocab.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.lang") < F.col("b.lang")),
+        )
+        .groupBy(
+            F.col("a.lang").alias("lang_a"), F.col("b.lang").alias("lang_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("lang").alias("la"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("lang").alias("lb"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), F.col("lang_a") == F.col("la"))
+        .join(F.broadcast(sb), F.col("lang_b") == F.col("lb"))
+        .select(
+            "lang_a",
+            "lang_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_common")
+                * 1.0
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -248,6 +248,8 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "fn_try_safe",
     "agg_grouping_id",
     "api_sql_frontend",
+    "join_asof_nearest",
+    "text_lang_overlap_jaccard",
     "agg_approx_topk",
     "stream_demo_session",
     "stream_demo_static_join",
@@ -328,6 +330,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "fn_try_safe",
     "agg_grouping_id",
     "api_sql_frontend",
+    "join_asof_nearest",
+    "text_lang_overlap_jaccard",
     # the two rows-only round-4 demos yield their artifact slots to the
     # oracle-checked ops above (52 candidates, 50 slots); both have
     # local full-coverage evidence (CORRECTNESS_local_r4, UNION.md) and
