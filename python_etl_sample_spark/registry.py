@@ -258,209 +258,208 @@ EXTENSION_ORDER: tuple[str, ...] = (
 )
 
 
-#: Driver-facing rotation for round 4. The driver's CORRECTNESS artifact
-#: records at most 50 entries per round in ``queries()`` order; rounds 1-3
-#: banked green rows for 118 of the 133 round-3 queries. The 15 queries
-#: added mid-round-3 AFTER the r3 artifact's 50 slots were committed have
-#: no driver row in any artifact — they go first, followed by every
-#: operator added in round 4 (new code is the least-evidenced code), then
-#: the previously-recorded rest ordered by how little evidence they have
-#: (see tools/correctness_union.py and COVERAGE.md §"Driver-artifact
-#: rotation").
+#: Driver-facing rotation for round 5. The driver's CORRECTNESS artifact
+#: records at most 50 entries per round in ``queries()`` order; the union
+#: of rounds 1-4 (UNION.md, tools/correctness_union.py) leaves exactly 15
+#: queries with no driver row in any artifact — they take slots 1-15.
+#: Round-5 additions follow (new code is the least-evidenced code), then
+#: every previously-recorded query ordered by (number of driver rows,
+#: round of most recent row) ascending, so re-recording slots always go
+#: to the stalest evidence first. Regenerate with the snippet in
+#: COVERAGE.md §"Driver-artifact rotation" after adding queries.
 DRIVER_ORDER: tuple[str, ...] = (
-    # --- never recorded in r1/r2/r3 (15; added mid-round-3) ---
-    "subquery_exists",
-    "subquery_in_having",
-    "subquery_scalar_correlated",
-    "subquery_not_exists_inactive",
-    "join_lateral_topk",
-    "subquery_not_in_null_aware",
-    "agg_percentile_exact",
-    "agg_mode_deterministic",
-    "agg_skew_kurt",
-    "agg_listagg_ordered",
-    "stats_zscore_outliers",
-    "sample_stratified",
-    "text_bigram_topk",
-    "embeddings_class_separation",
-    "ts_mad_outliers",
-    # --- round-4 additions (first possible artifact slots) ---
-    "agg_filter_clause",
-    "agg_minmax_by",
+    # --- never driver-recorded through r4 (15) — r5 slots 1-15 ---
+    "agg_approx_topk",
+    "agg_grouping_id",
+    "api_sql_frontend",
+    "etl_partition_overwrite",
+    "fn_try_safe",
+    "join_asof_nearest",
+    "multimodal_image_thumbnail",
+    "pipeline_daily_etl",
+    "pipeline_feature_store",
+    "scan_corrupt_records",
+    "set_intersect_except_all",
+    "sketch_hll_mergeable",
+    "stream_demo_session",
+    "text_lang_overlap_jaccard",
+    "win_time_range_frame",
+    # --- round-5 additions (new code = least-evidenced) ---
+    # (inserted as implemented this round)
+    # --- 1 driver row(s), last in r1 (19) ---
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_near_minhash",
+    "dedup_simhash",
+    "fn_bitwise",
+    "fn_json_build",
+    "join_bucketed",
+    "join_null_safe",
+    "join_skew_salted",
+    "multimodal_decode",
+    "multimodal_join",
+    "q_local_supplier_volume",
+    "q_returned_items",
+    "q_shipping_priority",
+    "sample_split",
+    "sim_ann_ivf",
+    "sim_ann_lsh",
+    "sim_cosine_topk",
+    "sim_knn_per_query",
+    # --- 1 driver row(s), last in r2 (18) ---
+    "scan_projected",
+    "set_except",
+    "set_intersect",
+    "set_union_all",
+    "set_union_distinct",
+    "sink_parquet",
+    "sink_partitioned",
+    "sort_multi",
+    "source_csv",
+    "source_json",
+    "topk",
+    "topk_per_group",
+    "win_lag_lead",
+    "win_ntile_first_last",
+    "win_range_frame",
+    "win_rank",
+    "win_running",
+    "win_sliding_frame",
+    # --- 1 driver row(s), last in r3 (49) ---
+    "agg_approx_quantile",
+    "agg_histogram",
+    "attribution_last_touch",
+    "corpus_mix_weights",
+    "data_profile",
+    "dedup_cluster_keeper",
+    "dedup_embedding_ann",
+    "dedup_ngram_jaccard",
+    "embeddings_centroid",
+    "etl_incremental",
+    "etl_scd2_history",
+    "events_funnel",
+    "events_retention_cohort",
+    "fn_regex",
+    "join_interval_overlap",
+    "multimodal_audio_features",
+    "multimodal_frame_sample",
+    "pipeline_corpus_clean",
+    "q_top_suppliers",
+    "source_orc",
+    "source_text",
+    "stats_corr_matrix",
+    "stream_dedup_keyed",
+    "stream_demo_stateful",
+    "stream_demo_tumbling",
+    "stream_session",
+    "stream_sliding",
+    "stream_stateful_counts",
+    "stream_tumbling",
+    "stream_watermark_late",
+    "text_contamination_check",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_lang_stats",
+    "text_pack_sequences",
+    "text_pii_scrub",
+    "text_quality_score",
+    "text_repetition_filter",
+    "text_tfidf_topterms",
+    "text_token_bpe_count",
+    "text_tokenize_counts",
+    "text_unigram_lm_score",
+    "ts_gap_fill",
+    "udaf_grouped_agg",
+    "udf_scalar_pandas",
+    "udtf_apply_in_pandas",
+    "udtf_python_lateral",
+    "win_percent_cume",
+    "win_streak_gaps_islands",
+    # --- 1 driver row(s), last in r4 (50) ---
     "agg_bool_bit",
     "agg_count_distinct_multi",
+    "agg_filter_clause",
+    "agg_listagg_ordered",
+    "agg_minmax_by",
+    "agg_mode_deterministic",
+    "agg_percentile_exact",
     "agg_regression_ols",
-    "unpivot_metrics",
-    "explode_token_positions",
-    "events_transition_matrix",
-    "events_cum_distinct_users",
-    "join_asof_forward",
-    "ts_ohlc_bars",
-    "graph_connected_components",
-    "skyline_pareto",
+    "agg_skew_kurt",
+    "dedup_fuzzy_levenshtein",
+    "dq_expectations",
     "embedding_int8_quantize",
     "embedding_matryoshka_energy",
-    "dedup_fuzzy_levenshtein",
-    "text_zipf_slope",
-    "dq_expectations",
+    "embeddings_class_separation",
     "etl_merge_upsert",
-    "source_schema_evolution",
+    "events_ab_lift",
+    "events_cum_distinct_users",
+    "events_error_rate_anomaly",
+    "events_transition_matrix",
+    "explode_token_positions",
+    "fn_calendar_buckets",
+    "fn_url_parse",
+    "graph_connected_components",
+    "join_asof_forward",
+    "join_existence_flags",
+    "join_lateral_topk",
+    "q_national_market_share",
     "q_order_count_distribution",
     "q_promo_share",
     "q_small_quantity_revenue",
-    "win_qualify_latest",
-    "join_existence_flags",
-    "events_ab_lift",
+    "sample_stratified",
+    "skyline_pareto",
+    "source_schema_evolution",
     "stats_chi2_independence",
-    "ts_ewma_halflife",
-    "text_vocab_coverage",
-    "fn_url_parse",
-    "fn_calendar_buckets",
-    "text_dedup_prefix",
-    "events_error_rate_anomaly",
-    "q_national_market_share",
+    "stats_zscore_outliers",
     "stream_demo_static_join",
-    "agg_approx_topk",
-    "win_time_range_frame",
-    "etl_partition_overwrite",
-    "scan_corrupt_records",
-    "pipeline_daily_etl",
-    "pipeline_feature_store",
-    "set_intersect_except_all",
-    "fn_try_safe",
-    "agg_grouping_id",
-    "api_sql_frontend",
-    "join_asof_nearest",
-    "text_lang_overlap_jaccard",
-    # the two rows-only round-4 demos yield their artifact slots to the
-    # oracle-checked ops above (52 candidates, 50 slots); both have
-    # local full-coverage evidence (CORRECTNESS_local_r4, UNION.md) and
-    # queue first for round 5
-    "stream_demo_session",
-    "multimodal_image_thumbnail",
-    "sketch_hll_mergeable",
-    # --- recorded once in r3 only ---
-    "join_interval_overlap",
-    "text_unigram_lm_score",
-    "dedup_cluster_keeper",
-    "text_pii_scrub",
-    "text_repetition_filter",
-    "events_funnel",
-    "etl_scd2_history",
-    "attribution_last_touch",
-    "embeddings_centroid",
-    "win_streak_gaps_islands",
-    "data_profile",
-    "agg_histogram",
-    "stats_corr_matrix",
-    "events_retention_cohort",
-    "q_top_suppliers",
-    "corpus_mix_weights",
-    # --- recorded in r3 + one earlier round ---
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_session",
-    "stream_watermark_late",
-    "stream_dedup_keyed",
-    "stream_stateful_counts",
-    "text_tokenize_counts",
-    "text_tfidf_topterms",
-    "text_lang_stats",
-    "udf_scalar_pandas",
-    "udaf_grouped_agg",
-    "udtf_apply_in_pandas",
-    "source_orc",
-    "source_text",
-    "win_percent_cume",
-    "fn_regex",
-    "text_lang_id",
-    "text_quality_score",
-    "text_fingerprint",
-    "text_token_bpe_count",
-    "dedup_embedding_ann",
-    "dedup_ngram_jaccard",
-    "agg_approx_quantile",
-    "text_pack_sequences",
-    "text_contamination_check",
-    "pipeline_corpus_clean",
-    "ts_gap_fill",
-    "udtf_python_lateral",
-    "etl_incremental",
-    "multimodal_frame_sample",
-    "multimodal_audio_features",
-    "stream_demo_tumbling",
-    "stream_demo_stateful",
-    # --- recorded in exactly one early round ---
-    "scan_parquet",
-    "scan_projected",
-    "source_csv",
-    "source_json",
-    "sink_parquet",
-    "sink_partitioned",
-    "win_rank",
-    "win_lag_lead",
-    "win_running",
-    "win_sliding_frame",
-    "win_range_frame",
-    "win_ntile_first_last",
-    "sort_multi",
-    "topk",
-    "topk_per_group",
-    "set_union_all",
-    "set_union_distinct",
-    "set_intersect",
-    "set_except",
-    "fn_json_build",
-    "dedup_exact",
-    "dedup_near_minhash",
-    "sim_cosine_topk",
-    "sim_knn_per_query",
-    "sim_ann_lsh",
-    "multimodal_join",
-    "join_null_safe",
-    "fn_bitwise",
-    "dedup_embedding_cosine",
-    "q_shipping_priority",
-    "q_local_supplier_volume",
-    "q_returned_items",
-    "sample_split",
-    "join_skew_salted",
-    "join_bucketed",
-    "sim_ann_ivf",
-    "dedup_simhash",
-    "multimodal_decode",
-    # --- recorded in both r1 and r2 ---
-    "project_derive",
-    "filter_pred",
-    "filter_null",
-    "filter_like",
-    "case_when",
-    "join_inner",
-    "join_outer",
-    "join_broadcast",
-    "join_semi",
-    "join_anti",
-    "join_theta",
-    "join_range",
-    "join_asof",
-    "join_multiway",
-    "self_join",
+    "subquery_exists",
+    "subquery_in_having",
+    "subquery_not_exists_inactive",
+    "subquery_not_in_null_aware",
+    "subquery_scalar_correlated",
+    "text_bigram_topk",
+    "text_dedup_prefix",
+    "text_vocab_coverage",
+    "text_zipf_slope",
+    "ts_ewma_halflife",
+    "ts_mad_outliers",
+    "ts_ohlc_bars",
+    "unpivot_metrics",
+    "win_qualify_latest",
+    # --- 2 driver row(s), last in r2 (31) ---
+    "agg_approx_distinct",
+    "agg_collect",
+    "agg_cube",
+    "agg_distinct",
     "agg_global",
     "agg_groupby",
-    "agg_distinct",
-    "agg_approx_distinct",
-    "agg_having",
-    "agg_stats",
-    "agg_collect",
-    "agg_rollup",
-    "agg_cube",
     "agg_grouping_sets",
-    "pivot",
-    "fn_string",
-    "fn_date",
-    "fn_math",
+    "agg_having",
+    "agg_rollup",
+    "agg_stats",
+    "case_when",
+    "filter_like",
+    "filter_null",
+    "filter_pred",
     "fn_array",
+    "fn_date",
     "fn_map_from_json",
+    "fn_math",
+    "fn_string",
+    "join_anti",
+    "join_asof",
+    "join_broadcast",
+    "join_inner",
+    "join_multiway",
+    "join_outer",
+    "join_range",
+    "join_semi",
+    "join_theta",
+    "pivot",
+    "project_derive",
+    "self_join",
+    # --- 2 driver row(s), last in r3 (1) ---
+    "scan_parquet",
 )
 
 
