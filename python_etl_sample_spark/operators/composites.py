@@ -120,7 +120,7 @@ def join_existence_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH assigned AS (
       SELECT event_type, value,
-             CASE WHEN (user_id * 2654435761) % 100 < 50
+             CASE WHEN ((user_id % 100000) * 2654435761) % 100 < 50
                   THEN 'A' ELSE 'B' END AS variant
       FROM events
     ), agg AS (
@@ -141,7 +141,10 @@ def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B experiment readout: users split 50/50 by a deterministic
     multiplicative hash (Knuth's 2654435761 — reproducible across
     engines and reruns, unlike rand(seed)), then per-event-type sample
-    sizes, means, and relative lift of B over A.
+    sizes, means, and relative lift of B over A. The id is masked to
+    <100000 before multiplying so the product provably fits int64 in
+    BOTH engines: Spark wraps silently on bigint overflow (non-ANSI)
+    while DuckDB raises — an engine-divergence trap, not a math one.
 
     All means divide exact decimal sums by exact counts once, in
     double, rounded — so the lift is hash-stable. Scale: one map-only
@@ -151,7 +154,7 @@ def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = ev.select(
         "event_type",
         "value",
-        F.when((F.col("user_id") * 2654435761) % 100 < 50, "A")
+        F.when(((F.col("user_id") % 100000) * 2654435761) % 100 < 50, "A")
         .otherwise("B")
         .alias("variant"),
     )

@@ -32,8 +32,8 @@ from python_etl_sample_spark.sources import table
     oracle="""
     WITH q AS (
       SELECT vec_id, label,
-             list_max(list_transform(embedding,
-                      x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+             nullif(list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))), 0.0) / 127.0 AS scale
       FROM embeddings
     ), codes AS (
       SELECT e.vec_id, e.label, q.scale,
@@ -63,7 +63,11 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     divergence."""
     e = table(spark, sf_dir, "embeddings")
     xd = lambda x: x.cast("double")  # noqa: E731
-    scale = F.array_max(F.transform("embedding", lambda x: F.abs(xd(x)))) / 127.0
+    max_abs = F.array_max(F.transform("embedding", lambda x: F.abs(xd(x))))
+    # nullif guards the all-zero vector: 0/0 would be NaN, and Spark's
+    # non-ANSI NaN→bigint cast (0) diverges from DuckDB's error. With a
+    # NULL scale both engines emit NULL codes identically.
+    scale = F.nullif(max_abs, F.lit(0.0)) / 127.0
     code = F.transform("embedding", lambda x: (xd(x) / scale).cast("bigint"))
     return e.select(
         "vec_id",

@@ -73,3 +73,44 @@ def test_dsum_order_independent_on_edges(spark):
     one = sdf.repartition(1).agg(dsum("price").alias("s")).collect()[0]["s"]
     many = sdf.repartition(16).agg(dsum("price").alias("s")).collect()[0]["s"]
     assert one == many
+
+
+def test_int8_quantize_zero_vector_parity(spark, tmp_path):
+    """The all-zero embedding is the divergence trap ADVICE r4 flagged:
+    scale = max|x|/127 = 0, so x/scale = NaN, and Spark's non-ANSI
+    NaN→bigint cast gives 0 while DuckDB's CAST(trunc(NaN)) errors.
+    With the nullif guard both engines must emit NULL codes. Runs the
+    REAL registered query + oracle on a fixture dir whose embeddings
+    table contains a zero vector, via the driver's own comparator."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from python_etl_sample_spark.registry import REGISTRY, load_all_operators
+    from python_etl_sample_spark.testing import run_parity
+
+    load_all_operators()
+
+    src = "/root/testdata/sf0.001"
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents".split()
+    ):
+        shutil.copy(f"{src}/{name}.parquet", tmp_path / f"{name}.parquet")
+    rng = np.random.default_rng(7)
+    vecs = [rng.normal(size=8).astype("float32") for _ in range(4)]
+    vecs.append(np.zeros(8, dtype="float32"))  # the trap
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(5), type=pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], type=pa.list_(pa.float32())
+            ),
+            "label": pa.array([0, 1, 0, 1, 0], type=pa.int32()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    rows = run_parity(spark, str(tmp_path), REGISTRY["embedding_int8_quantize"])
+    assert rows == 5
