@@ -124,7 +124,20 @@ def udtf_python_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#69b true Python UDTF (Spark 4 table function): each order row
     laterally expands into net/tax component rows. Deterministic
     per-row arithmetic → fully oracle-checked (the oracle is the
-    UNION ALL relational equivalent)."""
+    UNION ALL relational equivalent).
+
+    Perf note (measured at sf0.1, local[32], 2026-08-13): Spark 4's
+    ``useArrow=True`` Arrow-optimized UDTF was tried for the r4 "weak"
+    item and is ~10× SLOWER for this shape — 23.3 s vs 2.1 s on one
+    partition, 1.81 s vs 0.96 s on 32 — because every ``eval`` yield
+    of 2 tiny rows becomes its own Arrow conversion. The actual
+    bottleneck was parallelism: the sf0.1 orders scan arrives as one
+    partition, serializing all Python work. Fix kept row-mode eval
+    and (a) pushed the status filter ahead of (b) an explicit
+    repartition to ``defaultParallelism``, applied only when the scan
+    is narrower than the cluster — at real scale the scan already has
+    more partitions than cores and the repartition self-disables.
+    See BENCH_NOTES.md "Arrow UDTF measurement"."""
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="o_orderkey bigint, component string, amount double")
@@ -135,11 +148,15 @@ def udtf_python_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield o_orderkey, "tax", round(o_totalprice - o_totalprice / 1.05, 6)
 
     spark.udtf.register("split_amount", SplitAmount)
-    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    o = table(spark, sf_dir, "orders").filter("o_orderstatus = 'P'")
+    par = spark.sparkContext.defaultParallelism
+    if o.rdd.getNumPartitions() < par:
+        o = o.repartition(par)
+    o.createOrReplaceTempView("orders_pending")
     return spark.sql(
         """
         SELECT s.o_orderkey, s.component, s.amount
-        FROM orders o, LATERAL split_amount(o.o_orderkey, o.o_totalprice) s
-        WHERE o.o_orderstatus = 'P'
+        FROM orders_pending o,
+             LATERAL split_amount(o.o_orderkey, o.o_totalprice) s
         """
     )
