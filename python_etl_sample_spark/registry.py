@@ -255,6 +255,8 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "stream_demo_static_join",
     "multimodal_image_thumbnail",
     "sketch_hll_mergeable",
+    # round-5 additions (hash-checked)
+    "plan_cbo_multiway",
 )
 
 
@@ -285,7 +287,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "text_lang_overlap_jaccard",
     "win_time_range_frame",
     # --- round-5 additions (new code = least-evidenced) ---
-    # (inserted as implemented this round)
+    "plan_cbo_multiway",
     # --- 1 driver row(s), last in r1 (19) ---
     "dedup_embedding_cosine",
     "dedup_exact",

@@ -178,3 +178,28 @@ def test_subqueries_decorrelate_to_hash_joins(spark):
         .toString()
     )
     assert "LeftAnti, BuildRight, true" in naaj, "NOT IN lost its null-aware anti join"
+
+
+def test_cbo_stats_feed_the_planner(spark):
+    """plan_cbo_multiway's whole point: ANALYZE'd statistics must reach
+    the optimizer. Pins (a) cost-mode logical plan carries rowCount=
+    for the analyzed relations, (b) the dimension side still broadcasts
+    (CBO must not degrade the star to sort-merge against tiny dims)."""
+    from python_etl_sample_spark.operators.cbo import cbo_star_frame
+
+    df = cbo_star_frame(spark, SF_DIR)
+    assert spark.conf.get("spark.sql.cbo.enabled") == "true"
+    assert spark.conf.get("spark.sql.cbo.joinReorder.enabled") == "true"
+    cost = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "cost"
+    )
+    stats_lines = [ln for ln in cost.splitlines() if "rowCount=" in ln]
+    assert stats_lines, "cost explain has no rowCount statistics at all"
+    # every analyzed base relation contributes a row count; nation at
+    # sf0.001 has exactly 25 rows and ANALYZE ran FOR ALL COLUMNS
+    assert any("rowCount=25" in ln for ln in stats_lines), (
+        "nation's ANALYZE'd rowCount=25 missing from cost plan:\n"
+        + "\n".join(stats_lines[:10])
+    )
+    phys = explain_formatted(df)
+    assert "BroadcastHashJoin" in phys, "star lost its dim broadcasts under CBO"
