@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from python_etl_sample_spark.cache import cached_df
+from python_etl_sample_spark.functions.components import pointer_jump_components
 from python_etl_sample_spark.registry import query
 from python_etl_sample_spark.sources import table
 
@@ -410,59 +411,40 @@ def dedup_cluster_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     A≈B≈C must collapse to ONE keeper even when A,C aren't directly
     similar, which no single join can express.
 
-    Spark plan: iterative min-label propagation on the edge list —
-    labels start as own doc_id; each round every vertex takes the min
-    of its own and its neighbors' labels (one equi join + one groupBy
-    per round); converged when no label changed. The edge list is the
-    NEAR-DUP PAIRS (orders of magnitude smaller than the corpus), so
-    each round shuffles pairs, never documents, and the round count is
-    the component diameter (fixture: ≤3; web-scale near-dup clusters
-    are shallow stars — the classic large-star/small-star variant caps
-    long chains at O(log n) rounds with the same per-round shape).
-    The only driver-side values are the per-round scalar convergence
-    counts. Persisted label frames are released eagerly each round.
+    Spark plan: the shared pointer-jumped min-label kernel
+    (functions/components.py — also the engine of
+    graph_connected_components, unified in round 5). The edge list is
+    the NEAR-DUP PAIRS (orders of magnitude smaller than the corpus),
+    so each round shuffles pairs, never documents; pointer jumping
+    caps rounds at ⌈log₂ n⌉+1 from ONE upfront distinct-endpoint
+    count — the former per-round `changed` convergence action is gone
+    (round 5; see the kernel's measured comparison against the
+    large-star/small-star alternative).
 
     Oracle: DuckDB WITH RECURSIVE transitive closure + MIN over the
     reachable set — same components, declaratively.
     """
     def _converged_labels() -> DataFrame:
-        pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-        edges = pairs.union(
-            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-        ).toDF("u", "v").persist()
-
-        labels = (
-            edges.select(F.col("u").alias("doc_id"))
-            .distinct()
-            .withColumn("label", F.col("doc_id"))
-            .persist()
+        pairs = (
+            dedup_ngram_jaccard(spark, sf_dir)
+            .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+            .localCheckpoint(eager=True)
         )
-        labels.count()
-        for _ in range(20):  # hard cap >> any real component diameter
-            nbr = edges.join(
-                labels.select(F.col("doc_id").alias("v"), "label"), "v"
-            ).select(F.col("u").alias("doc_id"), "label")
-            new_labels = (
-                labels.unionByName(nbr)
-                .groupBy("doc_id")
-                .agg(F.min("label").alias("label"))
-                .persist()
-            )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "doc_id")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
-            if changed == 0:
-                break
-        edges.unpersist()
-        # hand the converged frame to the session memo, which persists
-        # it under its own bounded lifecycle
-        labels.unpersist()
-        return labels
+        # round budget from ONE upfront scalar — the distinct-endpoint
+        # count bounds every component's size — instead of the former
+        # per-round `changed` count action (20-round polling loop).
+        # The shared kernel (functions/components.py) pointer-jumps, so
+        # the budget is ⌈log₂ n⌉+1, not n.
+        n_nodes = (
+            pairs.select(F.col("src").alias("n"))
+            .union(pairs.select(F.col("dst").alias("n")))
+            .distinct()
+            .count()
+        )
+        labels = pointer_jump_components(pairs, n_bound=max(2, n_nodes))
+        return labels.select(
+            F.col("node").alias("doc_id"), F.col("lab").alias("label")
+        )
 
     labels = cached_df(
         spark, ("cc_labels", os.path.abspath(sf_dir)), _converged_labels

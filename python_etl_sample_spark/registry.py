@@ -255,8 +255,9 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "stream_demo_static_join",
     "multimodal_image_thumbnail",
     "sketch_hll_mergeable",
-    # round-5 additions (hash-checked)
+    # round-5 additions (hash-checked first, then rows-only)
     "plan_cbo_multiway",
+    "stream_demo_rate_source",
 )
 
 
@@ -288,6 +289,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "win_time_range_frame",
     # --- round-5 additions (new code = least-evidenced) ---
     "plan_cbo_multiway",
+    "stream_demo_rate_source",
     # --- 1 driver row(s), last in r1 (19) ---
     "dedup_embedding_cosine",
     "dedup_exact",

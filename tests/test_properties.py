@@ -74,3 +74,60 @@ def test_dsum_is_exact_and_partitioning_invariant(spark, values):
     many = df.repartition(7).agg(dsum("v").alias("s")).collect()[0]["s"]
     exact = float(sum(Decimal(f"{v:.2f}") for v in values))
     assert one == many == exact
+
+
+def test_cc_kernels_agree_on_random_graphs(spark):
+    """The two connected-components formulations in
+    functions/components.py (pointer-jumped hash-min — the shipped
+    kernel — and large-star/small-star contraction) must label random
+    graphs identically, and identically to a pure-Python union-find.
+    Graph shapes chosen to cover the adversarial cases: chains (worst
+    diameter), stars (the near-dup shape), and sparse random."""
+    import random
+
+    from python_etl_sample_spark.functions.components import (
+        pointer_jump_components,
+        star_contract_components,
+    )
+
+    rng = random.Random(421)
+    cases = []
+    # chain of 33, a 12-star, and three sparse G(n, m) graphs
+    cases.append([(i, i + 1) for i in range(33)])
+    cases.append([(50, 50 + i) for i in range(1, 13)])
+    for n, m in ((40, 25), (60, 70), (25, 5)):
+        cases.append(
+            [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        )
+    for edges_py in cases:
+        edges_py = [e for e in edges_py if e[0] != e[1]]
+        if not edges_py:
+            continue
+        # union-find ground truth
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges_py:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {x: find(x) for x in parent}
+
+        edges = spark.createDataFrame(edges_py, "src int, dst int")
+        n_nodes = len(want)
+        got_pj = {
+            r["node"]: r["lab"]
+            for r in pointer_jump_components(edges, n_bound=n_nodes).collect()
+        }
+        got_star = {
+            r["node"]: r["lab"]
+            for r in star_contract_components(edges, n_bound=n_nodes).collect()
+        }
+        assert got_pj == want, "pointer-jump kernel diverged from union-find"
+        assert got_star == want, "star-contract kernel diverged from union-find"
