@@ -56,6 +56,9 @@ STAGED_READS = (
     "scan_corrupt_records",
     "pipeline_daily_etl",
     "join_bucketed",
+    # stages the analyzed catalog star once (saveAsTable + ANALYZE);
+    # the timed pass then measures the CBO-planned query, not the ETL
+    "plan_cbo_multiway",
 )
 
 SHARED_INTERMEDIATE = (

