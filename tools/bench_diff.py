@@ -1,6 +1,6 @@
 """Round-over-round bench regression report.
 
-Usage: python tools/bench_diff.py NEW.json [OLD.json]
+Usage: python tools/bench_diff.py NEW.json [OLD.json] [--table]
 
 Compares per-query wall times between two bench snapshots (the driver's
 BENCH_r{N}.json, or the in-repo BENCH_local.json, whose `parsed`/raw
@@ -8,6 +8,11 @@ layouts are both accepted) and flags queries slower than
 REGRESSION_RATIO×. Exits non-zero if any flagged query regressed by more
 than the ratio AND by more than ABS_FLOOR seconds (sub-100ms timings are
 dominated by task-launch noise at fixture scale).
+
+``--table`` additionally prints a markdown table of EVERY shared query
+(old, new, ratio) — the committed round-over-round record (VERDICT r4
+item 6: ratios must not depend on the driver artifact's truncated
+tail). Pipe it into BENCH_DIFF_r{N}.md.
 """
 
 from __future__ import annotations
@@ -39,12 +44,36 @@ def load_queries(path: str) -> dict[str, float]:
 
 
 def main(argv: list[str]) -> int:
+    argv = list(argv)
+    table = "--table" in argv
+    if table:
+        argv.remove("--table")
     if len(argv) < 2:
         print(__doc__)
         return 2
     new_path = argv[1]
     old_path = argv[2] if len(argv) > 2 else "/root/repo/BENCH_local.json"
     new, old = load_queries(new_path), load_queries(old_path)
+
+    if table:
+        shared = sorted(k for k in new if k in old and old[k] > 0)
+        geo = 1.0
+        print("| query | old s | new s | ratio |")
+        print("|---|---|---|---|")
+        for name in shared:
+            r = new[name] / old[name]
+            geo *= r
+            print(f"| {name} | {old[name]:.3f} | {new[name]:.3f} | {r:.2f}x |")
+        geo **= 1 / max(1, len(shared))
+        print(
+            f"\nShared queries: {len(shared)}; total "
+            f"{sum(old[k] for k in shared):.1f}s -> "
+            f"{sum(new[k] for k in shared):.1f}s; geometric-mean "
+            f"per-query ratio {geo:.3f}x."
+        )
+        for name in sorted(set(new) - set(old)):
+            print(f"- new (no baseline): {name} {new[name]:.3f}s")
+        print()
 
     regressions, improvements = [], []
     for name in sorted(new):
