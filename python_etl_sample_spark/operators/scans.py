@@ -177,3 +177,47 @@ def source_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         .text(p),
     )
     return spark.read.text(path)
+
+
+@query(
+    "scan_metadata_columns",
+    oracle="""
+    SELECT 'orders.parquet' AS file_name,
+           COUNT(*) AS n_rows,
+           CAST(0 AS BIGINT) AS first_row_index,
+           COUNT(*) - 1 AS last_row_index,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders
+    """,
+)
+def scan_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row provenance via the hidden ``_metadata`` struct: file name
+    and in-file row index surfaced per row, rolled up per file — the
+    lineage primitive every large-scale ETL audit needs (which file did
+    this row come from, did we read the whole file, dedup-by-source).
+    ``_metadata`` is populated by the scan itself at zero extra I/O —
+    no UDF, no input_file_name() (which whole-stage codegen restricts).
+    The oracle exploits that the fixture table is ONE file: the name
+    must be the literal basename and row_index must cover exactly
+    0..n-1 — so the provenance VALUES are hash-pinned cross-engine
+    (a missed or double-read split breaks first/last/count together).
+
+    Scale: metadata columns are constant-per-split virtual columns —
+    the rollup is one partial-aggregated shuffle keyed by file, i.e.
+    by input split. At 100 TB this is the audit query that verifies a
+    backfill touched every file exactly once."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.select(
+            F.col("_metadata.file_name").alias("file_name"),
+            F.col("_metadata.row_index").alias("row_index"),
+            "o_orderkey",
+        )
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("row_index").alias("first_row_index"),
+            F.max("row_index").alias("last_row_index"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+    )

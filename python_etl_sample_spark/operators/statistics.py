@@ -363,3 +363,91 @@ def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+@query(
+    "sample_reservoir_per_key",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY (event_id % 100000) * 2654435761 % 1000003, event_id
+             ) AS rk
+      FROM events
+    )
+    SELECT user_id, COUNT(*) AS n_sampled,
+           {dsum_sql('value')} AS value_sampled
+    FROM ranked WHERE rk <= 10 GROUP BY user_id
+    """,
+)
+def sample_reservoir_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic bounded per-key sample — at most 10 events per
+    user, chosen by a key-derived hash order: the reproducible stand-in
+    for per-key reservoir sampling that training-data subsampling needs
+    (cap any one user's contribution to the corpus). A true reservoir
+    is arrival-order-dependent; ranking by a pure function of the row
+    key gives the same sample on any engine, partitioning, or rerun —
+    and the same 2654435761 multiplicative hash as the A/B splitter,
+    masked so the product provably fits int64 in both engines.
+
+    Scale: one window shuffle on user_id (the natural key), rank
+    truncated at 10 so state per key is constant; no driver
+    involvement. This is the exact pattern used to down-weight
+    over-represented domains in LLM corpus mixes."""
+    ev = table(spark, sf_dir, "events")
+    hkey = (F.col("event_id") % 100000) * 2654435761 % 1000003
+    w = Window.partitionBy("user_id").orderBy(hkey.asc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            dsum("value").alias("value_sampled"),
+        )
+    )
+
+
+@query(
+    "agg_equi_depth_histogram",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT l_extendedprice,
+             NTILE(8) OVER (
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+             ) AS bucket
+      FROM lineitem
+    )
+    SELECT bucket, COUNT(*) AS n_rows,
+           MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi,
+           {dsum_sql('l_extendedprice')} AS price_sum
+    FROM bucketed GROUP BY bucket
+    """,
+)
+def agg_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram: 8 buckets of (as near as possible) equal
+    row count over the price distribution, each with its bounds and
+    mass — the histogram shape CBO statistics and data-profiling UIs
+    want (equi-WIDTH histograms starve on skew). NTILE over a TOTAL
+    order (price, then the primary key) makes boundary assignment of
+    tied prices identical in both engines.
+
+    Scale note, stated honestly: a global NTILE is a global sort —
+    Spark range-partitions it, but the single ordering is the cost. At
+    100 TB the same result shape comes from approx_percentile
+    boundaries + one bucketing pass (see agg_approx_quantile); this
+    operator is the EXACT tier used on profiling samples, where exact
+    tie handling is what makes profiles reproducible."""
+    li = table(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    return (
+        li.withColumn("bucket", F.ntile(8).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+            dsum("l_extendedprice").alias("price_sum"),
+        )
+    )

@@ -266,3 +266,52 @@ def text_lang_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@query(
+    "text_chunk_fixed_overlap",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, CAST(n_chars AS BIGINT), 150)) AS gs
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST((gs - 1) / 150 AS BIGINT) AS chunk_idx,
+           CAST(gs AS BIGINT) AS chunk_start,
+           substr(text, CAST(gs AS INTEGER), 200) AS chunk_text,
+           CAST(length(substr(text, CAST(gs AS INTEGER), 200)) AS BIGINT)
+             AS chunk_len
+    FROM pos
+    """,
+)
+def text_chunk_fixed_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping chunking — 200-char windows every 150
+    chars (50-char overlap) — the retrieval/embedding-pipeline step
+    that turns documents into index units. Chunk boundaries derive
+    purely from (n_chars, stride), so the op is one ``sequence`` +
+    ``explode`` + ``substring`` pass: map-only, zero shuffles, stays
+    entirely inside whole-stage codegen, and at 100 TB runs at scan
+    speed with output rows feeding straight into the embedding UDF
+    stage (multimodal.py's batch shape).
+
+    Every chunk's text itself is in the hash-compared output, so the
+    substring semantics (1-based, character counts, short final chunk)
+    are pinned cross-engine, not just chunk counts."""
+    d = table(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(1).cast("bigint"), F.col("n_chars"), F.lit(150))
+        ).alias("gs"),
+    )
+    return pos.select(
+        "doc_id",
+        ((F.col("gs") - 1) / 150).cast("bigint").alias("chunk_idx"),
+        F.col("gs").alias("chunk_start"),
+        F.expr("substring(text, CAST(gs AS INT), 200)").alias("chunk_text"),
+        F.length(F.expr("substring(text, CAST(gs AS INT), 200)"))
+        .cast("bigint")
+        .alias("chunk_len"),
+    )

@@ -257,6 +257,10 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "sketch_hll_mergeable",
     # round-5 additions (hash-checked first, then rows-only)
     "plan_cbo_multiway",
+    "sample_reservoir_per_key",
+    "agg_equi_depth_histogram",
+    "scan_metadata_columns",
+    "text_chunk_fixed_overlap",
     "stream_demo_rate_source",
 )
 
@@ -289,6 +293,10 @@ DRIVER_ORDER: tuple[str, ...] = (
     "win_time_range_frame",
     # --- round-5 additions (new code = least-evidenced) ---
     "plan_cbo_multiway",
+    "sample_reservoir_per_key",
+    "agg_equi_depth_histogram",
+    "scan_metadata_columns",
+    "text_chunk_fixed_overlap",
     "stream_demo_rate_source",
     # --- 1 driver row(s), last in r1 (19) ---
     "dedup_embedding_cosine",
