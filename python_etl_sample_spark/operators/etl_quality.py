@@ -335,3 +335,97 @@ def scan_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("good_key_sum"),
     )
+
+
+_SNAPSHOT_DIFF_SQL = """
+    WITH snap_a AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ), snap_b AS (
+      -- simulated next-day snapshot, defined identically in both
+      -- engines: pending orders reprice by +1%, orderkeys divisible by
+      -- 97 are deleted, and 100 synthetic orders arrive
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderstatus = 'P'
+                  THEN o_totalprice * 1.01
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT 9000000 + gs, 'O', CAST(100 + gs AS DOUBLE)
+      FROM (SELECT unnest(generate_series(1, 100)) AS gs)
+    )
+    SELECT
+      CASE
+        WHEN a.o_orderkey IS NULL THEN 'added'
+        WHEN b.o_orderkey IS NULL THEN 'removed'
+        WHEN a.o_totalprice <> b.o_totalprice
+          OR a.o_orderstatus <> b.o_orderstatus THEN 'changed'
+        ELSE 'unchanged'
+      END AS diff_class,
+      COUNT(*) AS n_rows,
+      CAST(MIN(COALESCE(b.o_orderkey, a.o_orderkey)) AS BIGINT) AS min_key,
+      CAST(MAX(COALESCE(b.o_orderkey, a.o_orderkey)) AS BIGINT) AS max_key
+    FROM snap_a a FULL OUTER JOIN snap_b b USING (o_orderkey)
+    GROUP BY 1
+"""
+
+
+@query("etl_snapshot_diff", oracle=_SNAPSHOT_DIFF_SQL)
+def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation — the audit every warehouse load ships:
+    classify each key of two table versions as added / removed /
+    changed / unchanged, with per-class counts and key ranges. The
+    "tomorrow" snapshot is synthesized deterministically (repriced
+    pending orders, deletions on a key residue, a batch of arrivals)
+    so both engines diff identical inputs. The reprice is a bare IEEE
+    multiply — deliberately NOT rounded: both engines compute bit-equal
+    doubles from equal inputs, while ROUND's half-way convention is
+    engine-divergent.
+
+    Plan: ONE full outer hash join on the key plus column-equality
+    classification — no row serialization, no checksum strings (float
+    →string formatting is engine-divergent; direct column comparison
+    is exact). At 100 TB both snapshots hash-partition on the key —
+    co-partitioned if both sides are bucketed by key (join_bucketed's
+    layout), making daily reconciliation a shuffle-free map-side
+    zip."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    snap_b = o.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderstatus") == "P",
+            F.col("o_totalprice") * 1.01,
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    ).unionByName(
+        spark.range(1, 101).select(
+            (F.lit(9000000) + F.col("id")).alias("o_orderkey"),
+            F.lit("O").alias("o_orderstatus"),
+            (100 + F.col("id")).cast("double").alias("o_totalprice"),
+        )
+    )
+    a, b = o.alias("a"), snap_b.alias("b")
+    joined = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    diff_class = (
+        F.when(F.col("a.o_orderkey").isNull(), "added")
+        .when(F.col("b.o_orderkey").isNull(), "removed")
+        .when(
+            (F.col("a.o_totalprice") != F.col("b.o_totalprice"))
+            | (F.col("a.o_orderstatus") != F.col("b.o_orderstatus")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    key = F.coalesce(F.col("b.o_orderkey"), F.col("a.o_orderkey"))
+    return (
+        joined.select(diff_class.alias("diff_class"), key.alias("k"))
+        .groupBy("diff_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("k").alias("min_key"),
+            F.max("k").alias("max_key"),
+        )
+    )

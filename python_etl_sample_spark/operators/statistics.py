@@ -451,3 +451,69 @@ def agg_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice").alias("price_sum"),
         )
     )
+
+
+_WEIGHTED_MEDIAN_SQL = """
+    WITH w AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS x,
+             CAST(l_quantity AS BIGINT) AS wt
+      FROM lineitem
+    ), ranked AS (
+      SELECT flag, x, wt,
+             SUM(wt) OVER (PARTITION BY flag
+                           ORDER BY x, wt
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum,
+             SUM(wt) OVER (PARTITION BY flag) AS tot
+      FROM w
+    )
+    SELECT flag,
+           MIN(x) FILTER (WHERE cum * 2 >= tot) AS weighted_median,
+           CAST(MAX(tot) AS BIGINT) AS total_weight
+    FROM ranked GROUP BY flag
+"""
+
+
+@query("agg_weighted_percentile", oracle=_WEIGHTED_MEDIAN_SQL)
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median per group: the smallest value whose cumulative
+    weight reaches half the group's total — quantity-weighted price
+    here, the estimator used whenever rows represent unequal masses
+    (tokens per doc, bytes per file, shares per trade). Built-in
+    percentile functions are unweighted; the standard formulation is a
+    cumulative-weight window over the value order, which both engines
+    express identically (ties broken by (x, wt) total order; integer
+    weights so ``cum*2 >= tot`` needs no float comparison).
+
+    Scale: one window shuffle on the group key with an ordered
+    running sum, then a group-all aggregate — same shape as win_running.
+    At 100 TB the window partitions by flag (3 groups → salt or
+    pre-aggregate equal (flag, x) rows first; the (x, wt) pre-combine
+    collapses ties and shrinks the sorted frame)."""
+    li = table(spark, sf_dir, "lineitem")
+    w = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("x"),
+        F.col("l_quantity").cast("bigint").alias("wt"),
+    )
+    win_cum = (
+        Window.partitionBy("flag")
+        .orderBy("x", "wt")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    win_tot = Window.partitionBy("flag")
+    ranked = w.select(
+        "flag",
+        "x",
+        F.sum("wt").over(win_cum).alias("cum"),
+        F.sum("wt").over(win_tot).alias("tot"),
+    )
+    return (
+        ranked.groupBy("flag")
+        .agg(
+            F.min(F.when(F.col("cum") * 2 >= F.col("tot"), F.col("x"))).alias(
+                "weighted_median"
+            ),
+            F.max("tot").cast("bigint").alias("total_weight"),
+        )
+    )

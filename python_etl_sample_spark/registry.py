@@ -261,6 +261,8 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "agg_equi_depth_histogram",
     "scan_metadata_columns",
     "text_chunk_fixed_overlap",
+    "etl_snapshot_diff",
+    "agg_weighted_percentile",
     "stream_demo_rate_source",
 )
 
@@ -297,6 +299,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "agg_equi_depth_histogram",
     "scan_metadata_columns",
     "text_chunk_fixed_overlap",
+    "etl_snapshot_diff",
+    "agg_weighted_percentile",
     "stream_demo_rate_source",
     # --- 1 driver row(s), last in r1 (19) ---
     "dedup_embedding_cosine",
