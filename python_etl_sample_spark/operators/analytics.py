@@ -498,3 +498,82 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("latency_us"),
         )
     )
+
+
+@query(
+    "join_point_in_time_scd2",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), changes AS (
+      SELECT user_id, event_type AS state, ts AS valid_from, event_id
+      FROM ordered WHERE prev_type IS NULL OR event_type <> prev_type
+    ), hist AS (
+      SELECT user_id, state, valid_from,
+             LEAD(valid_from) OVER (PARTITION BY user_id
+                                    ORDER BY valid_from, event_id) AS valid_to
+      FROM changes
+    ), probes AS (
+      SELECT user_id, event_id, ts - INTERVAL 30 MINUTE AS t
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT COALESCE(h.state, 'no_state_yet') AS state_at_probe,
+           COUNT(*) AS n_probes,
+           COUNT(DISTINCT p.user_id) AS n_users
+    FROM probes p
+    LEFT JOIN hist h
+      ON h.user_id = p.user_id
+     AND h.valid_from <= p.t
+     AND (h.valid_to > p.t OR h.valid_to IS NULL)
+    GROUP BY 1
+    """,
+)
+def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against SCD2 history — THE feature-store
+    correctness primitive: for every purchase, the user's state as of
+    30 minutes BEFORE the purchase (feature leakage guard: a feature
+    computed at serving time must only see state already valid then).
+    Reuses etl_scd2_history's stitched intervals and probes them with
+    a half-open [valid_from, valid_to) containment join; probes before
+    a user's first state surface as 'no_state_yet' rather than
+    silently dropping.
+
+    Scale: history is the COMPRESSED change-point frame (≪ events);
+    the join is an equi join on user_id with a range residual — both
+    sides hash-partition on the key, and each user's interval list is
+    small (bounded by their change count), so the residual scan is
+    per-user-local. This is the batch twin of what join_asof does for
+    ordered streams."""
+    hist = etl_scd2_history(spark, sf_dir).select(
+        "user_id", "state", "valid_from", "valid_to"
+    )
+    ev = table(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("t"),
+    )
+    p, h = probes.alias("p"), hist.alias("h")
+    joined = p.join(
+        h,
+        (F.col("h.user_id") == F.col("p.user_id"))
+        & (F.col("h.valid_from") <= F.col("p.t"))
+        & ((F.col("h.valid_to") > F.col("p.t")) | F.col("h.valid_to").isNull()),
+        "left",
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("h.state"), F.lit("no_state_yet")).alias(
+                "state_at_probe"
+            ),
+            F.col("p.user_id").alias("uid"),
+        )
+        .groupBy("state_at_probe")
+        .agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.countDistinct("uid").alias("n_users"),
+        )
+    )

@@ -263,6 +263,7 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "text_chunk_fixed_overlap",
     "etl_snapshot_diff",
     "agg_weighted_percentile",
+    "join_point_in_time_scd2",
     "stream_demo_rate_source",
 )
 
@@ -301,6 +302,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "text_chunk_fixed_overlap",
     "etl_snapshot_diff",
     "agg_weighted_percentile",
+    "join_point_in_time_scd2",
     "stream_demo_rate_source",
     # --- 1 driver row(s), last in r1 (19) ---
     "dedup_embedding_cosine",
