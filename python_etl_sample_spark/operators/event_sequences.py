@@ -393,3 +393,63 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("adist").alias("abs_gap_us"),
         )
     )
+
+
+@query(
+    "events_windowed_funnel",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts,
+             MAX(CASE WHEN event_type = 'view' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS last_view_ts
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS n_views,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+           COUNT(*) FILTER (
+             WHERE event_type = 'purchase'
+               AND last_view_ts IS NOT NULL
+               AND last_view_ts >= ts - INTERVAL 1 HOUR
+           ) AS n_converted
+    FROM seq GROUP BY user_id
+    """,
+)
+def events_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded funnel conversion: a purchase "converts" only if
+    the same user VIEWED within the preceding hour — the
+    attribution-window semantics real funnels use (events_funnel is the
+    unbounded-order variant). One ordered window per user tracks the
+    most recent prior view (CASE-null max over an
+    exclude-current-row frame, ties broken by event_id), so conversion
+    is a row-local predicate afterwards — no purchases×views self-join.
+
+    Scale: single shuffle on user_id; the window state is one
+    timestamp per user. The self-join formulation this replaces is
+    quadratic per user in bursty traffic; the running-max is O(n) and
+    incremental — the same shape Structured Streaming runs with a
+    30-line state handler (stream_stateful_counts)."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_view = F.max(
+        F.when(F.col("event_type") == "view", F.col("ts"))
+    ).over(w)
+    seq = ev.select("user_id", "event_type", "ts", last_view.alias("last_view_ts"))
+    is_view = (F.col("event_type") == "view").cast("long")
+    is_purchase = (F.col("event_type") == "purchase").cast("long")
+    converted = (
+        (F.col("event_type") == "purchase")
+        & F.col("last_view_ts").isNotNull()
+        & (F.col("last_view_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+    ).cast("long")
+    return seq.groupBy("user_id").agg(
+        F.sum(is_view).alias("n_views"),
+        F.sum(is_purchase).alias("n_purchases"),
+        F.sum(converted).alias("n_converted"),
+    )

@@ -264,6 +264,7 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "etl_snapshot_diff",
     "agg_weighted_percentile",
     "join_point_in_time_scd2",
+    "events_windowed_funnel",
     "stream_demo_rate_source",
 )
 
@@ -303,6 +304,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "etl_snapshot_diff",
     "agg_weighted_percentile",
     "join_point_in_time_scd2",
+    "events_windowed_funnel",
     "stream_demo_rate_source",
     # --- 1 driver row(s), last in r1 (19) ---
     "dedup_embedding_cosine",

@@ -203,3 +203,35 @@ def test_cbo_stats_feed_the_planner(spark):
     )
     phys = explain_formatted(df)
     assert "BroadcastHashJoin" in phys, "star lost its dim broadcasts under CBO"
+
+
+def test_chunking_is_map_only(spark):
+    """text_chunk_fixed_overlap must stay a zero-shuffle codegen pass —
+    sequence+explode+substring never justifies an exchange."""
+    plan = plan_of(spark, "text_chunk_fixed_overlap")
+    assert "Exchange" not in plan, "chunking plan acquired a shuffle:\n" + plan
+    assert "[codegen id :" in plan
+
+
+def test_snapshot_diff_single_full_outer_join(spark):
+    """etl_snapshot_diff: exactly one join, and it is the full outer
+    hash/sort-merge reconciliation join — no fallback to BNLJ."""
+    plan = plan_of(spark, "etl_snapshot_diff")
+    joins = [
+        ln
+        for ln in plan.splitlines()
+        if "Join" in ln and "codegen" not in ln.lower()
+    ]
+    assert any("FullOuter" in ln for ln in joins), plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_reservoir_sample_single_window_shuffle(spark):
+    """sample_reservoir_per_key: one hash-partition exchange on the key
+    feeds both the rank window and the rollup (same partitioning)."""
+    import re
+
+    plan = plan_of(spark, "sample_reservoir_per_key")
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, f"expected 1 key exchange, saw {n_exchanges}:\n{plan}"
+    assert "hashpartitioning(user_id" in plan, plan
