@@ -315,3 +315,74 @@ def text_chunk_fixed_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("chunk_len"),
     )
+
+
+_GATE_SQL = """
+    WITH scored AS (
+      SELECT lang, source, n_chars,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+             length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper
+      FROM documents
+    ), gated AS (
+      SELECT lang, source, n_chars,
+             CASE
+               WHEN n_chars < 200 THEN 'too_short'
+               WHEN n_digits * 5 > n_chars THEN 'digit_heavy'
+               WHEN n_upper * 10 > n_chars * 3 THEN 'shouting'
+               ELSE 'kept'
+             END AS gate
+      FROM scored
+    )
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE gate = 'too_short') AS n_too_short,
+           COUNT(*) FILTER (WHERE gate = 'digit_heavy') AS n_digit_heavy,
+           COUNT(*) FILTER (WHERE gate = 'shouting') AS n_shouting,
+           COUNT(*) FILTER (WHERE gate = 'kept') AS n_kept,
+           CAST(COALESCE(SUM(n_chars) FILTER (WHERE gate = 'kept'), 0)
+                AS BIGINT) AS kept_chars
+    FROM gated GROUP BY lang, source
+"""
+
+
+@query("corpus_quality_gate_report", oracle=_GATE_SQL)
+def corpus_quality_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-funnel report every cleaning pipeline prints: per
+    (lang, source) block, how many documents each gate rejected —
+    first-reason-wins waterfall (too short → digit-heavy → shouting →
+    kept) — plus the surviving character mass. First-reason-wins is
+    what makes funnel counts ADD UP (a doc failing two gates counts
+    once), which is the property dashboards and data-mix planning
+    need.
+
+    Gate predicates use integer cross-multiplication (n_digits*5 >
+    n_chars, not ratios) so no float threshold comparison can straddle
+    engines. Plan: map-only scoring (two regexp strips fused into the
+    scan stage) + one partial-aggregated groupBy — at 100 TB this is
+    scan-speed, and the report frame is |langs × sources| rows."""
+    d = table(spark, sf_dir, "documents")
+    scored = d.select(
+        "lang",
+        "source",
+        "n_chars",
+        F.length(F.regexp_replace("text", "[^0-9]", "")).alias("n_digits"),
+        F.length(F.regexp_replace("text", "[^A-Z]", "")).alias("n_upper"),
+    )
+    gate = (
+        F.when(F.col("n_chars") < 200, "too_short")
+        .when(F.col("n_digits") * 5 > F.col("n_chars"), "digit_heavy")
+        .when(F.col("n_upper") * 10 > F.col("n_chars") * 3, "shouting")
+        .otherwise("kept")
+    )
+    gated = scored.select("lang", "source", "n_chars", gate.alias("gate"))
+    kept = F.col("gate") == "kept"
+    return gated.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("gate") == "too_short", 1)).alias("n_too_short"),
+        F.count(F.when(F.col("gate") == "digit_heavy", 1)).alias("n_digit_heavy"),
+        F.count(F.when(F.col("gate") == "shouting", 1)).alias("n_shouting"),
+        F.count(F.when(kept, 1)).alias("n_kept"),
+        F.coalesce(F.sum(F.when(kept, F.col("n_chars"))), F.lit(0))
+        .cast("bigint")
+        .alias("kept_chars"),
+    )

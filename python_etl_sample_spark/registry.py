@@ -265,6 +265,7 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "agg_weighted_percentile",
     "join_point_in_time_scd2",
     "events_windowed_funnel",
+    "corpus_quality_gate_report",
     "stream_demo_rate_source",
 )
 
@@ -305,6 +306,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "agg_weighted_percentile",
     "join_point_in_time_scd2",
     "events_windowed_funnel",
+    "corpus_quality_gate_report",
     "stream_demo_rate_source",
     # --- 1 driver row(s), last in r1 (19) ---
     "dedup_embedding_cosine",
