@@ -1,0 +1,486 @@
+"""Round-5 scale operators: batch sessionization, sweep-line
+concurrency, co-occurrence mining, runtime Bloom-filter join, Z-order
+clustering, and winsorized robust aggregation.
+
+Each one exists because it changes shape at 100 TB:
+
+- Sessionization and the sweep line are the two canonical "order by
+  time within key" rewrites — both become a single shuffle + sorted
+  window, never a self-join.
+- Co-occurrence (market-basket pairs) is the controlled quadratic: the
+  blow-up is per-basket k², bounded by basket size, never corpus².
+- The runtime Bloom-filter join is the shuffle-join analogue of
+  partition pruning: the dimension's filtered keys prune fact rows
+  *before* the fact side shuffles — at 100 TB that is the difference
+  between shuffling 100 TB and shuffling the 2% that survives.
+- Z-order clustering is write-side data skipping: interleaving the bits
+  of two predicate columns gives every file a tight bounding box in
+  BOTH dimensions, so min/max footer stats prune scans for either
+  predicate (linear sort only prunes its leading column).
+- Winsorized mean is the robust-statistics twin of the exact-percentile
+  operator: clamp to [p05, p95], then aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from python_etl_sample_spark.functions.determinism import davg_sql, dsum, dsum_sql
+from python_etl_sample_spark.registry import query
+from python_etl_sample_spark.scratch import stage_once
+from python_etl_sample_spark.sources import table
+
+#: Session gap threshold: a pause longer than this starts a new session.
+_SESSION_GAP_S = 30 * 60
+
+
+@query(
+    "events_sessionize",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR date_diff('second', LAG(ts) OVER w, ts)
+                          > {_SESSION_GAP_S}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS session_idx
+      FROM marked
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT)
+             AS duration_s
+    FROM numbered
+    GROUP BY user_id, session_idx
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based batch sessionization: a user's events split into
+    sessions wherever the pause exceeds 30 minutes; one output row per
+    session with its bounds, event count, and duration.
+
+    The classic rewrite: LAG to mark session starts, running SUM of the
+    marks to number sessions, groupBy(user, session_idx) to summarize.
+    Adjacency is pinned to the (ts, event_id) total order — the
+    engine-wide tie-break law — so session numbering is identical
+    across engines and partitionings.
+
+    Scale: ONE shuffle by user_id serves the lag, the running sum, and
+    (via partial aggregation) the session rollup — Spark reuses the
+    same sort order for both windows. A user's history must fit an
+    executor's sort spill — the standard sessionization contract; no
+    self-join, no state blow-up. This is the batch twin of
+    stream_session (session windows with the same 30-min gap)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = ev.withColumn(
+        "is_new",
+        F.when(gap_s.isNull() | (gap_s > _SESSION_GAP_S), 1).otherwise(0),
+    )
+    numbered = marked.withColumn(
+        "session_idx",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return numbered.groupBy("user_id", "session_idx").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).alias("duration_s"),
+    )
+
+
+#: Synthetic interval length for the concurrency sweep: each event
+#: holds a resource for 15 minutes from its timestamp.
+_HOLD_S = 15 * 60
+
+
+@query(
+    "events_max_concurrent",
+    oracle=f"""
+    WITH deltas AS (
+      SELECT ts AS t, 1 AS delta FROM events
+      UNION ALL
+      SELECT ts + INTERVAL {_HOLD_S} SECOND AS t, -1 AS delta FROM events
+    ), swept AS (
+      SELECT t, CAST(SUM(delta) OVER (ORDER BY t, delta
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS live
+      FROM deltas
+    )
+    SELECT CAST(CAST(t AS DATE) AS TIMESTAMP) AS day,
+           MAX(live) AS max_concurrent
+    FROM swept
+    GROUP BY CAST(t AS DATE)
+    """,
+)
+def events_max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per day via the sweep line: every event opens a
+    15-minute hold; +1/-1 deltas at open/close, a running sum ordered by
+    (time, delta), and the per-day MAX of the live count.
+
+    Ordering deltas ascending at equal timestamps (-1 before +1) makes
+    the holds half-open [t, t+15m) — a close and an open at the same
+    instant never double-count. Ties beyond (t, delta) are harmless by
+    construction: within a tie group all deltas are equal, so the set of
+    running values the group contributes — and therefore its MAX — is
+    order-independent.
+
+    Scale: the naive count-overlaps self-join is O(n·k); the sweep is a
+    UNION ALL (map-only) plus one global sort. At 100 TB the global
+    window becomes per-shard sweeps (partition by resource/tenant —
+    here the global sweep IS the semantics) or a two-pass
+    range-partitioned prefix sum; the delta encoding is what makes
+    either shape linear."""
+    ev = table(spark, sf_dir, "events")
+    opens = ev.select(F.col("ts").alias("t"), F.lit(1).alias("delta"))
+    closes = ev.select(
+        (F.col("ts") + F.expr(f"INTERVAL {_HOLD_S} SECOND")).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    w = Window.orderBy("t", "delta").rowsBetween(Window.unboundedPreceding, 0)
+    swept = opens.unionAll(closes).select(
+        "t", F.sum("delta").over(w).alias("live")
+    )
+    return swept.groupBy(
+        F.to_date("t").cast("timestamp_ntz").alias("day")
+    ).agg(F.max("live").alias("max_concurrent"))
+
+
+@query(
+    "basket_brand_pairs_lift",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), n_orders AS (
+      SELECT COUNT(DISTINCT l_orderkey) AS n FROM baskets
+    ), brand_n AS (
+      SELECT p_brand, COUNT(*) AS n_brand FROM baskets GROUP BY p_brand
+    ), pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+             COUNT(*) AS n_ab
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY a.p_brand, b.p_brand
+    )
+    SELECT p.brand_a, p.brand_b, p.n_ab,
+           ROUND(p.n_ab * 1.0 * o.n / (na.n_brand * nb.n_brand), 6)
+             AS lift
+    FROM pairs p
+    JOIN brand_n na ON na.p_brand = p.brand_a
+    JOIN brand_n nb ON nb.p_brand = p.brand_b
+    CROSS JOIN n_orders o
+    WHERE p.n_ab >= 2
+    """,
+)
+def basket_brand_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: for every pair of part brands that
+    appear together in an order at least twice, the pair count and its
+    lift (observed co-occurrence over the independence expectation).
+
+    Scale: the one quadratic step — the per-basket pair expansion — is
+    a self-equi-join on l_orderkey, so the blow-up is Σ per-basket k²,
+    bounded by basket size (TPC-H ≤ 7 lines), never corpus². The brand
+    lookup broadcasts (part is a dimension), the brand-marginal and
+    order-count frames are tiny and broadcast back onto the pair list.
+    This is the frequent-pair half of A-Priori, which is what survives
+    at warehouse scale; brand cardinality (~25) keeps the output a few
+    hundred rows."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_orders = baskets.select(
+        F.countDistinct("l_orderkey").alias("n")
+    )
+    brand_n = baskets.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_brand")
+    )
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("b.p_brand").alias("brand_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    na = brand_n.select(
+        F.col("p_brand").alias("brand_a"), F.col("n_brand").alias("na")
+    )
+    nb = brand_n.select(
+        F.col("p_brand").alias("brand_b"), F.col("n_brand").alias("nb")
+    )
+    return (
+        pairs.join(F.broadcast(na), "brand_a")
+        .join(F.broadcast(nb), "brand_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab") * 1.0 * F.col("n") / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+#: Conf keys toggled (and restored) around the Bloom-join execution.
+_BLOOM_CONFS = {
+    # fact side must take the shuffle path for a runtime filter to matter
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    # at sf0.1 the fact scan is far below the 10 GiB default that gates
+    # injection on real clusters; 0 makes the tiny fixture eligible
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+}
+
+
+def bloom_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lazy plan: urgent-orders revenue by return flag, shuffle-join
+    shaped so InjectRuntimeFilter puts a Bloom filter on the fact scan."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@query(
+    "join_bloom_runtime",
+    oracle=f"""
+    SELECT l.l_returnflag, COUNT(*) AS n_items,
+           {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l.l_returnflag
+    """,
+)
+def join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle join with a runtime row-level Bloom filter: the selective
+    dimension (urgent orders, ~20%) builds a Bloom filter over its join
+    keys (`bloom_filter_agg` in the plan), and Catalyst injects a
+    `might_contain` predicate into the FACT side — fact rows that
+    cannot match are dropped before the
+    shuffle, which at 100 TB is the difference between shuffling the
+    whole fact table and shuffling the surviving fraction. This is the
+    shuffle-join analogue of dynamic partition pruning (which needs a
+    partitioned layout; the Bloom filter needs nothing).
+
+    The injection gate (`applicationSideScanSizeThreshold`, 10 GiB on
+    real clusters) is lowered for the fixture and restored after an
+    eager execution, so the toggles never leak into other queries'
+    plans; tests/test_plans.py pins `bloom_filter_agg` + `might_contain`
+    in the optimized plan."""
+    old = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        # eager: the plan must optimize (and so inject the filter) while
+        # the confs are in force
+        return bloom_join_frame(spark, sf_dir).localCheckpoint(eager=True)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+#: Bits per dimension interleaved into the Z-value.
+_Z_BITS = 8
+
+
+def _z_value_spark(cust: F.Column, doy: F.Column) -> F.Column:
+    """Interleave the low 8 bits of two columns into a 16-bit Z-value."""
+    c = cust % 256
+    d = doy % 256
+    z = F.lit(0)
+    for i in range(_Z_BITS):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(c, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(d, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    return z
+
+
+def _z_value_sql(cust: str, doy: str) -> str:
+    """The same interleave as a DuckDB SQL expression."""
+    terms = []
+    for i in range(_Z_BITS):
+        # every term fully parenthesized: DuckDB binds | tighter than <<
+        terms.append(f"(((({cust} % 256) >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"(((({doy} % 256) >> {i}) & 1) << {2 * i})")
+    return "(" + " | ".join(terms) + ")"
+
+
+@query(
+    "etl_zorder_clustering",
+    oracle=f"""
+    WITH z AS (
+      SELECT o_custkey,
+             date_part('doy', o_orderdate) AS doy,
+             {_z_value_sql('o_custkey', "date_part('doy', o_orderdate)")}
+               AS zval
+      FROM orders
+    )
+    SELECT CAST(zval // 1024 AS BIGINT) AS bucket,
+           COUNT(*) AS n_orders,
+           MIN(o_custkey) AS cust_min, MAX(o_custkey) AS cust_max,
+           CAST(MIN(doy) AS BIGINT) AS doy_min,
+           CAST(MAX(doy) AS BIGINT) AS doy_max,
+           CAST(((MAX(o_custkey) % 256) - (MIN(o_custkey) % 256) + 1)
+                * ((MAX(doy) % 256) - (MIN(doy) % 256) + 1) AS BIGINT)
+             AS bbox_area
+    FROM z
+    GROUP BY zval // 1024
+    """,
+)
+def etl_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering of orders on (custkey, day-of-year):
+    interleave 8 bits of each into a 16-bit Z-value, cluster into 64
+    Z-ranges, and report each range's row count and bounding box.
+
+    Why it matters at 100 TB: parquet prunes row groups by min/max
+    footer stats. A linear sort gives tight stats on the sort column
+    only; Z-ordering gives every file a tight bounding box in BOTH
+    dimensions (each Z-range spans ≤ 16×16 of the 256×256 key grid, vs
+    a full 256-wide stripe for the second column of a lexicographic
+    sort), so predicates on either column skip most files. The operator
+    also writes the clustered layout to scratch
+    (repartitionByRange(z) + sortWithinPartitions) — the actual sink a
+    table-maintenance job would run; tests/test_plans.py measures the
+    skipping on the written files. The hashed output is the bucket
+    summary: pure integer math, engine-exact."""
+    o = table(spark, sf_dir, "orders")
+    z = o.select(
+        "o_custkey",
+        F.dayofyear("o_orderdate").alias("doy"),
+        _z_value_spark(F.col("o_custkey"), F.dayofyear("o_orderdate")).alias(
+            "zval"
+        ),
+    )
+
+    def _write(path: str) -> None:
+        zd = o.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            _z_value_spark(
+                F.col("o_custkey"), F.dayofyear("o_orderdate")
+            ).alias("zval"),
+        )
+        (
+            zd.repartitionByRange(16, "zval")
+            .sortWithinPartitions("zval")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+
+    stage_once("zorder/orders_clustered", sf_dir, _write)
+    return z.groupBy(
+        (F.col("zval") / 1024).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_custkey").alias("cust_min"),
+        F.max("o_custkey").alias("cust_max"),
+        F.min("doy").cast("long").alias("doy_min"),
+        F.max("doy").cast("long").alias("doy_max"),
+        (
+            ((F.max("o_custkey") % 256) - (F.min("o_custkey") % 256) + 1)
+            * ((F.max("doy") % 256) - (F.min("doy") % 256) + 1)
+        ).cast("long").alias("bbox_area"),
+    )
+
+
+@query(
+    "stats_winsorized_mean",
+    oracle=f"""
+    WITH cuts AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS p05,
+             quantile_cont(value, 0.95) AS p95
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           ROUND({davg_sql('e.value')}, 6) AS raw_mean,
+           ROUND({davg_sql('LEAST(GREATEST(e.value, c.p05), c.p95)')}, 6)
+             AS winsorized_mean
+    FROM events e JOIN cuts c ON e.event_type = c.event_type
+    GROUP BY e.event_type
+    """,
+)
+def stats_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per event type: clamp values to the group's
+    exact [p05, p95], then average — the robust-location estimate that
+    tolerates heavy-tailed metric columns (a corpus pipeline's guard
+    against a few huge documents dominating a mean).
+
+    Two passes over one shuffle key: exact percentile cuts per group
+    (tiny frame), broadcast back onto the events, clamp with
+    least/greatest, decimal-exact mean. Parity comes from the proven
+    percentile twins (percentile ↔ quantile_cont, interpolated the same
+    way — agg_percentile_exact) and the davg determinism helper.
+
+    Scale: the cuts pass is the only percentile over raw values; with
+    unbounded domains swap it for approx_percentile and the clamp
+    stays identical — the aggregation shape does not change."""
+    ev = table(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.05, 0.95))")
+    cuts = ev.groupBy("event_type").agg(
+        pct[0].alias("p05"), pct[1].alias("p95")
+    )
+    clamped = ev.join(F.broadcast(cuts), "event_type").select(
+        "event_type",
+        "value",
+        F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")).alias(
+            "wvalue"
+        ),
+    )
+    return clamped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("raw_mean"),
+        F.round(
+            F.sum(F.col("wvalue").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("winsorized_mean"),
+    )

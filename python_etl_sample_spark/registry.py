@@ -266,6 +266,12 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "join_point_in_time_scd2",
     "events_windowed_funnel",
     "corpus_quality_gate_report",
+    "events_sessionize",
+    "events_max_concurrent",
+    "basket_brand_pairs_lift",
+    "join_bloom_runtime",
+    "etl_zorder_clustering",
+    "stats_winsorized_mean",
     "stream_demo_rate_source",
 )
 
@@ -307,6 +313,12 @@ DRIVER_ORDER: tuple[str, ...] = (
     "join_point_in_time_scd2",
     "events_windowed_funnel",
     "corpus_quality_gate_report",
+    "events_sessionize",
+    "events_max_concurrent",
+    "basket_brand_pairs_lift",
+    "join_bloom_runtime",
+    "etl_zorder_clustering",
+    "stats_winsorized_mean",
     "stream_demo_rate_source",
     # --- 1 driver row(s), last in r1 (19) ---
     "dedup_embedding_cosine",

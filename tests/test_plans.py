@@ -235,3 +235,115 @@ def test_reservoir_sample_single_window_shuffle(spark):
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchanges == 1, f"expected 1 key exchange, saw {n_exchanges}:\n{plan}"
     assert "hashpartitioning(user_id" in plan, plan
+
+
+def test_sessionize_single_shuffle(spark):
+    """events_sessionize: ONE hash exchange on user_id serves the lag
+    window, the session-numbering running sum, AND the per-session
+    rollup — Spark recognizes hash(user_id) as a valid clustering for
+    groupBy(user_id, session_idx), so no second shuffle appears. This
+    is the plan shape that makes sessionization linear at 100 TB."""
+    import re
+
+    plan = plan_of(spark, "events_sessionize")
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, f"expected 1 exchange, saw {n_exchanges}:\n{plan}"
+    assert "hashpartitioning(user_id" in plan, plan
+    assert "Join" not in plan, "sessionization must never self-join:\n" + plan
+
+
+def test_max_concurrent_is_join_free_sweep(spark):
+    """events_max_concurrent: the sweep line must stay a UNION ALL +
+    one global running sum — the naive count-overlaps formulation is a
+    range self-join, which is the shape this operator exists to avoid."""
+    plan = plan_of(spark, "events_max_concurrent")
+    assert "Union" in plan, plan
+    assert "Join" not in plan, "sweep line degraded to a self-join:\n" + plan
+
+
+def test_basket_pairs_broadcast_dims(spark):
+    """basket_brand_pairs_lift: the brand lookup and both marginal
+    frames broadcast; the only shuffle joins are the per-basket pair
+    expansion on l_orderkey (equi-join — never a cartesian, which the
+    generic no-cartesian sweep also pins)."""
+    plan = plan_of(spark, "basket_brand_pairs_lift")
+    assert "BroadcastHashJoin" in plan, plan
+    import re
+
+    # every shuffle join's key list (the "(n) SortMergeJoin" detail
+    # block's "Left keys") must be the basket key
+    for m in re.finditer(r"\(\d+\) (SortMergeJoin|ShuffledHashJoin)[^\n]*\n"
+                         r"(?:[^\n]*\n)?Left keys \[\d+\]: \[([^\]]*)\]", plan):
+        assert "l_orderkey" in m.group(2), (
+            f"shuffle join not on the basket key: {m.group(0)}"
+        )
+    assert re.search(r"Left keys \[\d+\]: \[l_orderkey", plan), plan
+
+
+def test_bloom_runtime_filter_injected(spark):
+    """join_bloom_runtime's whole point: under the (scoped) injection
+    confs, the optimized plan must carry the Bloom build aggregate
+    (bloom_filter_agg over the dimension keys) and the might_contain
+    probe on the fact side — proof the fact rows are pruned BEFORE the
+    shuffle, not after the join."""
+    from python_etl_sample_spark.operators.scale_ops5 import (
+        _BLOOM_CONFS,
+        bloom_join_frame,
+    )
+
+    old = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        plan = (
+            bloom_join_frame(spark, SF_DIR)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+    finally:
+        for k, v in old.items():
+            spark.conf.unset(k) if v is None else spark.conf.set(k, v)
+    assert "bloom_filter_agg" in plan, "no Bloom build in plan:\n" + plan
+    assert "might_contain" in plan, "no Bloom probe on fact side:\n" + plan
+    # and the probe hashes the fact-side join key
+    probe = [ln for ln in plan.splitlines() if "might_contain" in ln]
+    assert any("l_orderkey" in ln for ln in probe), probe
+
+
+def test_zorder_buckets_are_2d_tiles(spark):
+    """etl_zorder_clustering: 1024 consecutive Z-codes tile a 32x32
+    square of the 256x256 (custkey, day-of-year) grid, so every
+    bucket's bounding box is mathematically <= 1024 cells — 64x
+    tighter than the 256-wide stripe a lexicographic sort gives its
+    second column. This inequality IS the data-skipping guarantee."""
+    rows = REGISTRY["etl_zorder_clustering"].fn(spark, SF_DIR).collect()
+    assert rows, "no buckets"
+    for r in rows:
+        assert r.n_orders > 0
+        assert r.bbox_area <= 1024, (
+            f"bucket {r.bucket} bbox {r.bbox_area} exceeds the 32x32 tile"
+        )
+
+
+def test_zorder_files_disjoint_ranges(spark):
+    """The written clustered layout (repartitionByRange + sort on the
+    Z-value) must give every file a DISJOINT Z-range — the physical
+    property parquet min/max skipping needs. Verified from the actual
+    files via the _metadata column."""
+    from pyspark.sql import functions as F
+
+    from python_etl_sample_spark.scratch import scratch_path
+
+    REGISTRY["etl_zorder_clustering"].fn(spark, SF_DIR).collect()  # stages
+    path = scratch_path("zorder/orders_clustered", SF_DIR)
+    per_file = (
+        spark.read.parquet(path)
+        .groupBy(F.col("_metadata.file_path").alias("f"))
+        .agg(F.min("zval").alias("lo"), F.max("zval").alias("hi"))
+        .collect()
+    )
+    assert len(per_file) > 1, "clustered write produced a single file"
+    spans = sorted((r.lo, r.hi) for r in per_file)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, f"file Z-ranges overlap: ({lo1},{hi1}) vs ({lo2},{hi2})"
