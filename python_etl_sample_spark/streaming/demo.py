@@ -215,12 +215,13 @@ def stream_demo_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return demo_session(spark, sf_dir)
 
 
-#: rate-source demo shape: 4 deterministic micro-batches × 2500 rows
-#: (10k events; per-micro-batch runtime overhead measured ~1 s each —
+#: rate-source demo shape: 3 deterministic micro-batches × 3500 rows
+#: (10.5k events; per-micro-batch runtime overhead measured ~1 s each —
 #: trigger scheduling + a foreachBatch py4j round trip — so the batch
-#: count, not the row count, is the demo's cost driver).
-_RATE_BATCHES = 4
-_RATE_ROWS_PER_BATCH = 2500
+#: count, not the row count, is the demo's cost driver; 3 batches is
+#: the minimum that still shows state surviving TWO batch boundaries).
+_RATE_BATCHES = 3
+_RATE_ROWS_PER_BATCH = 3500
 _RATE_EPOCH_MS = 1735689600000  # 2025-01-01T00:00:00Z
 
 
