@@ -427,6 +427,69 @@ def etl_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_dpp_partitioned",
+    oracle=f"""
+    SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+           COUNT(*) AS n_items,
+           {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    WHERE month(l_shipdate) BETWEEN 4 AND 6
+    GROUP BY strftime(l_shipdate, '%Y-%m')
+    """,
+)
+def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: Q2 revenue by ship month, computed as
+    a join between a hive-partitioned fact (lineitem laid out by
+    ship_month — the staged sink) and a filtered month dimension. At
+    plan time the pruning predicate is unknown (it depends on the dim's
+    surviving rows); at runtime Spark evaluates the dim subquery first
+    (`dynamicpruning#...` / SubqueryAdaptiveBroadcast in the plan,
+    reusing the join's own broadcast) and prunes fact DIRECTORIES
+    before the scan — only ~1/4 of the partitions are read.
+
+    This is the layout-based twin of join_bloom_runtime: DPP prunes
+    whole partitions when the join key IS the partition key; the Bloom
+    filter prunes rows when there is no helpful layout. A 100 TB
+    warehouse wants both: date-partitioned facts make every
+    date-dim-filtered join scan only the matching directories.
+    tests/test_plans.py pins the dynamicpruning subquery on the fact
+    scan and that the pruned scan reads fewer partitions than exist."""
+    li = table(spark, sf_dir, "lineitem")
+
+    def _write(path: str) -> None:
+        (
+            li.withColumn(
+                "ship_month", F.date_format("l_shipdate", "yyyy-MM")
+            )
+            .write.mode("overwrite")
+            .partitionBy("ship_month")
+            .parquet(path)
+        )
+
+    path = stage_once("dpp/lineitem_by_month", sf_dir, _write)
+    fact = spark.read.parquet(path)
+    # month dimension: distinct months with a derived quarter attribute,
+    # filtered to Q2 — the selective dim whose survivors drive the prune
+    dim = (
+        li.select(
+            F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")
+        )
+        .distinct()
+        .filter(F.expr("int(substr(ship_month, 6, 2))").between(4, 6))
+    )
+    return (
+        fact.join(dim, "ship_month")
+        .groupBy("ship_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@query(
     "stats_winsorized_mean",
     oracle=f"""
     WITH cuts AS (

@@ -271,6 +271,7 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "basket_brand_pairs_lift",
     "join_bloom_runtime",
     "etl_zorder_clustering",
+    "join_dpp_partitioned",
     "stats_winsorized_mean",
     "stream_demo_rate_source",
 )
@@ -318,6 +319,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "basket_brand_pairs_lift",
     "join_bloom_runtime",
     "etl_zorder_clustering",
+    "join_dpp_partitioned",
     "stats_winsorized_mean",
     "stream_demo_rate_source",
     # --- 1 driver row(s), last in r1 (19) ---

@@ -347,3 +347,15 @@ def test_zorder_files_disjoint_ranges(spark):
     spans = sorted((r.lo, r.hi) for r in per_file)
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2, f"file Z-ranges overlap: ({lo1},{hi1}) vs ({lo2},{hi2})"
+
+
+def test_dpp_prunes_fact_partitions(spark):
+    """join_dpp_partitioned: the fact scan must carry a dynamicpruning
+    subquery on ship_month — directory pruning driven by the dim's
+    runtime rows, the layout-based twin of the Bloom runtime filter."""
+    df = REGISTRY["join_dpp_partitioned"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), (
+        "no dynamic partition pruning subquery in plan:\n" + plan
+    )
+    assert "ship_month" in plan
