@@ -427,6 +427,104 @@ def etl_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_weighted_priority",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY ln(((o_orderkey % 100000) * 2654435761 % 1000003 + 1)
+                           / 1000004.0) / o_totalprice DESC,
+                        o_orderkey
+             ) AS rk
+      FROM orders
+    )
+    SELECT o_orderpriority, COUNT(*) AS n_sampled,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           {dsum_sql('o_totalprice')} AS weight_sampled
+    FROM keyed WHERE rk <= 20 GROUP BY o_orderpriority
+    """,
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, 20 orders per priority
+    class, selection probability proportional to o_totalprice — the
+    Efraimidis-Spirakis scheme (rank by u^(1/w), here by its log
+    ln(u)/w) with u derived from the key, not a RNG: the same masked
+    2654435761 multiplicative hash as the A/B splitter and the uniform
+    reservoir, so the sample is identical on any engine, partitioning,
+    or rerun. This is how a corpus pipeline up-weights high-quality
+    sources while staying reproducible.
+
+    The hashed output includes SUM(o_orderkey) so the driver hash is
+    sensitive to the sample's exact membership, not just its size.
+
+    Scale: one window shuffle on the group key with rank truncated at
+    k — constant state per key, no driver involvement; at 100 TB the
+    rank window becomes a per-partition top-k + merge exactly like
+    topk_per_group."""
+    o = table(spark, sf_dir, "orders")
+    u = (
+        (F.col("o_orderkey") % 100000) * 2654435761 % 1000003 + 1
+    ) / 1000004.0
+    es_key = F.log(u) / F.col("o_totalprice")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        es_key.desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("o_orderkey").alias("key_sum"),
+            dsum("o_totalprice").alias("weight_sampled"),
+        )
+    )
+
+
+@query(
+    "agg_skew_salted_distinct",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events,
+           {dsum_sql('value')} AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_skew_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) over hot keys via salted two-phase
+    aggregation: events has only 5 event_type values, so a naive
+    distinct-aggregate funnels every row of a hot key through one
+    reducer. Salting by user_id % 16 splits each hot key into 16
+    sub-aggregations; because the salt is a pure function of the
+    DISTINCT column, every user lands in exactly one bucket and the
+    per-bucket distinct counts SUM to the exact global distinct — no
+    overlap, no approximation. The decimal partial sums re-aggregate
+    exactly (decimal addition is associative), so the result is
+    bit-identical to the direct single-phase oracle.
+
+    Scale: phase 1 shuffles on (event_type, salt) — 16× the reduce
+    parallelism on the hottest key; phase 2 merges 16 rows per key.
+    This is THE rewrite for exact-distinct over skewed keys at 100 TB;
+    for unbounded cardinality swap phase 1's countDistinct for an HLL
+    sketch (sketch_hll_mergeable) and the shape is unchanged."""
+    ev = table(spark, sf_dir, "events")
+    phase1 = ev.groupBy(
+        "event_type", (F.col("user_id") % 16).alias("salt")
+    ).agg(
+        F.countDistinct("user_id").alias("d"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(28,6)")).alias("s"),
+    )
+    return phase1.groupBy("event_type").agg(
+        F.sum("d").alias("n_users"),
+        F.sum("n").alias("n_events"),
+        F.sum("s").cast("double").alias("total_value"),
+    )
+
+
+@query(
     "join_dpp_partitioned",
     oracle=f"""
     SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,

@@ -272,6 +272,8 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "join_bloom_runtime",
     "etl_zorder_clustering",
     "join_dpp_partitioned",
+    "sample_weighted_priority",
+    "agg_skew_salted_distinct",
     "stats_winsorized_mean",
     "stream_demo_rate_source",
 )
@@ -320,6 +322,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "join_bloom_runtime",
     "etl_zorder_clustering",
     "join_dpp_partitioned",
+    "sample_weighted_priority",
+    "agg_skew_salted_distinct",
     "stats_winsorized_mean",
     "stream_demo_rate_source",
     # --- 1 driver row(s), last in r1 (19) ---

@@ -359,3 +359,20 @@ def test_dpp_prunes_fact_partitions(spark):
         "no dynamic partition pruning subquery in plan:\n" + plan
     )
     assert "ship_month" in plan
+
+
+def test_salted_distinct_two_phase(spark):
+    """agg_skew_salted_distinct: phase 1 must shuffle on
+    (event_type, salt) — 16x reduce parallelism on hot keys — and
+    phase 2 on event_type alone; the distinct never funnels a hot key
+    through a single reducer in one step."""
+    import re
+
+    plan = plan_of(spark, "agg_skew_salted_distinct")
+    assert "hashpartitioning(event_type" in plan
+    # the salt column is inlined as _groupingexpression in the exchange
+    salted = [
+        ln for ln in plan.splitlines()
+        if re.search(r"hashpartitioning\(event_type#\d+, (_groupingexpression|salt)", ln)
+    ]
+    assert salted, "no (event_type, salt) exchange — salting lost:\n" + plan
