@@ -427,6 +427,64 @@ def etl_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_hinted_strategies",
+    oracle=f"""
+    WITH agg AS (
+      SELECT s.s_nationkey, COUNT(*) AS n_items,
+             {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY s.s_nationkey
+    )
+    SELECT strat.strategy, a.s_nationkey, a.n_items, a.revenue
+    FROM agg a
+    CROSS JOIN (VALUES ('broadcast'), ('merge'), ('shuffle_hash'))
+      AS strat(strategy)
+    """,
+)
+def join_hinted_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit physical-join-strategy control: the same
+    revenue-per-supplier-nation join planned three ways — BROADCAST,
+    MERGE (sort-merge), and SHUFFLE_HASH — via join hints, unioned with
+    a strategy label. All three branches MUST produce identical values
+    (the oracle is one aggregate × three labels); what differs is the
+    plan, and tests/test_plans.py pins that all three operators appear
+    simultaneously — proof the hints survive optimization rather than
+    collapsing to whatever AQE would pick.
+
+    Why it's a first-class operator: at 100 TB the optimizer's
+    size-based choice is sometimes wrong in ways only the user can know
+    (a dimension that fits memory AFTER pruned columns, a fact pair
+    where sort order will be reused downstream) — hint pass-through is
+    the escape hatch every warehouse engine must expose.
+
+    Scale note: the three-way union here is a demonstration; a real
+    query picks one. Each branch shuffles/broadcasts independently —
+    Spark does not share the scan across union branches without
+    explicit caching, which is the correct trade for a plan demo."""
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier")
+
+    def branch(hint: str) -> DataFrame:
+        return (
+            li.join(sup.hint(hint), li.l_suppkey == sup.s_suppkey)
+            .groupBy("s_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                dsum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).alias("revenue"),
+            )
+            .select(F.lit(hint).alias("strategy"), "*")
+        )
+
+    return (
+        branch("broadcast")
+        .unionAll(branch("merge"))
+        .unionAll(branch("shuffle_hash"))
+    )
+
+
+@query(
     "sample_weighted_priority",
     oracle=f"""
     WITH keyed AS (

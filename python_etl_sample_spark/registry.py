@@ -272,6 +272,7 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "join_bloom_runtime",
     "etl_zorder_clustering",
     "join_dpp_partitioned",
+    "join_hinted_strategies",
     "sample_weighted_priority",
     "agg_skew_salted_distinct",
     "stats_winsorized_mean",
@@ -322,6 +323,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "join_bloom_runtime",
     "etl_zorder_clustering",
     "join_dpp_partitioned",
+    "join_hinted_strategies",
     "sample_weighted_priority",
     "agg_skew_salted_distinct",
     "stats_winsorized_mean",

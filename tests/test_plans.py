@@ -376,3 +376,13 @@ def test_salted_distinct_two_phase(spark):
         if re.search(r"hashpartitioning\(event_type#\d+, (_groupingexpression|salt)", ln)
     ]
     assert salted, "no (event_type, salt) exchange — salting lost:\n" + plan
+
+
+def test_hinted_strategies_all_survive(spark):
+    """join_hinted_strategies: the three hints must reach the physical
+    plan as three DIFFERENT join operators in one query — broadcast,
+    sort-merge, and shuffled-hash — not collapse to the size-based
+    default."""
+    plan = plan_of(spark, "join_hinted_strategies")
+    for op in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"):
+        assert op in plan, f"{op} missing — hint not honored:\n" + plan
