@@ -59,6 +59,10 @@ STAGED_READS = (
     # stages the analyzed catalog star once (saveAsTable + ANALYZE);
     # the timed pass then measures the CBO-planned query, not the ETL
     "plan_cbo_multiway",
+    # stage the month-partitioned fact / Z-clustered layout once; the
+    # timed pass measures the DPP join / bucket rollup, not the sink
+    "join_dpp_partitioned",
+    "etl_zorder_clustering",
 )
 
 SHARED_INTERMEDIATE = (

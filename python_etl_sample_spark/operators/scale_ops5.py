@@ -617,6 +617,10 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             li.withColumn(
                 "ship_month", F.date_format("l_shipdate", "yyyy-MM")
             )
+            # cluster rows by partition key first: one file per month
+            # directory instead of (input tasks × months) small files —
+            # the write discipline any partitioned 100 TB sink needs
+            .repartition("ship_month")
             .write.mode("overwrite")
             .partitionBy("ship_month")
             .parquet(path)
