@@ -76,6 +76,7 @@ SHARED_INTERMEDIATE = (
     "text_contamination_check",
     "sim_ann_ivf",
     "dedup_cluster_keeper",
+    "basket_brand_pairs_lift",
 )
 
 

@@ -197,12 +197,20 @@ def basket_brand_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the frequent-pair half of A-Priori, which is what survives
     at warehouse scale; brand cardinality (~25) keeps the output a few
     hundred rows."""
+    from python_etl_sample_spark.cache import cached_df
+
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    baskets = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    # the distinct basket frame feeds FOUR consumers (pair join ×2,
+    # brand marginals, order count) — memoize it per session so the
+    # scan+broadcast-join+distinct runs once, not four times (cache.py,
+    # same lifecycle as the GEMM grid / shingle frames)
+    baskets = cached_df(
+        spark,
+        ("basket_brands", sf_dir),
+        lambda: li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select("l_orderkey", "p_brand")
-        .distinct()
+        .distinct(),
     )
     n_orders = baskets.select(
         F.countDistinct("l_orderkey").alias("n")
