@@ -63,6 +63,7 @@ STAGED_READS = (
     # timed pass measures the DPP join / bucket rollup, not the sink
     "join_dpp_partitioned",
     "etl_zorder_clustering",
+    "etl_incremental_rollup_merge",
 )
 
 SHARED_INTERMEDIATE = (

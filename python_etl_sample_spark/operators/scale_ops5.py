@@ -434,6 +434,71 @@ def etl_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The incremental split day (same literal as etl_incremental — the
+#: fixture's final day plays "today's new partition").
+_DELTA_DAY = "2024-01-30"
+
+
+@query(
+    "etl_incremental_rollup_merge",
+    oracle=f"""
+    SELECT event_type, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+           COUNT(*) AS n_events,
+           {dsum_sql('value')} AS total_value
+    FROM events
+    GROUP BY event_type, CAST(ts AS DATE)
+    """,
+)
+def etl_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance by partial-aggregate merge: the
+    historical rollup (per event_type × day: count + DECIMAL sum) is
+    materialized once; arriving day '{_DELTA_DAY}' is rolled up alone
+    and MERGED — union the two partial-state frames, re-aggregate,
+    finalize. The result is bit-identical to a full recompute (the
+    oracle) because count and decimal-sum are mergeable: associative,
+    commutative, exact.
+
+    Scale: this is THE pattern that keeps a 100 TB warehouse's daily
+    rollups O(delta) instead of O(history) — the merge path scans the
+    compact rollup (|keys| rows) plus one day of data; the base fact
+    is never rescanned (tests/test_plans.py pins that the merge plan's
+    only scan of the events fixture carries the pushed delta-day
+    filter). Storing the DECIMAL partial (not the finalized double)
+    is what makes the merge exact — finalized averages/doubles do not
+    merge. Spark's own partial/final HashAggregate split is the same
+    algebra inside one query; this operator persists the partial state
+    ACROSS queries."""
+    ev = table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        ).agg(
+            F.count(F.lit(1)).alias("n_partial"),
+            F.sum(F.col("value").cast("decimal(28,6)")).alias("s_partial"),
+        )
+
+    base_path = stage_once(
+        "ivm/events_rollup_base",
+        sf_dir,
+        lambda p: rollup(ev.filter(day < F.lit(_DELTA_DAY)))
+        .write.mode("overwrite")
+        .parquet(p),
+    )
+    base = spark.read.parquet(base_path)
+    delta = rollup(ev.filter(day == F.lit(_DELTA_DAY)))
+    return (
+        base.unionAll(delta)
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("n_partial").alias("n_events"),
+            F.sum("s_partial").cast("double").alias("total_value"),
+        )
+        .withColumn("day", F.col("day").cast("timestamp_ntz"))
+    )
+
+
 @query(
     "join_hinted_strategies",
     oracle=f"""

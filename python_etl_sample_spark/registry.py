@@ -272,6 +272,7 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "join_bloom_runtime",
     "etl_zorder_clustering",
     "join_dpp_partitioned",
+    "etl_incremental_rollup_merge",
     "join_hinted_strategies",
     "sample_weighted_priority",
     "agg_skew_salted_distinct",
@@ -323,6 +324,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "join_bloom_runtime",
     "etl_zorder_clustering",
     "join_dpp_partitioned",
+    "etl_incremental_rollup_merge",
     "join_hinted_strategies",
     "sample_weighted_priority",
     "agg_skew_salted_distinct",

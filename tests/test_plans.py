@@ -386,3 +386,18 @@ def test_hinted_strategies_all_survive(spark):
     plan = plan_of(spark, "join_hinted_strategies")
     for op in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"):
         assert op in plan, f"{op} missing — hint not honored:\n" + plan
+
+
+def test_ivm_merge_never_rescans_base(spark):
+    """etl_incremental_rollup_merge: the merge plan may scan the events
+    fixture ONLY for the delta day (pushed filter) — history comes from
+    the compact rollup parquet. O(delta), not O(history)."""
+    df = REGISTRY["etl_incremental_rollup_merge"].fn(spark, SF_DIR)
+    plan = explain_formatted(df)
+    scans = [ln for ln in plan.splitlines() if "Location:" in ln]
+    ev_scans = [ln for ln in scans if "events.parquet" in ln]
+    rollup_scans = [ln for ln in scans if "events_rollup_base" in ln]
+    assert len(ev_scans) == 1, f"events fixture scanned {len(ev_scans)}x:\n{plan}"
+    assert rollup_scans, "merge plan lost the materialized rollup scan:\n" + plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln and "ts" in ln]
+    assert pushed, "delta-day filter not pushed to the events scan:\n" + plan
