@@ -131,3 +131,80 @@ def test_cc_kernels_agree_on_random_graphs(spark):
         }
         assert got_pj == want, "pointer-jump kernel diverged from union-find"
         assert got_star == want, "star-contract kernel diverged from union-find"
+
+
+# ---- round-5 kernels -------------------------------------------------
+
+
+def _z_py(c: int, d: int) -> int:
+    c, d, z = c % 256, d % 256, 0
+    for i in range(8):
+        z |= ((c >> i) & 1) << (2 * i + 1)
+        z |= ((d >> i) & 1) << (2 * i)
+    return z
+
+
+@given(st.integers(0, 10**9), st.integers(0, 366))
+def test_zorder_interleave_bijective_on_tile(c, d):
+    """The Morton interleave is a bijection of the 256x256 tile: the
+    low bytes are exactly recoverable from the Z-value."""
+    z = _z_py(c, d)
+    assert 0 <= z < 65536
+    c_back = sum(((z >> (2 * i + 1)) & 1) << i for i in range(8))
+    d_back = sum(((z >> (2 * i)) & 1) << i for i in range(8))
+    assert (c_back, d_back) == (c % 256, d % 256)
+
+
+@given(st.integers(0, 255), st.integers(0, 255), st.integers(0, 63))
+def test_zorder_bucket_bbox_bound(c, d, bucket):
+    """Any two points in the same 1024-code Z-bucket differ by < 32 in
+    each dimension-byte — the bbox-area<=1024 guarantee the plan test
+    relies on, proven pointwise."""
+    z = _z_py(c, d)
+    if z // 1024 == bucket:
+        # bucket b covers codes [1024b, 1024(b+1)): bits 10+ fix the
+        # high 3 bits of each dimension => low 5 bits free => span < 32
+        base_c = sum(((bucket * 1024 >> (2 * i + 1)) & 1) << i for i in range(8))
+        base_d = sum(((bucket * 1024 >> (2 * i)) & 1) << i for i in range(8))
+        assert abs((c % 256) - base_c) < 32
+        assert abs((d % 256) - base_d) < 32
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10**6), st.floats(0.01, 1e6)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_weighted_sample_es_monotone_in_weight(rows):
+    """Efraimidis-Spirakis with the repo's hash-u: raising a row's
+    weight can only improve (or keep) its rank, never hurt it — the
+    defining property of weight-proportional sampling."""
+    import math
+
+    def key(k, w):
+        u = ((k % 100000) * 2654435761 % 1000003 + 1) / 1000004.0
+        return math.log(u) / w
+
+    ranked = sorted(rows, key=lambda t: (-key(*t), t[0]))
+    for k, w in rows:
+        boosted = [(kk, ww * 2 if kk == k else ww) for kk, ww in rows]
+        ranked2 = sorted(boosted, key=lambda t: (-key(*t), t[0]))
+        assert [r[0] for r in ranked2].index(k) <= [r[0] for r in ranked].index(k)
+
+
+@given(
+    st.lists(st.integers(0, 10**5), min_size=1, max_size=300),
+    st.integers(2, 32),
+)
+def test_salted_distinct_partition_exactness(users, n_salt):
+    """Per-salt distinct counts sum to the exact global distinct for
+    ANY salt that is a pure function of the distinct column."""
+    from collections import defaultdict
+
+    buckets = defaultdict(set)
+    for u in users:
+        buckets[u % n_salt].add(u)
+    assert sum(len(s) for s in buckets.values()) == len(set(users))
