@@ -479,10 +479,12 @@ def etl_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(28,6)")).alias("s_partial"),
         )
 
+    # base = everything EXCEPT the delta day (exhaustive split whatever
+    # date range a regenerated fixture carries)
     base_path = stage_once(
         "ivm/events_rollup_base",
         sf_dir,
-        lambda p: rollup(ev.filter(day < F.lit(_DELTA_DAY)))
+        lambda p: rollup(ev.filter(day != F.lit(_DELTA_DAY)))
         .write.mode("overwrite")
         .parquet(p),
     )
