@@ -114,3 +114,36 @@ def test_int8_quantize_zero_vector_parity(spark, tmp_path):
     pq.write_table(tbl, tmp_path / "embeddings.parquet")
     rows = run_parity(spark, str(tmp_path), REGISTRY["embedding_int8_quantize"])
     assert rows == 5
+
+
+def test_round5_ops_partitioning_invariant(spark):
+    """The round-5 order-sensitive operators (session numbering,
+    ES-ranked sampling, sweep-line running sum) must return identical
+    rows under a different shuffle-partition count — determinism may
+    not lean on any particular physical partitioning."""
+    from python_etl_sample_spark.registry import REGISTRY, load_all_operators
+
+    load_all_operators()
+    sf = "/root/testdata/sf0.001"
+    names = (
+        "events_sessionize",
+        "events_max_concurrent",
+        "sample_weighted_priority",
+        "agg_skew_salted_distinct",
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        first = {
+            n: sorted(map(tuple, REGISTRY[n].fn(spark, sf).collect()))
+            for n in names
+        }
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        second = {
+            n: sorted(map(tuple, REGISTRY[n].fn(spark, sf).collect()))
+            for n in names
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    for n in names:
+        assert first[n] == second[n], f"{n} changed under repartitioning"
