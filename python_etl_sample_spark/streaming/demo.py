@@ -56,15 +56,24 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _run_to_memory(result: DataFrame, mode: str) -> DataFrame:
     """Drain an AvailableNow stream into a memory sink; return the table."""
     name = f"demo_{uuid.uuid4().hex[:12]}"
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     spark = result.sparkSession
+    # demo state is a handful of (window/key) rows, so 32 state-store
+    # partitions per micro-batch is pure task overhead (same measured
+    # ~40% saving as the rate demo). The count is fixed at query start
+    # from the session conf; pin it low for the start and restore.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    q.awaitTermination()
     return spark.table(name)
 
 
