@@ -64,6 +64,7 @@ STAGED_READS = (
     "join_dpp_partitioned",
     "etl_zorder_clustering",
     "etl_incremental_rollup_merge",
+    "etl_compact_small_files",
 )
 
 SHARED_INTERMEDIATE = (

@@ -434,6 +434,64 @@ def etl_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "etl_compact_small_files",
+    oracle="""
+    SELECT 'before' AS phase, 64 AS n_files, COUNT(*) AS n_rows
+    FROM events
+    UNION ALL
+    SELECT 'after' AS phase, 4 AS n_files, COUNT(*) AS n_rows
+    FROM events
+    """,
+)
+def etl_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction — the other half of table maintenance
+    next to Z-ordering: a landing directory of 64 tiny files (what
+    per-trigger streaming ingestion leaves behind) rewritten into 4
+    right-sized files. The output counts files via the _metadata
+    column, so the oracle's literal 64/4 is a REAL assertion about the
+    physical layout the writes produced, and the row counts prove
+    compaction lost nothing.
+
+    Scale: small files are the silent killer of 100 TB scans — every
+    file costs a task launch, a footer read, and a seek; compaction
+    amortizes them (64 → 4 here; 10⁶ → 10⁴ in production). The rewrite
+    is one round-robin repartition — no shuffle key needed, map-side
+    only per target file — run as a background maintenance job exactly
+    like the Z-order pass. At real scale the target count comes from
+    bytes/file (maxRecordsPerFile or AQE advisory size), not a
+    constant; the fixed 4 keeps the fixture assertion exact."""
+    ev = table(spark, sf_dir, "events")
+
+    small_dir = stage_once(
+        "compact/events_small",
+        sf_dir,
+        lambda p: ev.repartition(64).write.mode("overwrite").parquet(p),
+    )
+
+    def _compact(p: str) -> None:
+        spark.read.parquet(small_dir).repartition(4).write.mode(
+            "overwrite"
+        ).parquet(p)
+
+    big_dir = stage_once("compact/events_compacted", sf_dir, _compact)
+
+    def phase_stats(path: str, label: str) -> DataFrame:
+        return (
+            spark.read.parquet(path)
+            .select(F.col("_metadata.file_path").alias("f"))
+            .agg(
+                F.lit(label).alias("phase"),
+                F.countDistinct("f").cast("int").alias("n_files"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+        )
+
+    return phase_stats(small_dir, "before").unionAll(
+        phase_stats(big_dir, "after")
+    )
+
+
 #: The incremental split day (same literal as etl_incremental — the
 #: fixture's final day plays "today's new partition").
 _DELTA_DAY = "2024-01-30"

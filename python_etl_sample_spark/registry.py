@@ -273,6 +273,7 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "etl_zorder_clustering",
     "join_dpp_partitioned",
     "etl_incremental_rollup_merge",
+    "etl_compact_small_files",
     "join_hinted_strategies",
     "sample_weighted_priority",
     "agg_skew_salted_distinct",
@@ -325,6 +326,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "etl_zorder_clustering",
     "join_dpp_partitioned",
     "etl_incremental_rollup_merge",
+    "etl_compact_small_files",
     "join_hinted_strategies",
     "sample_weighted_priority",
     "agg_skew_salted_distinct",
