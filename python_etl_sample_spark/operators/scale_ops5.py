@@ -23,6 +23,7 @@ Each one exists because it changes shape at 100 TB:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -431,6 +432,50 @@ def etl_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.max("o_custkey") % 256) - (F.min("o_custkey") % 256) + 1)
             * ((F.max("doy") % 256) - (F.min("doy") % 256) + 1)
         ).cast("long").alias("bbox_area"),
+    )
+
+
+@query(
+    "api_sql_registered_udf",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT)
+             AS total_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def api_sql_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-extensible SQL: a vectorized pandas UDF registered into the
+    SQL function catalog (`spark.udf.register`) and invoked from SQL
+    TEXT — the extensibility path a warehouse user takes when the
+    built-in function library runs out. The UDF counts whitespace
+    tokens as (number of \\s+ runs) + 1, the exact cardinality of
+    Java's split — the same twin the JVM-side text operators use — so
+    the SQL-invoked Python result hash-matches the DuckDB oracle.
+
+    Scale: registration is metadata; execution is the same Arrow-batch
+    path as udf_scalar_pandas (#67) — the SQL front-end changes WHO can
+    call the function, not how it runs. The aggregate on top is
+    JVM-side; only the per-row token count crosses the Arrow boundary."""
+    import os
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def ws_tokens(s: pd.Series) -> pd.Series:
+        # len(re.split('\s+', x)) == count of \s+ runs + 1, exactly
+        return (s.str.count(r"\s+") + 1).astype("int32")
+
+    spark.udf.register("ws_tokens", ws_tokens)
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    view = f"docs_udf_{tag}"
+    table(spark, sf_dir, "documents").createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(ws_tokens(text)) AS BIGINT) AS total_tokens
+        FROM {view} GROUP BY lang
+        """
     )
 
 

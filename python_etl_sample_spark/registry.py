@@ -274,6 +274,7 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "join_dpp_partitioned",
     "etl_incremental_rollup_merge",
     "etl_compact_small_files",
+    "api_sql_registered_udf",
     "join_hinted_strategies",
     "sample_weighted_priority",
     "agg_skew_salted_distinct",
@@ -327,6 +328,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "join_dpp_partitioned",
     "etl_incremental_rollup_merge",
     "etl_compact_small_files",
+    "api_sql_registered_udf",
     "join_hinted_strategies",
     "sample_weighted_priority",
     "agg_skew_salted_distinct",
