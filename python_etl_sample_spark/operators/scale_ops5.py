@@ -436,6 +436,96 @@ def etl_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_pattern_funnel_runs",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), islands_raw AS (
+      SELECT user_id, event_type,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS island
+      FROM marked
+    ), islands AS (
+      SELECT user_id, island, event_type, COUNT(*) AS run_len
+      FROM islands_raw GROUP BY user_id, island, event_type
+    ), pat AS (
+      SELECT user_id, event_type,
+             LAG(event_type, 1) OVER wi AS prev1,
+             LAG(event_type, 2) OVER wi AS prev2,
+             LAG(run_len, 1) OVER wi AS click_run
+      FROM islands
+      WINDOW wi AS (PARTITION BY user_id ORDER BY island)
+    )
+    SELECT user_id, COUNT(*) AS n_matches,
+           CAST(SUM(click_run) AS BIGINT) AS clicks_consumed
+    FROM pat
+    WHERE event_type = 'purchase' AND prev1 = 'click' AND prev2 = 'view'
+    GROUP BY user_id
+    """,
+)
+def events_pattern_funnel_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-pattern matching (the MATCH_RECOGNIZE capability class):
+    find every occurrence of the pattern view → click+ → purchase in
+    each user's event sequence — a purchase immediately preceded by an
+    unbroken run of one-or-more clicks, itself immediately preceded by
+    a view. Variable-length patterns defeat fixed-offset LAG on raw
+    rows; the rewrite is run-length ("island") compression first —
+    consecutive same-type events collapse to one island row — after
+    which the variable-length `click+` is a SINGLE island and the
+    pattern is a fixed 2-step lag over islands.
+
+    Per match the output also sums the click-run length (the `B+`
+    greedy capture a MATCH_RECOGNIZE MEASURES clause would report).
+    Adjacency is pinned to the engine-wide (ts, event_id) total order.
+
+    Scale: one shuffle on user_id serves the row-level island
+    numbering, the island rollup (hash(user_id) satisfies the
+    clustered distribution), and the island-level lags — the same
+    single-shuffle shape as events_sessionize; nothing scans pattern
+    candidates quadratically."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn(
+        "is_new",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        ).otherwise(0),
+    )
+    islands_raw = marked.withColumn(
+        "island",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    islands = islands_raw.groupBy("user_id", "island", "event_type").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    wi = Window.partitionBy("user_id").orderBy("island")
+    pat = islands.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type", 1).over(wi).alias("prev1"),
+        F.lag("event_type", 2).over(wi).alias("prev2"),
+        F.lag("run_len", 1).over(wi).alias("click_run"),
+    )
+    return (
+        pat.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("prev1") == "click")
+            & (F.col("prev2") == "view")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.sum("click_run").alias("clicks_consumed"),
+        )
+    )
+
+
+@query(
     "api_sql_registered_udf",
     oracle="""
     SELECT lang, COUNT(*) AS n_docs,

@@ -275,6 +275,7 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "etl_incremental_rollup_merge",
     "etl_compact_small_files",
     "api_sql_registered_udf",
+    "events_pattern_funnel_runs",
     "join_hinted_strategies",
     "sample_weighted_priority",
     "agg_skew_salted_distinct",
@@ -329,6 +330,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "etl_incremental_rollup_merge",
     "etl_compact_small_files",
     "api_sql_registered_udf",
+    "events_pattern_funnel_runs",
     "join_hinted_strategies",
     "sample_weighted_priority",
     "agg_skew_salted_distinct",

@@ -156,3 +156,48 @@ def test_salted_distinct_equals_direct(spark):
         for r in REGISTRY["agg_skew_salted_distinct"].fn(spark, SF_DIR).collect()
     }
     assert got == {et: (len(users[et]), counts[et]) for et in users}
+
+
+def test_pattern_funnel_matches_regex_replay(spark):
+    """events_pattern_funnel_runs vs a regex over each user's
+    event-type sequence: encode the ordered sequence as one character
+    per event and count non-overlapping-at-the-purchase occurrences of
+    view click+ purchase, summing the click-run lengths."""
+    import re as _re
+
+    rows = sorted(
+        (
+            (int(r["user_id"]), r["ts"], int(r["event_id"]), r["event_type"])
+            for r in table(spark, SF_DIR, "events")
+            .select("user_id", "ts", "event_id", "event_type")
+            .collect()
+        ),
+        key=lambda t: (t[0], t[1], t[2]),
+    )
+    seqs: dict[int, list] = defaultdict(list)
+    code = {"view": "v", "click": "c", "purchase": "p", "signup": "s",
+            "error": "e"}
+    for user, _ts, _eid, et in rows:
+        seqs[user].append(code[et])
+    expected = {}
+    for user, chars in seqs.items():
+        s = "".join(chars)
+        # compress to maximal same-type runs (islands): the pattern is
+        # exactly island triple (v-island, c-island, p-island)
+        runs = [(m.group(1), len(m.group(0))) for m in _re.finditer(r"(.)\1*", s)]
+        n, clicks = 0, 0
+        for i in range(2, len(runs)):
+            if (
+                runs[i][0] == "p"
+                and runs[i - 1][0] == "c"
+                and runs[i - 2][0] == "v"
+            ):
+                n += 1
+                clicks += runs[i - 1][1]
+        if n:
+            expected[user] = (n, clicks)
+    got = {
+        int(r["user_id"]): (int(r["n_matches"]), int(r["clicks_consumed"]))
+        for r in REGISTRY["events_pattern_funnel_runs"].fn(spark, SF_DIR).collect()
+    }
+    assert got == expected
