@@ -1,0 +1,272 @@
+"""Graph analytics over the part co-purchase graph: triangle counting
+(degree-oriented, the MapReduce-classic shape) and fixed-iteration
+PageRank in exact scaled-integer arithmetic.
+
+The graph: two parts are linked when some 1995 order ships both — the
+standard "co-occurrence projection" of the order×part bipartite graph,
+the same construction behind related-item graphs and co-citation
+networks. The 1995 ship-year filter bounds the projection (each order
+contributes C(lines, 2) edges) and is pushed to the parquet scan.
+
+Engine-parity ground rules:
+
+- Triangle counting is pure integers end-to-end — no float can reach
+  the hash.
+- PageRank runs in scaled-integer arithmetic (rank mass × 10^15 as
+  BIGINT, truncating division mirrored textually in the oracle), so
+  five join-aggregate iterations are BIT-EXACT across engines: no
+  accumulated float-summation drift, no rounding-boundary risk. The
+  deliberate truncation leak (≤ deg ulps of 1e-15 mass per node per
+  round) is identical in both engines by construction.
+
+Scale posture (100 TB):
+
+- Degree orientation (orient each edge toward the higher-(degree, id)
+  endpoint) is the load-balancing trick from Suri & Vassilvitskii's
+  MR triangle counting: out-degrees are bounded by ~sqrt(2m), so the
+  per-node wedge fan-out — the quadratic step — is capped, and the
+  wedge→edge equi-join shuffles on plain int keys. No cartesian
+  anywhere (plan-pinned in tests/test_round5_refs.py).
+- PageRank iterates shuffle(join on src) → partial-agg(sum by dst);
+  ranks stay (node, deg, r) rows co-partitionable with the edge list.
+  On a real cluster both sides would be pre-bucketed by node id so
+  every round is a zero-exchange join; here AQE handles it. Five
+  rounds of lineage on a pair list is well inside plan-size limits —
+  the CC kernel's localCheckpoint pattern (functions/components.py)
+  is the escape hatch if rounds grow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_etl_sample_spark.registry import query
+from python_etl_sample_spark.sources import table
+
+#: Rank mass is tracked as BIGINT millionths-of-a-billionth (1e15).
+#: 0.85 damping → the largest intermediate is 85 × 10^15 < 2^63.
+_PR_SCALE = 1_000_000_000_000_000
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical undirected edge list (u < v) of parts co-shipped in
+    the same 1995 order. DISTINCT twice: once to collapse a part
+    appearing on several lines of one order, once to collapse a pair
+    co-occurring in several orders."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.expr("year(l_shipdate) = 1995"))
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+
+
+_EDGES_SQL = """
+    li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE year(l_shipdate) = 1995
+    ),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
+      ) GROUP BY node
+    )
+"""
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    oriented AS (
+      SELECT CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v END AS s,
+             CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u END AS t
+      FROM edges e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v
+    ),
+    tris AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM (SELECT o1.s, LEAST(o1.t, o2.t) AS b, GREATEST(o1.t, o2.t) AS c
+            FROM oriented o1 JOIN oriented o2
+              ON o1.s = o2.s AND o1.t < o2.t) w
+      JOIN edges e ON e.u = w.b AND e.v = w.c
+    )
+    SELECT (SELECT COUNT(*) FROM deg)   AS n_nodes,
+           (SELECT COUNT(*) FROM edges) AS n_edges,
+           (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) FROM deg)
+             AS n_wedges,
+           (SELECT n_triangles FROM tris) AS n_triangles,
+           ROUND(3.0 * (SELECT n_triangles FROM tris)
+                 / NULLIF((SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT)
+                           FROM deg), 0), 6)
+             AS global_clustering
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count + global clustering coefficient of the
+    co-purchase graph, via degree-oriented wedge checking.
+
+    Each edge is oriented toward its higher-(degree, node-id) endpoint;
+    every triangle then has exactly one apex whose two out-edges cover
+    it, so counting (wedge at s) ⋈ (closing edge) equi-join hits each
+    triangle once — no 3-way enumeration, no double counting, and the
+    out-degree (hence the wedge blow-up) is bounded by ~sqrt(2m)
+    regardless of raw degree skew. Wedge pairs are canonicalized
+    (b < c) so the closing join is against the canonical u<v edge list
+    as a plain two-column equi-join."""
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e = (
+        edges.join(deg.withColumnRenamed("node", "u"), "u")
+        .withColumnRenamed("deg", "du")
+        .join(
+            deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v"
+        )
+    )
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = e.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(
+        o2, (F.col("o1.s") == F.col("o2.s")) & (F.col("o1.t") < F.col("o2.t"))
+    ).select(
+        F.least("o1.t", "o2.t").alias("b"), F.greatest("o1.t", "o2.t").alias("c")
+    )
+    tri = wedges.join(
+        edges, (F.col("b") == F.col("u")) & (F.col("c") == F.col("v"))
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    summary = (
+        deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.expr("sum(deg * (deg - 1) div 2)").alias("n_wedges"),
+        )
+        .crossJoin(edges.agg(F.count(F.lit(1)).alias("n_edges")))
+        .crossJoin(tri)
+    )
+    return summary.select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.round(
+            3.0 * F.col("n_triangles") / F.nullif(F.col("n_wedges"), F.lit(0)), 6
+        ).alias("global_clustering"),
+    )
+
+
+def _pr_iter_sql(prev: str, cur: str) -> str:
+    """One unrolled PageRank round in exact scaled-integer arithmetic."""
+    return f"""
+    {cur} AS (
+      SELECT d.node, d.deg,
+             CAST(15 * {_PR_SCALE} // (100 * (SELECT COUNT(*) FROM deg))
+                  + (85 * COALESCE(s.contrib, 0)) // 100 AS BIGINT) AS r
+      FROM deg d
+      LEFT JOIN (
+        SELECT e.dst AS node, SUM(p.r // p.deg) AS contrib
+        FROM dir e JOIN {prev} p ON p.node = e.src
+        GROUP BY e.dst
+      ) s ON s.node = d.node
+    )"""
+
+
+@query(
+    "graph_pagerank",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    dir AS (
+      SELECT u AS src, v AS dst FROM edges
+      UNION ALL
+      SELECT v AS src, u AS dst FROM edges
+    ),
+    it0 AS (
+      SELECT node, deg,
+             CAST({_PR_SCALE} // (SELECT COUNT(*) FROM deg) AS BIGINT) AS r
+      FROM deg
+    ),
+    {_pr_iter_sql("it0", "it1")},
+    {_pr_iter_sql("it1", "it2")},
+    {_pr_iter_sql("it2", "it3")},
+    {_pr_iter_sql("it3", "it4")},
+    {_pr_iter_sql("it4", "it5")}
+    SELECT node AS part_id, deg AS degree, r AS rank_scaled
+    FROM it5
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five damped PageRank iterations (d = 0.85) over the undirected
+    co-purchase graph, returning every node's rank as a scaled BIGINT
+    (rank × 10^15).
+
+    Exactness by design: rank mass is an integer, per-edge contribution
+    is truncating integer division by out-degree, and the damping mix
+    is (85·Σ) div 100 — the identical expression tree the oracle
+    unrolls — so five rounds of join-aggregate are bit-equal across
+    engines rather than "close enough to round". Every node sits in the
+    edge list by construction (degree ≥ 1), so there is no dangling
+    mass to redistribute.
+
+    Shape per round: broadcast-or-shuffle join ranks⋈edges on src
+    (Spark picks broadcast while ranks fit, the right call at any n
+    since ranks ≪ edges), then one partial-aggregated shuffle on dst.
+    The driver loop is plan construction only — no actions, no
+    collect; a single job executes all five unrolled rounds."""
+    edges = _copurchase_edges(spark, sf_dir)
+    dir_edges = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    deg = (
+        dir_edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n"))
+    ranks = deg.crossJoin(F.broadcast(n_nodes)).select(
+        "node", "deg", F.expr(f"CAST({_PR_SCALE} div n AS BIGINT)").alias("r")
+    )
+    base = F.expr(f"CAST(15 * {_PR_SCALE} div (100 * n) AS BIGINT)")
+    for _ in range(5):
+        contrib = (
+            ranks.join(dir_edges, ranks.node == dir_edges.src)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.expr("sum(r div deg)").alias("contrib"))
+        )
+        ranks = (
+            deg.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                "node",
+                "deg",
+                (base + F.expr("CAST((85 * coalesce(contrib, 0)) div 100 AS BIGINT)")).alias("r"),
+            )
+        )
+    return ranks.select(
+        F.col("node").alias("part_id"),
+        F.col("deg").alias("degree"),
+        F.col("r").alias("rank_scaled"),
+    )

@@ -1,0 +1,249 @@
+"""Two-sample statistical inference: Welch's unequal-variance t-test
+and the Mann-Whitney rank-sum test, both as one-pass (or one-sort)
+distributed aggregations — the A/B-measurement tier above
+events_ab_lift's point estimates and stats_chi2_independence's
+categorical test.
+
+Engine-parity ground rules (functions/determinism.py):
+
+- Moments come from EXACT integer sums: o_totalprice has two decimals,
+  so price-in-cents is an exact BIGINT and its square an exact
+  DECIMAL(38,0); both engines sum these without rounding, and the
+  (few) double operations that combine the exact sums are the same
+  textual expression tree in both engines, rounded to 6 dp.
+- Rank sums use average ranks over a unique total order; ties get
+  (rank sum / count) in exact arithmetic before any double division.
+
+Scale: both tests reduce to per-group COUNT/SUM aggregates —
+map-side-combined, one exchange on the (tiny) group key. Mann-Whitney
+additionally needs a global rank, computed here per-value (groupBy
+value → cumulative counts over the ~60k distinct price points) rather
+than a single-partition row_number, so the sort parallelizes and no
+task sees more than its hash range of distinct values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from python_etl_sample_spark.registry import query
+from python_etl_sample_spark.sources import table
+
+#: exact integer cents of a 2-dp double price
+_CENTS = "CAST(round(o_totalprice * 100) AS BIGINT)"
+
+
+@query(
+    "stats_ttest_welch",
+    oracle=f"""
+    WITH g AS (
+      SELECT o_orderpriority AS grp,
+             COUNT(*) AS n,
+             CAST(SUM({_CENTS}) AS BIGINT) AS s1,
+             CAST(SUM(CAST({_CENTS} AS DECIMAL(19,0))
+                      * CAST({_CENTS} AS DECIMAL(19,0))) AS DOUBLE) AS s2
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+      GROUP BY o_orderpriority
+    ),
+    m AS (
+      SELECT grp, n,
+             CAST(s1 AS DOUBLE) / 100.0 / n AS mean,
+             (s2 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+               / (n - 1) / 10000.0 AS var
+      FROM g
+    ),
+    ab AS (
+      SELECT a.n AS n_urgent, b.n AS n_low,
+             a.mean AS mean_urgent, b.mean AS mean_low,
+             a.var / a.n + b.var / b.n AS se2,
+             a.var AS va, b.var AS vb
+      FROM m a, m b WHERE a.grp = '1-URGENT' AND b.grp = '5-LOW'
+    )
+    SELECT n_urgent, n_low,
+           ROUND(mean_urgent, 6) AS mean_urgent,
+           ROUND(mean_low, 6) AS mean_low,
+           ROUND((mean_urgent - mean_low) / SQRT(se2), 6) AS t_stat,
+           ROUND(se2 * se2 / ((va / n_urgent) * (va / n_urgent) / (n_urgent - 1)
+                 + (vb / n_low) * (vb / n_low) / (n_low - 1)), 6) AS welch_df
+    FROM ab
+    """,
+)
+def stats_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test: does mean order value differ
+    between URGENT and LOW priority orders? Returns group means, the
+    t statistic, and the Welch–Satterthwaite degrees of freedom.
+
+    One filtered scan → one 2-group aggregate (map-side combined) →
+    a 2-row broadcast self-pair. The sums feeding mean/variance are
+    exact integers (cents and cents², see module doc), so the handful
+    of double ops after them are bit-reproducible across engines; at
+    100 TB this is a single partial-agg pass over the fact table with
+    two reducer rows."""
+    cents = F.expr(_CENTS)
+    g = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .groupBy(F.col("o_orderpriority").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("s1"),
+            F.sum(
+                cents.cast("decimal(19,0)") * cents.cast("decimal(19,0)")
+            )
+            .cast("double")
+            .alias("s2"),
+        )
+    )
+    m = g.select(
+        "grp",
+        "n",
+        (F.col("s1").cast("double") / 100.0 / F.col("n")).alias("mean"),
+        (
+            (
+                F.col("s2")
+                - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n")
+            )
+            / (F.col("n") - 1)
+            / 10000.0
+        ).alias("var"),
+    )
+    a = m.filter(F.col("grp") == "1-URGENT").alias("a")
+    b = m.filter(F.col("grp") == "5-LOW").alias("b")
+    ab = a.crossJoin(F.broadcast(b)).select(
+        F.col("a.n").alias("n_urgent"),
+        F.col("b.n").alias("n_low"),
+        F.col("a.mean").alias("mean_urgent"),
+        F.col("b.mean").alias("mean_low"),
+        (F.col("a.var") / F.col("a.n") + F.col("b.var") / F.col("b.n")).alias("se2"),
+        F.col("a.var").alias("va"),
+        F.col("b.var").alias("vb"),
+    )
+    return ab.select(
+        "n_urgent",
+        "n_low",
+        F.round("mean_urgent", 6).alias("mean_urgent"),
+        F.round("mean_low", 6).alias("mean_low"),
+        F.round(
+            (F.col("mean_urgent") - F.col("mean_low")) / F.sqrt("se2"), 6
+        ).alias("t_stat"),
+        F.round(
+            F.col("se2")
+            * F.col("se2")
+            / (
+                (F.col("va") / F.col("n_urgent"))
+                * (F.col("va") / F.col("n_urgent"))
+                / (F.col("n_urgent") - 1)
+                + (F.col("vb") / F.col("n_low"))
+                * (F.col("vb") / F.col("n_low"))
+                / (F.col("n_low") - 1)
+            ),
+            6,
+        ).alias("welch_df"),
+    )
+
+
+@query(
+    "stats_rank_sum_u",
+    oracle=f"""
+    WITH pool AS (
+      SELECT o_orderpriority AS grp, {_CENTS} AS cents
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    by_val AS (
+      SELECT cents, grp, COUNT(*) AS c FROM pool GROUP BY cents, grp
+    ),
+    val AS (
+      SELECT cents, SUM(c) AS cnt FROM by_val GROUP BY cents
+    ),
+    ranked AS (
+      SELECT cents,
+             SUM(cnt) OVER (ORDER BY cents
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - cnt AS below,
+             cnt
+      FROM val
+    ),
+    credit AS (
+      -- average rank of a tied block = below + (cnt + 1)/2, exact in halves
+      SELECT b.grp, b.c, r.below * 2 + r.cnt + 1 AS two_avg_rank
+      FROM by_val b JOIN ranked r ON r.cents = b.cents
+    ),
+    agg AS (
+      SELECT grp, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(c * two_avg_rank) AS BIGINT) AS two_rank_sum
+      FROM credit GROUP BY grp
+    )
+    SELECT a.n AS n_urgent, b.n AS n_low,
+           CAST((a.two_rank_sum - 2 * a.n * (a.n + 1) // 2) AS BIGINT)
+             AS u2_urgent,
+           ROUND((CAST(a.two_rank_sum AS DOUBLE) / 2
+                  - a.n * (a.n + 1) / 2.0
+                  - CAST(a.n AS DOUBLE) * b.n / 2.0)
+                 / SQRT(CAST(a.n AS DOUBLE) * b.n * (a.n + b.n + 1) / 12.0), 6)
+             AS z_approx
+    FROM agg a, agg b WHERE a.grp = '1-URGENT' AND b.grp = '5-LOW'
+    """,
+)
+def stats_rank_sum_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) test on order value, URGENT vs LOW —
+    the non-parametric sibling of stats_ttest_welch, robust to the
+    heavy right tail of order totals.
+
+    Ranks are computed value-wise, not row-wise: group by the ~n
+    distinct cent values, cumulative-sum their counts for the
+    "ranks below" prefix, and credit each tied block its average rank.
+    Everything up to the final z is integer arithmetic in doubled
+    units (2×avg-rank is always an integer), so rank bookkeeping is
+    exact in both engines. The normal approximation omits the tie
+    correction in σ_U (same formula both sides, so parity holds;
+    documented accuracy trade).
+
+    Scale: the windowed prefix sum runs over distinct VALUES (bounded
+    by price granularity), not rows; at 100 TB you'd range-partition
+    that window (Spark does via a single-partition sort here — the
+    distinct-value frame is small by construction) while the raw scan
+    aggregates map-side."""
+    cents = F.expr(_CENTS)
+    pool = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(F.col("o_orderpriority").alias("grp"), cents.alias("cents"))
+    )
+    by_val = pool.groupBy("cents", "grp").agg(F.count(F.lit(1)).alias("c"))
+    val = by_val.groupBy("cents").agg(F.sum("c").alias("cnt"))
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = val.select(
+        "cents",
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("below"),
+        "cnt",
+    )
+    credit = by_val.join(ranked, "cents").select(
+        "grp",
+        "c",
+        (F.col("below") * 2 + F.col("cnt") + 1).alias("two_avg_rank"),
+    )
+    agg = credit.groupBy("grp").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.col("two_avg_rank")).alias("two_rank_sum"),
+    )
+    a = agg.filter(F.col("grp") == "1-URGENT").alias("a")
+    b = agg.filter(F.col("grp") == "5-LOW").alias("b")
+    na, nb = F.col("a.n"), F.col("b.n")
+    return a.crossJoin(F.broadcast(b)).select(
+        na.alias("n_urgent"),
+        nb.alias("n_low"),
+        F.expr(
+            "CAST(a.two_rank_sum - 2 * a.n * (a.n + 1) div 2 AS BIGINT)"
+        ).alias("u2_urgent"),
+        F.round(
+            (
+                F.col("a.two_rank_sum").cast("double") / 2
+                - na * (na + 1) / 2.0
+                - na.cast("double") * nb / 2.0
+            )
+            / F.sqrt(na.cast("double") * nb * (na + nb + 1) / 12.0),
+            6,
+        ).alias("z_approx"),
+    )

@@ -1,0 +1,316 @@
+"""Customer-journey analytics: RFM segmentation, U-shaped multi-touch
+attribution, and linear time-series interpolation — the marketing/
+feature-engineering tier on top of the event and order facts.
+
+Engine-parity ground rules:
+
+- NTILE over a UNIQUE total order (metric, then custkey) — both
+  engines implement SQL-standard NTILE (first n mod k buckets take the
+  extra row), so identical ordering ⇒ identical bucket assignment.
+- Attribution credit is integer micro-units (0.4 → 400000), with the
+  middle-touch split a truncating integer division — exact BIGINT
+  sums, no float path to the hash.
+- Interpolation combines exact decimal daily sums through one double
+  expression mirrored textually in the oracle, rounded to 6 dp.
+
+Scale: RFM is one partial-agg pass over orders plus three windows over
+the (much smaller) per-customer frame; attribution filters to touch
+events before shuffling once on user_id; interpolation joins a
+sequence-generated day grid (types × days, tiny) against
+pre-aggregated daily sums, never against raw events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from python_etl_sample_spark.registry import query
+from python_etl_sample_spark.sources import table
+
+_OCENTS = "CAST(round(o_totalprice * 100) AS BIGINT)"
+
+
+@query(
+    "events_rfm_segmentation",
+    oracle=f"""
+    WITH ref AS (SELECT MAX(o_orderdate) AS d0 FROM orders),
+    cust AS (
+      SELECT o_custkey,
+             date_diff('day', MAX(o_orderdate), (SELECT d0 FROM ref))
+               AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(SUM({_OCENTS}) AS BIGINT) AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT NTILE(5) OVER (ORDER BY recency_days DESC, o_custkey) AS r_score,
+             NTILE(5) OVER (ORDER BY frequency, o_custkey)         AS f_score,
+             NTILE(5) OVER (ORDER BY monetary_cents, o_custkey)    AS m_score,
+             monetary_cents
+      FROM cust
+    )
+    SELECT r_score, f_score, m_score,
+           COUNT(*) AS n_customers,
+           ROUND(CAST(SUM(monetary_cents) AS DOUBLE) / 100.0 / COUNT(*), 6)
+             AS avg_monetary
+    FROM scored GROUP BY r_score, f_score, m_score
+    """,
+)
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile segmentation of
+    customers from their order history: score each dimension 1-5 with
+    NTILE over a unique order, then profile each of the ≤125 segments.
+
+    Recency is days since last order relative to the corpus max date
+    (a 1-row broadcast); higher score = more recent (DESC order puts
+    the stalest customers in tile 1). Frequency and monetary score
+    ascending. The ntile windows are global but run over the
+    per-customer aggregate (|customers| rows, not |orders|), and the
+    output is the segment-level profile — the thing a campaign system
+    actually joins against. At 100 TB the per-customer frame is the
+    only sorted structure; everything upstream is map-side-combined
+    aggregation."""
+    o = table(spark, sf_dir, "orders")
+    ref = o.agg(F.max("o_orderdate").alias("d0"))
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.expr(_OCENTS)).alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("d0"), F.col("last_order")).alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    scored = cust.select(
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("recency_days"), F.col("o_custkey")))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy("frequency", "o_custkey"))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy("monetary_cents", "o_custkey"))
+        .alias("m_score"),
+        "monetary_cents",
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(
+            F.sum("monetary_cents").cast("double") / 100.0 / F.count(F.lit(1)), 6
+        ).alias("avg_monetary"),
+    )
+
+
+@query(
+    "attribution_position_weighted",
+    oracle="""
+    WITH conv AS (
+      SELECT user_id, MIN(ts) AS first_purchase
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    touches AS (
+      SELECT e.user_id, e.event_type, e.ts, e.event_id
+      FROM events e JOIN conv c ON c.user_id = e.user_id
+      WHERE e.event_type IN ('click', 'view') AND e.ts < c.first_purchase
+    ),
+    pos AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS pos,
+             COUNT(*) OVER (PARTITION BY user_id) AS k
+      FROM touches
+    ),
+    credited AS (
+      SELECT event_type,
+             CASE
+               WHEN k = 1 THEN 1000000
+               WHEN k = 2 THEN 500000
+               WHEN pos = 1 OR pos = k THEN 400000
+               ELSE 200000 // (k - 2)
+             END AS micro
+      FROM pos
+    )
+    SELECT event_type,
+           COUNT(*) AS n_touches,
+           CAST(SUM(micro) AS BIGINT) AS credit_micro,
+           ROUND(CAST(SUM(micro) AS DOUBLE) / 1000000.0, 6) AS credit
+    FROM credited GROUP BY event_type
+    """,
+)
+def attribution_position_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution: for each
+    converting user, the clicks/views STRICTLY before their first
+    purchase share one unit of credit — 40% to the first touch, 40% to
+    the last, the middle 20% split evenly — reported as total credit
+    per channel (event type).
+
+    Credit is integer micro-units so the 20%/(k-2) split truncates
+    identically in both engines and sums stay exact BIGINTs
+    (journeys of 1 or 2 touches collapse to 100% / 50-50). Shape: the
+    conversion frame is a filtered aggregate, the touch frame filters
+    to two event types BEFORE its one shuffle on user_id, and the
+    position window is running state over each user's journey — the
+    same plan at any fan-in."""
+    ev = table(spark, sf_dir, "events")
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    touches = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .join(conv, "user_id")
+        .filter(F.col("ts") < F.col("first_purchase"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pos = touches.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("k"),
+    )
+    micro = (
+        F.when(F.col("k") == 1, F.lit(1000000))
+        .when(F.col("k") == 2, F.lit(500000))
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("k")), F.lit(400000))
+        .otherwise(F.expr("200000 div (k - 2)"))
+    )
+    return (
+        pos.select("event_type", micro.alias("micro"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("micro").alias("credit_micro"),
+            F.round(F.sum("micro").cast("double") / 1000000.0, 6).alias("credit"),
+        )
+    )
+
+
+@query(
+    "ts_resample_interpolate",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num,
+             CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS obs
+      FROM events WHERE event_type IN ('purchase', 'signup')
+      GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(day_num) AS d0, MAX(day_num) AS d1 FROM daily),
+    grid AS (
+      SELECT t.event_type, g.day_num
+      FROM (SELECT DISTINCT event_type FROM daily) t
+      CROSS JOIN (SELECT UNNEST(range((SELECT d0 FROM bounds),
+                                      (SELECT d1 FROM bounds) + 1)) AS day_num) g
+    ),
+    joined AS (
+      SELECT g.event_type, g.day_num, d.obs,
+             CASE WHEN d.obs IS NULL THEN NULL ELSE g.day_num END AS obs_day
+      FROM grid g LEFT JOIN daily d
+        ON d.event_type = g.event_type AND d.day_num = g.day_num
+    ),
+    ctx AS (
+      SELECT event_type, day_num, obs,
+             LAST_VALUE(obs IGNORE NULLS) OVER w_prev  AS prev_val,
+             LAST_VALUE(obs_day IGNORE NULLS) OVER w_prev AS prev_day,
+             FIRST_VALUE(obs IGNORE NULLS) OVER w_next AS next_val,
+             FIRST_VALUE(obs_day IGNORE NULLS) OVER w_next AS next_day
+      FROM joined
+      WINDOW
+        w_prev AS (PARTITION BY event_type ORDER BY day_num
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (PARTITION BY event_type ORDER BY day_num
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, day_num,
+           ROUND(CASE
+             WHEN obs IS NOT NULL THEN obs
+             WHEN prev_val IS NULL OR next_val IS NULL THEN NULL
+             ELSE prev_val + (next_val - prev_val)
+                  * (day_num - prev_day) / (next_day - prev_day)
+           END, 6) AS value_filled,
+           CASE WHEN obs IS NULL THEN 1 ELSE 0 END AS interpolated
+    FROM ctx
+    """,
+)
+def ts_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily resample of purchase/signup value with LINEAR interpolation
+    of missing days — the numeric sibling of ts_gap_fill's zero-fill:
+    gaps take the straight line between the nearest observed neighbors;
+    days before the first / after the last observation stay NULL
+    (interpolation, never extrapolation).
+
+    Days travel as epoch-day BIGINTs (exact grid arithmetic), daily
+    sums as exact decimals, and the one interpolation expression is
+    mirrored textually in the oracle. Shape: raw events pre-aggregate
+    per (type, day) BEFORE the grid join (the join touches ~types×days
+    rows, not events); neighbor context is two ignore-nulls window
+    passes — running state, not a per-row re-scan. At 100 TB the grid
+    stays tiny by construction and the windows partition by type."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "signup")
+    )
+    day_num = F.expr("datediff(CAST(ts AS DATE), DATE'1970-01-01')")
+    daily = ev.groupBy(
+        "event_type", day_num.alias("day_num")
+    ).agg(F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("obs"))
+    bounds = daily.agg(F.min("day_num").alias("d0"), F.max("day_num").alias("d1"))
+    grid = (
+        daily.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day_num"),
+        )
+    )
+    joined = grid.join(daily, ["event_type", "day_num"], "left").select(
+        "event_type",
+        "day_num",
+        "obs",
+        F.when(F.col("obs").isNotNull(), F.col("day_num")).alias("obs_day"),
+    )
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("day_num")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("day_num")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    ctx = joined.select(
+        "event_type",
+        "day_num",
+        "obs",
+        F.last("obs", ignorenulls=True).over(w_prev).alias("prev_val"),
+        F.last("obs_day", ignorenulls=True).over(w_prev).alias("prev_day"),
+        F.first("obs", ignorenulls=True).over(w_next).alias("next_val"),
+        F.first("obs_day", ignorenulls=True).over(w_next).alias("next_day"),
+    )
+    filled = (
+        F.when(F.col("obs").isNotNull(), F.col("obs"))
+        .when(F.col("prev_val").isNull() | F.col("next_val").isNull(), F.lit(None))
+        .otherwise(
+            F.col("prev_val")
+            + (F.col("next_val") - F.col("prev_val"))
+            * (F.col("day_num") - F.col("prev_day"))
+            / (F.col("next_day") - F.col("prev_day"))
+        )
+    )
+    return ctx.select(
+        "event_type",
+        "day_num",
+        F.round(filled, 6).alias("value_filled"),
+        F.when(F.col("obs").isNull(), F.lit(1)).otherwise(F.lit(0)).alias(
+            "interpolated"
+        ),
+    )

@@ -281,6 +281,13 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "agg_skew_salted_distinct",
     "stats_winsorized_mean",
     "stream_demo_rate_source",
+    "graph_triangle_count",
+    "graph_pagerank",
+    "stats_ttest_welch",
+    "stats_rank_sum_u",
+    "events_rfm_segmentation",
+    "attribution_position_weighted",
+    "ts_resample_interpolate",
 )
 
 
@@ -336,6 +343,14 @@ DRIVER_ORDER: tuple[str, ...] = (
     "agg_skew_salted_distinct",
     "stats_winsorized_mean",
     "stream_demo_rate_source",
+    # --- round-5 late additions, never driver-recorded — slots 41-47 ---
+    "graph_triangle_count",
+    "graph_pagerank",
+    "stats_ttest_welch",
+    "stats_rank_sum_u",
+    "events_rfm_segmentation",
+    "attribution_position_weighted",
+    "ts_resample_interpolate",
     # --- 1 driver row(s), last in r1 (19) ---
     "dedup_embedding_cosine",
     "dedup_exact",

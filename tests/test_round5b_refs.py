@@ -1,0 +1,282 @@
+"""Independent reference checks for the round-5 late additions (graph
+analytics, two-sample inference, journey analytics): each distributed
+result is recomputed by a brute-force pure-Python replay of the SAME
+semantics on collected fixture rows — a third implementation that
+shares no engine with Spark or DuckDB."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+from itertools import combinations
+
+from python_etl_sample_spark.registry import REGISTRY, load_all_operators
+from python_etl_sample_spark.sources import table
+
+load_all_operators()
+
+SF_DIR = "/root/testdata/sf0.001"
+
+_PR_SCALE = 1_000_000_000_000_000
+
+
+def _edges_python(spark):
+    """The co-purchase edge set, rebuilt by a naive per-order loop."""
+    rows = (
+        table(spark, SF_DIR, "lineitem")
+        .selectExpr("l_orderkey", "l_partkey", "year(l_shipdate) AS y")
+        .collect()
+    )
+    parts_by_order: dict[int, set[int]] = defaultdict(set)
+    for r in rows:
+        if r["y"] == 1995:
+            parts_by_order[int(r["l_orderkey"])].add(int(r["l_partkey"]))
+    edges: set[tuple[int, int]] = set()
+    for parts in parts_by_order.values():
+        for u, v in combinations(sorted(parts), 2):
+            edges.add((u, v))
+    return edges
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """graph_triangle_count vs exhaustive neighbor-set intersection:
+    for every canonical edge (u, v), common neighbors with id > v close
+    a triangle counted exactly once."""
+    edges = _edges_python(spark)
+    adj: dict[int, set[int]] = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    tris = 0
+    for u, v in edges:
+        tris += sum(1 for w in adj[u] & adj[v] if w > v)
+    wedges = sum(len(n) * (len(n) - 1) // 2 for n in adj.values())
+    row = REGISTRY["graph_triangle_count"].fn(spark, SF_DIR).collect()[0]
+    assert int(row["n_nodes"]) == len(adj)
+    assert int(row["n_edges"]) == len(edges)
+    assert int(row["n_wedges"]) == wedges
+    assert int(row["n_triangles"]) == tris
+    if wedges:
+        # abs_tol 1e-6: Spark/DuckDB round HALF_UP, Python rounds
+        # half-to-even — they differ by one ulp-of-rounding on exact ties
+        assert math.isclose(
+            float(row["global_clustering"]), 3.0 * tris / wedges, abs_tol=1e-6
+        )
+
+
+def test_pagerank_matches_integer_simulation(spark):
+    """graph_pagerank vs a dict-based replay of the exact scaled-integer
+    recurrence — every node's rank must be BIT-equal, not just close."""
+    edges = _edges_python(spark)
+    adj: dict[int, list[int]] = defaultdict(list)
+    for u, v in edges:
+        adj[u].append(v)
+        adj[v].append(u)
+    n = len(adj)
+    rank = {x: _PR_SCALE // n for x in adj}
+    base = 15 * _PR_SCALE // (100 * n)
+    for _ in range(5):
+        contrib: dict[int, int] = defaultdict(int)
+        for x, neigh in adj.items():
+            share = rank[x] // len(neigh)
+            for y in neigh:
+                contrib[y] += share
+        rank = {x: base + (85 * contrib[x]) // 100 for x in adj}
+    got = {
+        int(r["part_id"]): (int(r["degree"]), int(r["rank_scaled"]))
+        for r in REGISTRY["graph_pagerank"].fn(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(adj)
+    for x in adj:
+        assert got[x] == (len(adj[x]), rank[x]), f"node {x}"
+
+
+def _order_cents(spark):
+    rows = (
+        table(spark, SF_DIR, "orders")
+        .selectExpr("o_orderpriority AS grp", "CAST(round(o_totalprice*100) AS BIGINT) AS cents")
+        .collect()
+    )
+    groups: dict[str, list[int]] = defaultdict(list)
+    for r in rows:
+        if r["grp"] in ("1-URGENT", "5-LOW"):
+            groups[r["grp"]].append(int(r["cents"]))
+    return groups
+
+
+def test_welch_ttest_matches_python_formula(spark):
+    """stats_ttest_welch vs the textbook formula over exact cents."""
+    g = _order_cents(spark)
+    stats = {}
+    for k, xs in g.items():
+        nk = len(xs)
+        s1, s2 = sum(xs), sum(x * x for x in xs)
+        mean = s1 / 100.0 / nk
+        var = (s2 - (s1 * s1) / nk) / (nk - 1) / 10000.0
+        stats[k] = (nk, mean, var)
+    na, ma, va = stats["1-URGENT"]
+    nb, mb, vb = stats["5-LOW"]
+    se2 = va / na + vb / nb
+    t = (ma - mb) / math.sqrt(se2)
+    df = se2 * se2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    row = REGISTRY["stats_ttest_welch"].fn(spark, SF_DIR).collect()[0]
+    assert (int(row["n_urgent"]), int(row["n_low"])) == (na, nb)
+    assert math.isclose(float(row["mean_urgent"]), round(ma, 6), abs_tol=1e-6)
+    assert math.isclose(float(row["t_stat"]), round(t, 6), abs_tol=1e-5)
+    assert math.isclose(float(row["welch_df"]), round(df, 6), rel_tol=1e-9)
+
+
+def test_rank_sum_matches_python_ranks(spark):
+    """stats_rank_sum_u vs average-rank bookkeeping over the pooled
+    sample, exact in doubled rank units."""
+    g = _order_cents(spark)
+    pooled = sorted(
+        [(c, "1-URGENT") for c in g["1-URGENT"]]
+        + [(c, "5-LOW") for c in g["5-LOW"]]
+    )
+    # doubled average rank per value
+    two_rank: dict[int, int] = {}
+    i = 0
+    while i < len(pooled):
+        j = i
+        while j < len(pooled) and pooled[j][0] == pooled[i][0]:
+            j += 1
+        # ranks i+1..j (1-based); doubled average = (i+1 + j)
+        two_rank[pooled[i][0]] = (i + 1) + j
+        i = j
+    two_sum = sum(two_rank[c] for c in g["1-URGENT"])
+    na, nb = len(g["1-URGENT"]), len(g["5-LOW"])
+    u2 = two_sum - 2 * (na * (na + 1) // 2)
+    z = (two_sum / 2 - na * (na + 1) / 2.0 - na * nb / 2.0) / math.sqrt(
+        na * nb * (na + nb + 1) / 12.0
+    )
+    row = REGISTRY["stats_rank_sum_u"].fn(spark, SF_DIR).collect()[0]
+    assert (int(row["n_urgent"]), int(row["n_low"])) == (na, nb)
+    assert int(row["u2_urgent"]) == u2
+    assert math.isclose(float(row["z_approx"]), round(z, 6), abs_tol=1e-6)
+
+
+def test_rfm_segments_partition_customers(spark):
+    """events_rfm_segmentation invariants vs a pure-Python quintile
+    replay: segment counts must sum to |customers|, every score in 1-5,
+    and the marginal distribution of each score must match NTILE's
+    ceil/floor split exactly."""
+    rows = (
+        table(spark, SF_DIR, "orders")
+        .selectExpr("o_custkey", "o_orderdate", "CAST(round(o_totalprice*100) AS BIGINT) c")
+        .collect()
+    )
+    per_cust: dict[int, list] = defaultdict(list)
+    for r in rows:
+        per_cust[int(r["o_custkey"])].append((r["o_orderdate"], int(r["c"])))
+    n = len(per_cust)
+    got = REGISTRY["events_rfm_segmentation"].fn(spark, SF_DIR).collect()
+    assert sum(int(r["n_customers"]) for r in got) == n
+    for r in got:
+        assert 1 <= int(r["r_score"]) <= 5
+        assert 1 <= int(r["f_score"]) <= 5
+        assert 1 <= int(r["m_score"]) <= 5
+    # NTILE marginal: first (n mod 5) tiles hold ceil(n/5), rest floor
+    expect = defaultdict(int)
+    for tile in range(1, 6):
+        expect[tile] = n // 5 + (1 if tile <= n % 5 else 0)
+    for col in ("r_score", "f_score", "m_score"):
+        marg = defaultdict(int)
+        for r in got:
+            marg[int(r[col])] += int(r["n_customers"])
+        assert marg == expect, f"{col} marginal {dict(marg)} != {dict(expect)}"
+
+
+def test_position_weighted_attribution_replay(spark):
+    """attribution_position_weighted vs a per-user journey loop in
+    exact micro-units."""
+    rows = (
+        table(spark, SF_DIR, "events")
+        .select("user_id", "event_type", "ts", "event_id")
+        .collect()
+    )
+    first_purchase: dict[int, object] = {}
+    for r in rows:
+        if r["event_type"] == "purchase":
+            u = int(r["user_id"])
+            if u not in first_purchase or r["ts"] < first_purchase[u]:
+                first_purchase[u] = r["ts"]
+    journeys: dict[int, list] = defaultdict(list)
+    for r in rows:
+        u = int(r["user_id"])
+        if (
+            r["event_type"] in ("click", "view")
+            and u in first_purchase
+            and r["ts"] < first_purchase[u]
+        ):
+            journeys[u].append((r["ts"], int(r["event_id"]), r["event_type"]))
+    credit: dict[str, int] = defaultdict(int)
+    touches: dict[str, int] = defaultdict(int)
+    for u, js in journeys.items():
+        js.sort()
+        k = len(js)
+        for pos, (_, _, typ) in enumerate(js, start=1):
+            if k == 1:
+                m = 1000000
+            elif k == 2:
+                m = 500000
+            elif pos in (1, k):
+                m = 400000
+            else:
+                m = 200000 // (k - 2)
+            credit[typ] += m
+            touches[typ] += 1
+    got = {
+        r["event_type"]: (int(r["n_touches"]), int(r["credit_micro"]))
+        for r in REGISTRY["attribution_position_weighted"].fn(spark, SF_DIR).collect()
+    }
+    assert got == {t: (touches[t], credit[t]) for t in credit}
+
+
+def test_interpolation_matches_python_series(spark):
+    """ts_resample_interpolate vs a per-series Python walk: observed
+    days keep their sums, interior gaps take the straight line, edges
+    stay None."""
+    rows = (
+        table(spark, SF_DIR, "events")
+        .selectExpr(
+            "event_type",
+            "datediff(CAST(ts AS DATE), DATE'1970-01-01') AS d",
+            "value",
+        )
+        .collect()
+    )
+    daily: dict[str, dict[int, float]] = defaultdict(lambda: defaultdict(float))
+    for r in rows:
+        if r["event_type"] in ("purchase", "signup"):
+            daily[r["event_type"]][int(r["d"])] += float(r["value"])
+    all_days = [d for s in daily.values() for d in s]
+    d0, d1 = min(all_days), max(all_days)
+    expect: dict[tuple[str, int], object] = {}
+    for typ, series in daily.items():
+        obs_days = sorted(series)
+        for d in range(d0, d1 + 1):
+            if d in series:
+                expect[(typ, d)] = round(series[d], 6)
+            else:
+                prev = max((x for x in obs_days if x < d), default=None)
+                nxt = min((x for x in obs_days if x > d), default=None)
+                if prev is None or nxt is None:
+                    expect[(typ, d)] = None
+                else:
+                    y = series[prev] + (series[nxt] - series[prev]) * (
+                        d - prev
+                    ) / (nxt - prev)
+                    expect[(typ, d)] = round(y, 6)
+    got = REGISTRY["ts_resample_interpolate"].fn(spark, SF_DIR).collect()
+    assert len(got) == len(expect)
+    for r in got:
+        key = (r["event_type"], int(r["day_num"]))
+        want = expect[key]
+        if want is None:
+            assert r["value_filled"] is None, key
+        else:
+            assert math.isclose(float(r["value_filled"]), want, abs_tol=2e-6), key
+        assert int(r["interpolated"]) == (
+            0 if int(r["day_num"]) in daily[r["event_type"]] else 1
+        )
