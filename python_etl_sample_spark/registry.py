@@ -288,6 +288,7 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "events_rfm_segmentation",
     "attribution_position_weighted",
     "ts_resample_interpolate",
+    "spatial_grid_join",
 )
 
 
@@ -351,6 +352,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "events_rfm_segmentation",
     "attribution_position_weighted",
     "ts_resample_interpolate",
+    "spatial_grid_join",
     # --- 1 driver row(s), last in r1 (19) ---
     "dedup_embedding_cosine",
     "dedup_exact",

@@ -280,3 +280,40 @@ def test_interpolation_matches_python_series(spark):
         assert int(r["interpolated"]) == (
             0 if int(r["day_num"]) in daily[r["event_type"]] else 1
         )
+
+
+def test_spatial_grid_join_matches_allpairs(spark):
+    """spatial_grid_join vs brute-force all-pairs distances — proves the
+    3×3 cell neighborhood loses no in-radius pair (completeness of the
+    bucketing, the property the grid must never trade away)."""
+    R2 = 500 * 500
+    cust = {
+        int(r["c_custkey"]): (
+            (int(r["c_custkey"]) % 100000) * 2654435761 % 10000,
+            (int(r["c_custkey"]) % 100000) * 2246822519 % 10000,
+        )
+        for r in table(spark, SF_DIR, "customer").select("c_custkey").collect()
+    }
+    sup = {
+        int(r["s_suppkey"]): (
+            (int(r["s_suppkey"]) % 100000) * 2654435761 % 10000,
+            (int(r["s_suppkey"]) % 100000) * 2246822519 % 10000,
+        )
+        for r in table(spark, SF_DIR, "supplier").select("s_suppkey").collect()
+    }
+    expect = {}
+    for c, (cx, cy) in cust.items():
+        d2s = [
+            (cx - sx) ** 2 + (cy - sy) ** 2
+            for sx, sy in sup.values()
+            if (cx - sx) ** 2 + (cy - sy) ** 2 <= R2
+        ]
+        expect[c] = (len(d2s), min(d2s) if d2s else None)
+    got = {
+        int(r["c_custkey"]): (
+            int(r["n_nearby"]),
+            None if r["min_dist2"] is None else int(r["min_dist2"]),
+        )
+        for r in REGISTRY["spatial_grid_join"].fn(spark, SF_DIR).collect()
+    }
+    assert got == expect
