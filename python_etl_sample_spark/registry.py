@@ -289,6 +289,7 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "attribution_position_weighted",
     "ts_resample_interpolate",
     "spatial_grid_join",
+    "stream_demo_stream_join",
 )
 
 
@@ -353,6 +354,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "attribution_position_weighted",
     "ts_resample_interpolate",
     "spatial_grid_join",
+    "stream_demo_stream_join",
     # --- 1 driver row(s), last in r1 (19) ---
     "dedup_embedding_cosine",
     "dedup_exact",

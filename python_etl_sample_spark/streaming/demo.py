@@ -349,6 +349,71 @@ def stream_demo_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return demo_rate_source(spark)
 
 
+@query(
+    "stream_demo_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_micros
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_demo_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join under two real ``readStream`` sources —
+    the last Structured Streaming flagship the demo family was missing:
+    clicks and purchases arrive as two independent streams, and each
+    purchase within one hour after a click by the same user emits a
+    (click, purchase, gap) row.
+
+    Both sides carry a 1-hour watermark and the join condition carries
+    the time bound, which is exactly what lets the state store evict a
+    buffered click once the purchase-side watermark passes its
+    ``ts + 1h`` horizon — the mechanism that makes stream-stream joins
+    bounded-state at 100 TB (without the bound, both sides buffer
+    forever). Inner joins emit on match arrival, so the AvailableNow
+    replay drains to precisely the batch join answer — making this
+    demo ORACLE-CHECKED through the streaming engine, like
+    stream_demo_static_join: a DuckDB hash match that the join state
+    machine, watermark tracking, and micro-batch scheduler all sat
+    inside of. The gap is exact integer microseconds (the fixtures'
+    native resolution)."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_micros"),
+    )
+    return _run_to_memory(joined, "append")
+
+
 @query("stream_demo_stateful", oracle=None)
 def stream_demo_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#57-demo declared rows-only: the applyInPandasWithState custom

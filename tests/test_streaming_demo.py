@@ -77,3 +77,48 @@ def test_rate_source_equals_batch_twin(spark):
     cols = ["wstart", "wend", "event_type", "n_events"]
     assert _sorted_rows(stream_out, cols) == _sorted_rows(batch_out, cols)
     assert stream_out.count() > 0
+
+
+def test_stream_stream_join_equals_batch_join(spark):
+    """The watermarked stream-stream interval join must drain to the
+    exact batch join answer under AvailableNow: same (click, purchase)
+    pairs, same integer microsecond gaps. This exercises the join state
+    store and watermark eviction horizon end-to-end."""
+    from pyspark.sql import functions as F
+
+    from python_etl_sample_spark.registry import REGISTRY
+    from python_etl_sample_spark.sources import table
+
+    # the batch loader yields timestamp_ntz; unix_micros needs TIMESTAMP
+    # (UTC session tz ⇒ identical instants, same as the stream path)
+    ev = table(spark, SF_DIR, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    batch = (
+        c.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_micros"),
+        )
+    )
+    stream_out = REGISTRY["stream_demo_stream_join"].fn(spark, SF_DIR)
+    cols = ["click_id", "purchase_id", "user_id", "gap_micros"]
+    assert _sorted_rows(stream_out, cols) == _sorted_rows(batch, cols)
+    assert stream_out.count() > 0
