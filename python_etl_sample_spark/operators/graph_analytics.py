@@ -54,9 +54,15 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same 1995 order. DISTINCT twice: once to collapse a part
     appearing on several lines of one order, once to collapse a pair
     co-occurring in several orders."""
+    # range predicate, not year() — a raw-column comparison reaches the
+    # parquet scan as a pushed filter + row-group min/max prune; a
+    # function of the column would not (pinned in test_round5b_refs)
     li = (
         table(spark, sf_dir, "lineitem")
-        .filter(F.expr("year(l_shipdate) = 1995"))
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01"))
+        )
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
@@ -75,7 +81,7 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EDGES_SQL = """
     li AS (
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-      WHERE year(l_shipdate) = 1995
+      WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
     ),
     edges AS (
       SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v

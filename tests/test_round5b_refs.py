@@ -317,3 +317,16 @@ def test_spatial_grid_join_matches_allpairs(spark):
         for r in REGISTRY["spatial_grid_join"].fn(spark, SF_DIR).collect()
     }
     assert got == expect
+
+
+def test_copurchase_scan_pushes_ship_year_range(spark):
+    """The co-purchase graph's 1995 filter must reach the parquet scan
+    as a pushed range predicate (a year() call would not) — the
+    difference between pruning row groups at the source and scanning
+    the full fact table at 100 TB."""
+    from python_etl_sample_spark.plans import explain_formatted
+
+    for name in ("graph_triangle_count", "graph_pagerank"):
+        plan = explain_formatted(REGISTRY[name].fn(spark, SF_DIR))
+        assert "GreaterThanOrEqual(l_shipdate" in plan, name
+        assert "LessThan(l_shipdate" in plan, name
