@@ -314,3 +314,66 @@ def ts_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "interpolated"
         ),
     )
+
+
+@query(
+    "ts_seasonal_naive_eval",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+               AS month_key,
+             CAST(year(o_orderdate) AS BIGINT) AS yr,
+             CAST(SUM({_OCENTS}) AS BIGINT) AS rev_cents
+      FROM orders GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT cur.yr, cur.month_key, cur.rev_cents,
+             prv.rev_cents AS forecast_cents,
+             ABS(CAST(cur.rev_cents - prv.rev_cents AS DOUBLE))
+               / cur.rev_cents AS ape
+      FROM monthly cur JOIN monthly prv ON prv.month_key = cur.month_key - 100
+    )
+    SELECT yr,
+           COUNT(*) AS n_months,
+           ROUND(SUM(ape) / COUNT(*), 6) AS mape,
+           ROUND(MAX(ape), 6) AS worst_ape
+    FROM scored GROUP BY yr
+    """,
+)
+def ts_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast evaluation: predict each month's revenue
+    as the SAME month one year earlier and report MAPE per year — the
+    baseline every real forecasting pipeline must beat, and the
+    backtesting shape (join actuals to lagged actuals, score, roll up)
+    that evaluates any model at scale.
+
+    Revenue is exact integer cents; month keys are yyyymm BIGINTs so
+    the lag join is `month_key - 100` — a plain equi-join, no calendar
+    arithmetic in the join key. The APE division is one double op
+    mirrored textually in the oracle. At 100 TB the monthly frame is
+    thousands of rows regardless of fact size — evaluation cost is
+    decoupled from corpus size by the upstream partial agg."""
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("bigint")
+        .alias("month_key"),
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+    ).agg(F.sum(F.expr(_OCENTS)).alias("rev_cents"))
+    cur, prv = monthly.alias("cur"), monthly.alias("prv")
+    scored = cur.join(
+        prv, F.col("prv.month_key") == F.col("cur.month_key") - 100
+    ).select(
+        F.col("cur.yr").alias("yr"),
+        (
+            F.abs(
+                (F.col("cur.rev_cents") - F.col("prv.rev_cents")).cast("double")
+            )
+            / F.col("cur.rev_cents")
+        ).alias("ape"),
+    )
+    return scored.groupBy("yr").agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.round(F.sum("ape") / F.count(F.lit(1)), 6).alias("mape"),
+        F.round(F.max("ape"), 6).alias("worst_ape"),
+    )

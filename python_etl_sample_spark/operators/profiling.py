@@ -326,3 +326,67 @@ def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("weight"),
     )
+
+
+def _skew_sql(tbl: str, col: str) -> str:
+    """Per-key distribution metrics for one join-key column."""
+    return f"""
+    SELECT '{col}' AS key_column,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           COUNT(*) AS n_keys,
+           CAST(MAX(c) AS BIGINT) AS max_key_rows,
+           ROUND(CAST(MAX(c) AS DOUBLE) * COUNT(*) / SUM(c), 6)
+             AS skew_ratio,
+           ROUND(quantile_cont(c, 0.99), 6) AS p99_key_rows
+    FROM (SELECT {col}, COUNT(*) AS c FROM {tbl} GROUP BY {col})
+    """
+
+
+@query(
+    "dq_skew_report",
+    oracle=" UNION ALL ".join(
+        [
+            _skew_sql("lineitem", "l_partkey"),
+            _skew_sql("lineitem", "l_suppkey"),
+            _skew_sql("orders", "o_custkey"),
+        ]
+    ),
+)
+def dq_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics — the operability report that decides
+    WHICH mitigation a 100 TB join needs before it runs: per key column,
+    the row count, distinct-key count, hottest key's row count, the
+    skew ratio (max/mean keys-per-row — 1.0 is perfectly even), and the
+    exact p99 of rows-per-key.
+
+    skew_ratio ≈ 1 → plain shuffle join; tens → AQE skew splitting
+    suffices; hundreds+ → salt the key (join_skew_salted is the
+    companion operator). Each column is ONE partial-agg groupBy over
+    the fact table followed by a handful-of-rows aggregate; the three
+    reports union into a single frame. The ratio is computed
+    max·n_keys/n_rows (integer products first, one double division)
+    and mirrored textually in the oracle; p99 uses the shared
+    interpolated-percentile definition over per-key counts."""
+
+    def one(tbl: str, col: str) -> DataFrame:
+        per_key = (
+            table(spark, sf_dir, tbl)
+            .groupBy(col)
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        return per_key.agg(
+            F.lit(col).alias("key_column"),
+            F.sum("c").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("c").alias("max_key_rows"),
+            F.round(
+                F.max("c").cast("double") * F.count(F.lit(1)) / F.sum("c"), 6
+            ).alias("skew_ratio"),
+            F.round(F.expr("percentile(c, 0.99)"), 6).alias("p99_key_rows"),
+        )
+
+    return (
+        one("lineitem", "l_partkey")
+        .unionAll(one("lineitem", "l_suppkey"))
+        .unionAll(one("orders", "o_custkey"))
+    )

@@ -290,6 +290,8 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "ts_resample_interpolate",
     "spatial_grid_join",
     "stream_demo_stream_join",
+    "ts_seasonal_naive_eval",
+    "dq_skew_report",
 )
 
 
@@ -355,6 +357,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "ts_resample_interpolate",
     "spatial_grid_join",
     "stream_demo_stream_join",
+    "ts_seasonal_naive_eval",
+    "dq_skew_report",
     # --- 1 driver row(s), last in r1 (19) ---
     "dedup_embedding_cosine",
     "dedup_exact",

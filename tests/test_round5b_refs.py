@@ -330,3 +330,62 @@ def test_copurchase_scan_pushes_ship_year_range(spark):
         plan = explain_formatted(REGISTRY[name].fn(spark, SF_DIR))
         assert "GreaterThanOrEqual(l_shipdate" in plan, name
         assert "LessThan(l_shipdate" in plan, name
+
+
+def test_seasonal_naive_eval_matches_python(spark):
+    """ts_seasonal_naive_eval vs a dict-based month-lag replay."""
+    rows = (
+        table(spark, SF_DIR, "orders")
+        .selectExpr(
+            "year(o_orderdate) AS y",
+            "month(o_orderdate) AS m",
+            "CAST(round(o_totalprice*100) AS BIGINT) AS c",
+        )
+        .collect()
+    )
+    monthly: dict[int, int] = defaultdict(int)
+    for r in rows:
+        monthly[int(r["y"]) * 100 + int(r["m"])] += int(r["c"])
+    per_year: dict[int, list[float]] = defaultdict(list)
+    for mk, rev in monthly.items():
+        if mk - 100 in monthly:
+            per_year[mk // 100].append(abs(rev - monthly[mk - 100]) / rev)
+    got = {
+        int(r["yr"]): (int(r["n_months"]), float(r["mape"]), float(r["worst_ape"]))
+        for r in REGISTRY["ts_seasonal_naive_eval"].fn(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(per_year)
+    for y, apes in per_year.items():
+        n, mape, worst = got[y]
+        assert n == len(apes)
+        assert math.isclose(mape, sum(apes) / len(apes), abs_tol=2e-6)
+        assert math.isclose(worst, max(apes), abs_tol=2e-6)
+
+
+def test_skew_report_matches_python_counts(spark):
+    """dq_skew_report vs Counter-based per-key tallies (integer fields
+    exactly; ratios within rounding)."""
+    from collections import Counter
+
+    specs = [
+        ("lineitem", "l_partkey"),
+        ("lineitem", "l_suppkey"),
+        ("orders", "o_custkey"),
+    ]
+    got = {
+        r["key_column"]: r
+        for r in REGISTRY["dq_skew_report"].fn(spark, SF_DIR).collect()
+    }
+    for tbl, col in specs:
+        counts = Counter(
+            int(r[col]) for r in table(spark, SF_DIR, tbl).select(col).collect()
+        )
+        r = got[col]
+        assert int(r["n_rows"]) == sum(counts.values())
+        assert int(r["n_keys"]) == len(counts)
+        assert int(r["max_key_rows"]) == max(counts.values())
+        assert math.isclose(
+            float(r["skew_ratio"]),
+            max(counts.values()) * len(counts) / sum(counts.values()),
+            abs_tol=2e-6,
+        )
