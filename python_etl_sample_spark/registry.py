@@ -292,6 +292,7 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "stream_demo_stream_join",
     "ts_seasonal_naive_eval",
     "dq_skew_report",
+    "features_hashing_trick",
 )
 
 
@@ -359,6 +360,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "stream_demo_stream_join",
     "ts_seasonal_naive_eval",
     "dq_skew_report",
+    "features_hashing_trick",
     # --- 1 driver row(s), last in r1 (19) ---
     "dedup_embedding_cosine",
     "dedup_exact",

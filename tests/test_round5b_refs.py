@@ -389,3 +389,34 @@ def test_skew_report_matches_python_counts(spark):
             max(counts.values()) * len(counts) / sum(counts.values()),
             abs_tol=2e-6,
         )
+
+
+def test_feature_hashing_matches_python_sha(spark):
+    """features_hashing_trick vs hashlib-based bucket replay — pins the
+    cross-engine hex-parse agreement (Spark conv vs DuckDB 0x-cast vs
+    Python int(,16))."""
+    import hashlib
+
+    from collections import Counter
+
+    toks = []
+    for r in table(spark, SF_DIR, "documents").select("text").collect():
+        toks += [t for t in r["text"].lower().split() if t]
+    per_bucket_occ: Counter = Counter()
+    per_bucket_vocab: dict[int, set] = defaultdict(set)
+    for t in toks:
+        b = int(hashlib.sha256(t.encode()).hexdigest()[:6], 16) % 128
+        per_bucket_occ[b] += 1
+        per_bucket_vocab[b].add(t)
+    got = {
+        int(r["bucket"]): (
+            int(r["n_occurrences"]),
+            int(r["n_distinct_tokens"]),
+            int(r["has_collision"]),
+        )
+        for r in REGISTRY["features_hashing_trick"].fn(spark, SF_DIR).collect()
+    }
+    assert got == {
+        b: (per_bucket_occ[b], len(v), 1 if len(v) > 1 else 0)
+        for b, v in per_bucket_vocab.items()
+    }
