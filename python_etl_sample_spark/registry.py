@@ -319,7 +319,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "scan_corrupt_records",
     "set_intersect_except_all",
     "sketch_hll_mergeable",
-    "stream_demo_session",
     "text_lang_overlap_jaccard",
     "win_time_range_frame",
     # --- round-5 additions (new code = least-evidenced) ---
@@ -347,8 +346,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "sample_weighted_priority",
     "agg_skew_salted_distinct",
     "stats_winsorized_mean",
-    "stream_demo_rate_source",
-    # --- round-5 late additions, never driver-recorded — slots 41-47 ---
+    # --- round-5 late additions, never driver-recorded ---
     "graph_triangle_count",
     "graph_pagerank",
     "stats_ttest_welch",
@@ -361,6 +359,12 @@ DRIVER_ORDER: tuple[str, ...] = (
     "ts_seasonal_naive_eval",
     "dq_skew_report",
     "features_hashing_trick",
+    # --- rows-only demos last among the never-recorded (52 candidates,
+    # 50 driver slots): their driver row is the weakest form (rows>0
+    # only) and both already carry batch-parity + stability tests, so
+    # they are the two that can wait for round 6 ---
+    "stream_demo_session",
+    "stream_demo_rate_source",
     # --- 1 driver row(s), last in r1 (19) ---
     "dedup_embedding_cosine",
     "dedup_exact",
