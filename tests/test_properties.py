@@ -208,3 +208,137 @@ def test_salted_distinct_partition_exactness(users, n_salt):
     for u in users:
         buckets[u % n_salt].add(u)
     assert sum(len(s) for s in buckets.values()) == len(set(users))
+
+
+# --- round-5 late-addition kernels -----------------------------------------
+
+_PR_SCALE = 1_000_000_000_000_000
+
+
+def _pagerank_int(adj: dict[int, list[int]], rounds: int = 5) -> dict[int, int]:
+    """Pure-Python replica of graph_pagerank's scaled-integer recurrence."""
+    n = len(adj)
+    rank = {x: _PR_SCALE // n for x in adj}
+    base = 15 * _PR_SCALE // (100 * n)
+    for _ in range(rounds):
+        contrib = {x: 0 for x in adj}
+        for x, neigh in adj.items():
+            share = rank[x] // len(neigh)
+            for y in neigh:
+                contrib[y] += share
+        rank = {x: base + (85 * contrib[x]) // 100 for x in adj}
+    return rank
+
+
+@st.composite
+def _graphs(draw):
+    n = draw(st.integers(2, 12))
+    pairs = draw(
+        st.sets(
+            st.tuples(st.integers(0, n - 1), st.integers(0, n - 1)).filter(
+                lambda p: p[0] < p[1]
+            ),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    adj: dict[int, list[int]] = {}
+    for u, v in sorted(pairs):
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    return adj
+
+
+@given(_graphs())
+@settings(max_examples=60, deadline=None)
+def test_integer_pagerank_conserves_bounded_mass(adj):
+    """The scaled-integer recurrence keeps total mass within [SCALE -
+    truncation-loss, SCALE]: each node loses < deg ulps to the per-edge
+    integer division and < 1 ulp to the damping division per round, so
+    mass never grows and never leaks more than (edges·2 + n) per round
+    times the damping factor — the bound that certifies truncation is
+    a rounding detail, not a semantic drift. Ranks also stay positive
+    and permutation-equivariant."""
+    rank = _pagerank_int(adj)
+    total = sum(rank.values())
+    assert total <= _PR_SCALE
+    loss_per_round = sum(len(v) for v in adj.values()) + len(adj) + 100
+    assert total >= _PR_SCALE - 5 * loss_per_round - 100 * len(adj)
+    assert all(r > 0 for r in rank.values())
+    # permutation equivariance: relabel every node; ranks must follow
+    perm = {x: i for i, x in enumerate(sorted(adj, reverse=True))}
+    padj = {
+        perm[x]: [perm[y] for y in neigh] for x, neigh in adj.items()
+    }
+    prank = _pagerank_int(padj)
+    assert all(prank[perm[x]] == rank[x] for x in adj)
+
+
+def _triangles_oriented(adj: dict[int, list[int]]) -> int:
+    """Pure-Python replica of the degree-oriented wedge-close count."""
+    deg = {x: len(v) for x, v in adj.items()}
+    order = lambda x: (deg[x], x)  # noqa: E731
+    out = {x: [y for y in neigh if order(x) < order(y)] for x, neigh in adj.items()}
+    edges = {
+        (min(x, y), max(x, y)) for x, neigh in adj.items() for y in neigh
+    }
+    tris = 0
+    for s, outs in out.items():
+        souts = sorted(outs)
+        for i in range(len(souts)):
+            for j in range(i + 1, len(souts)):
+                b, c = min(souts[i], souts[j]), max(souts[i], souts[j])
+                if (b, c) in edges:
+                    tris += 1
+    return tris
+
+
+@given(_graphs())
+@settings(max_examples=60, deadline=None)
+def test_degree_oriented_triangle_count_equals_bruteforce(adj):
+    """Orientation + wedge-close counts every triangle exactly once on
+    arbitrary graphs — the combinatorial core of graph_triangle_count,
+    independent of any engine."""
+    from itertools import combinations
+
+    nodes = sorted(adj)
+    nb = {x: set(v) for x, v in adj.items()}
+    brute = sum(
+        1
+        for a, b, c in combinations(nodes, 3)
+        if b in nb[a] and c in nb[a] and c in nb[b]
+    )
+    assert _triangles_oriented(adj) == brute
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 99), st.integers(0, 99)), min_size=1, max_size=30),
+    st.lists(st.tuples(st.integers(0, 99), st.integers(0, 99)), min_size=1, max_size=30),
+    st.integers(5, 40),
+)
+@settings(max_examples=60, deadline=None)
+def test_grid_bucketing_finds_all_in_radius_pairs(big, small, r):
+    """The 3×3 cell-neighborhood candidate set is COMPLETE for any
+    point sets and any radius = cell size (spatial_grid_join's
+    correctness-by-construction claim): every pair within r has the
+    small point in one of the 9 cells neighboring the big point's
+    cell."""
+    r2 = r * r
+    exact = {
+        (i, j)
+        for i, (x, y) in enumerate(big)
+        for j, (sx, sy) in enumerate(small)
+        if (x - sx) ** 2 + (y - sy) ** 2 <= r2
+    }
+    via_grid = set()
+    cells = {}
+    for j, (sx, sy) in enumerate(small):
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                cells.setdefault((sx // r + dx, sy // r + dy), []).append(j)
+    for i, (x, y) in enumerate(big):
+        for j in cells.get((x // r, y // r), []):
+            sx, sy = small[j]
+            if (x - sx) ** 2 + (y - sy) ** 2 <= r2:
+                via_grid.add((i, j))
+    assert via_grid == exact
