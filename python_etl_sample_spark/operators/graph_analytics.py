@@ -53,7 +53,19 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical undirected edge list (u < v) of parts co-shipped in
     the same 1995 order. DISTINCT twice: once to collapse a part
     appearing on several lines of one order, once to collapse a pair
-    co-occurring in several orders."""
+    co-occurring in several orders.
+
+    Deliberately NOT checkpointed/persisted even though consumers fan
+    out over it (triangle counting 3×, PageRank's unrolled rounds ~10×):
+    the static plan shows the re-derivations, but Spark's ReuseExchange
+    dedupes the identical subtrees at runtime — the executed PageRank
+    plan carries 20 ReusedExchange nodes and ONE job runs all rounds,
+    measured 0.24 s warm at sf0.1 versus 2.2 s for the eager/lazy
+    localCheckpoint variant (7 sequential jobs of scheduling overhead).
+    Materializing the derived graph becomes the right call only when
+    rounds grow past plan-size limits or consumers span JOBS (the CC
+    kernel's case); a single-job fan-out should lean on exchange reuse.
+    Pinned in test_round5b_refs (executed-plan ReusedExchange count)."""
     # range predicate, not year() — a raw-column comparison reaches the
     # parquet scan as a pushed filter + row-group min/max prune; a
     # function of the column would not (pinned in test_round5b_refs)
@@ -242,7 +254,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Spark picks broadcast while ranks fit, the right call at any n
     since ranks ≪ edges), then one partial-aggregated shuffle on dst.
     The driver loop is plan construction only — no actions, no
-    collect; a single job executes all five unrolled rounds."""
+    collect: a single job executes all five unrolled rounds, with
+    ReuseExchange deduping the repeated edge/degree subtrees at
+    runtime (measured: 20 ReusedExchange nodes, 0.24 s warm at sf0.1;
+    a localCheckpoint-per-round variant was 9× slower from per-job
+    scheduling overhead — see _copurchase_edges docstring)."""
     edges = _copurchase_edges(spark, sf_dir)
     dir_edges = edges.select(
         F.col("u").alias("src"), F.col("v").alias("dst")

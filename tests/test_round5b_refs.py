@@ -332,6 +332,19 @@ def test_copurchase_scan_pushes_ship_year_range(spark):
         assert "LessThan(l_shipdate" in plan, name
 
 
+def test_pagerank_runtime_reuses_repeated_subtrees(spark):
+    """The unrolled five-round lineage re-plans the edge/degree
+    subtrees many times STATICALLY, but execution must dedupe them via
+    ReuseExchange — the property that makes the single-job unrolled
+    form beat a localCheckpoint-per-round variant (measured 0.24 s vs
+    2.2 s warm at sf0.1). If this pin breaks, the checkpoint variant
+    becomes the right implementation again."""
+    df = REGISTRY["graph_pagerank"].fn(spark, SF_DIR)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed
+
+
 def test_seasonal_naive_eval_matches_python(spark):
     """ts_seasonal_naive_eval vs a dict-based month-lag replay."""
     rows = (
