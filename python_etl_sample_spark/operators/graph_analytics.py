@@ -292,3 +292,107 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("deg").alias("degree"),
         F.col("r").alias("rank_scaled"),
     )
+
+
+_BFS_ROUNDS = 4
+_INF = 999
+
+
+def _bfs_round_sql(prev: str, cur: str) -> str:
+    """One unrolled BFS relaxation in sentinel-integer arithmetic."""
+    return f"""
+    {cur} AS (
+      SELECT d.node,
+             LEAST(p.dist, COALESCE(m.nbr_min + 1, {_INF})) AS dist
+      FROM deg d
+      JOIN {prev} p ON p.node = d.node
+      LEFT JOIN (
+        SELECT e.dst AS node, MIN(q.dist) AS nbr_min
+        FROM dir e JOIN {prev} q ON q.node = e.src AND q.dist < {_INF}
+        GROUP BY e.dst
+      ) m ON m.node = d.node
+    )"""
+
+
+@query(
+    "graph_bfs_hops",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    dir AS (
+      SELECT u AS src, v AS dst FROM edges
+      UNION ALL
+      SELECT v AS src, u AS dst FROM edges
+    ),
+    seeds AS (
+      SELECT node FROM deg ORDER BY deg DESC, node LIMIT 10
+    ),
+    d0 AS (
+      SELECT d.node,
+             CASE WHEN s.node IS NOT NULL THEN 0 ELSE {_INF} END AS dist
+      FROM deg d LEFT JOIN seeds s ON s.node = d.node
+    ),
+    {_bfs_round_sql("d0", "d1")},
+    {_bfs_round_sql("d1", "d2")},
+    {_bfs_round_sql("d2", "d3")},
+    {_bfs_round_sql("d3", "d4")}
+    SELECT CAST(dist AS BIGINT) AS hops, COUNT(*) AS n_parts,
+           CAST(MIN(node) AS BIGINT) AS min_part,
+           CAST(MAX(node) AS BIGINT) AS max_part
+    FROM d4 WHERE dist < {_INF} GROUP BY dist
+    """,
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the co-purchase graph: hop distance from
+    the 10 highest-degree parts (the "hub reachability" question), four
+    relaxation rounds, reported as nodes-per-hop-level with id extremes.
+
+    Pure integer relaxation with a sentinel (999 = unreached) instead
+    of NULL-propagating mins — LEAST/MIN over exact BIGINTs, so four
+    unrolled rounds are bit-equal across engines. Each round is the
+    BSP/Pregel step expressed relationally: frontier⋈edges on src
+    (only settled nodes q.dist < INF join — the frontier filter), one
+    partial-agg MIN shuffle on dst, and a LEAST merge with the previous
+    state. The driver loop only builds the plan; runtime exchange reuse
+    dedupes the repeated edge subtrees exactly as in graph_pagerank.
+    Hop-level aggregation (not per-node rows) keeps the answer
+    calendar-sized; the per-node frame is the intermediate."""
+    edges = _copurchase_edges(spark, sf_dir)
+    dir_edges = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    deg = dir_edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    seeds = deg.orderBy(F.desc("deg"), F.asc("node")).limit(10).select("node")
+    dist = deg.join(
+        seeds.withColumnRenamed("node", "seed"),
+        F.col("node") == F.col("seed"),
+        "left",
+    ).select(
+        "node",
+        F.when(F.col("seed").isNotNull(), F.lit(0))
+        .otherwise(F.lit(_INF))
+        .alias("dist"),
+    )
+    for _ in range(_BFS_ROUNDS):
+        nbr = (
+            dist.filter(F.col("dist") < _INF)
+            .join(dir_edges, dist.node == dir_edges.src)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("dist").alias("nbr_min"))
+        )
+        dist = dist.join(nbr, "node", "left").select(
+            "node",
+            F.least(
+                F.col("dist"), F.coalesce(F.col("nbr_min") + 1, F.lit(_INF))
+            ).alias("dist"),
+        )
+    return (
+        dist.filter(F.col("dist") < _INF)
+        .groupBy(F.col("dist").cast("bigint").alias("hops"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min("node").cast("bigint").alias("min_part"),
+            F.max("node").cast("bigint").alias("max_part"),
+        )
+    )

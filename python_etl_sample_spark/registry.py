@@ -293,6 +293,8 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "ts_seasonal_naive_eval",
     "dq_skew_report",
     "features_hashing_trick",
+    "customer_survival_km",
+    "graph_bfs_hops",
 )
 
 
@@ -359,7 +361,9 @@ DRIVER_ORDER: tuple[str, ...] = (
     "ts_seasonal_naive_eval",
     "dq_skew_report",
     "features_hashing_trick",
-    # --- rows-only demos last among the never-recorded (52 candidates,
+    "customer_survival_km",
+    "graph_bfs_hops",
+    # --- rows-only demos last among the never-recorded (54 candidates,
     # 50 driver slots): their driver row is the weakest form (rows>0
     # only) and both already carry batch-parity + stability tests, so
     # they are the two that can wait for round 6 ---

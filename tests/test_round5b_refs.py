@@ -433,3 +433,84 @@ def test_feature_hashing_matches_python_sha(spark):
         b: (per_bucket_occ[b], len(v), 1 if len(v) > 1 else 0)
         for b, v in per_bucket_vocab.items()
     }
+
+
+def test_kaplan_meier_matches_python_estimator(spark):
+    """customer_survival_km vs a textbook KM loop over collected
+    order histories (right-censoring at the 90-day horizon)."""
+    rows = (
+        table(spark, SF_DIR, "orders")
+        .selectExpr("o_custkey", "CAST(o_orderdate AS DATE) AS d")
+        .collect()
+    )
+    per_cust: dict[int, list] = defaultdict(list)
+    for r in rows:
+        per_cust[int(r["o_custkey"])].append(r["d"])
+    max_d = max(d for ds in per_cust.values() for d in ds)
+    lifetimes = []
+    for ds in per_cust.values():
+        dur = (max(ds) - min(ds)).days
+        churned = (max_d - max(ds)).days > 90
+        lifetimes.append((dur, churned))
+    n_total = len(lifetimes)
+    from collections import Counter
+
+    leavers = Counter(d for d, _ in lifetimes)
+    churns = Counter(d for d, ch in lifetimes if ch)
+    surv, at_risk, curve = 1.0, n_total, {}
+    for t in sorted(leavers):
+        d = churns.get(t, 0)
+        if at_risk > 0 and d:
+            surv *= 1.0 - d / at_risk
+        curve[t] = (at_risk, d, leavers[t] - d, surv)
+        at_risk -= leavers[t]
+    got = {
+        int(r["duration_days"]): r
+        for r in REGISTRY["customer_survival_km"].fn(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(curve)
+    for t, (n, d, c, s) in curve.items():
+        r = got[t]
+        assert (int(r["n_at_risk"]), int(r["n_churned"]), int(r["n_censored"])) == (
+            n,
+            d,
+            c,
+        ), t
+        assert math.isclose(float(r["survival"]), s, abs_tol=2e-6), t
+
+
+def test_bfs_hops_matches_python_bfs(spark):
+    """graph_bfs_hops vs a deque BFS from the same top-10-degree seed
+    set, bounded to four hops."""
+    from collections import Counter, deque
+
+    edges = _edges_python(spark)
+    adj: dict[int, set[int]] = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    seeds = sorted(adj, key=lambda x: (-len(adj[x]), x))[:10]
+    dist = {s: 0 for s in seeds}
+    dq = deque(seeds)
+    while dq:
+        x = dq.popleft()
+        if dist[x] >= 4:
+            continue
+        for y in adj[x]:
+            if y not in dist:
+                dist[y] = dist[x] + 1
+                dq.append(y)
+    levels = Counter(dist.values())
+    got = {
+        int(r["hops"]): (
+            int(r["n_parts"]),
+            int(r["min_part"]),
+            int(r["max_part"]),
+        )
+        for r in REGISTRY["graph_bfs_hops"].fn(spark, SF_DIR).collect()
+    }
+    expect = {}
+    for h in levels:
+        nodes = [x for x, d in dist.items() if d == h]
+        expect[h] = (len(nodes), min(nodes), max(nodes))
+    assert got == expect
