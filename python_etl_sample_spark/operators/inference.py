@@ -247,3 +247,127 @@ def stats_rank_sum_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_approx"),
     )
+
+
+#: exact-decimal casts for the OLS design matrix: quantity is integer,
+#: discount has 2 dp, extendedprice 2 dp — all products below are exact
+#: in DECIMAL(38,6), the moment-sum scheme agg_regression_ols proved out
+_Q = "CAST(l_quantity AS DECIMAL(18,2))"
+_D = "CAST(l_discount AS DECIMAL(18,2))"
+_Y = "CAST(l_extendedprice AS DECIMAL(18,2))"
+
+
+@query(
+    "stats_ols_multivariate",
+    oracle=f"""
+    WITH m AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM({_Q}) AS DOUBLE) AS sq,
+             CAST(SUM({_D}) AS DOUBLE) AS sd,
+             CAST(SUM({_Y}) AS DOUBLE) AS sy,
+             CAST(SUM({_Q} * {_Q}) AS DOUBLE) AS sqq,
+             CAST(SUM({_Q} * {_D}) AS DOUBLE) AS sqd,
+             CAST(SUM({_D} * {_D}) AS DOUBLE) AS sdd,
+             CAST(SUM({_Q} * {_Y}) AS DOUBLE) AS sqy,
+             CAST(SUM({_D} * {_Y}) AS DOUBLE) AS sdy,
+             CAST(SUM({_Y} * {_Y}) AS DOUBLE) AS syy
+      FROM lineitem
+    ),
+    c AS (
+      SELECT n, sy,
+             sqq - sq * sq / n AS a11,
+             sqd - sq * sd / n AS a12,
+             sdd - sd * sd / n AS a22,
+             sqy - sq * sy / n AS b1,
+             sdy - sd * sy / n AS b2,
+             syy - sy * sy / n AS syy_c,
+             sq / n AS mq, sd / n AS md, sy / n AS my
+      FROM m
+    ),
+    sol AS (
+      SELECT n, my, mq, md, syy_c, b1, b2, a11, a12, a22,
+             (b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12) AS beta_qty,
+             (b2 * a11 - b1 * a12) / (a11 * a22 - a12 * a12) AS beta_disc
+      FROM c
+    )
+    SELECT n,
+           ROUND(beta_qty, 6) AS beta_qty,
+           ROUND(beta_disc, 6) AS beta_disc,
+           ROUND(my - beta_qty * mq - beta_disc * md, 6) AS intercept,
+           ROUND((beta_qty * b1 + beta_disc * b2) / syy_c, 6) AS r2
+    FROM sol
+    """,
+)
+def stats_ols_multivariate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature OLS by normal equations: extendedprice ~ quantity +
+    discount, solved in closed form (2×2 Cramer) from ONE pass of
+    exact-decimal moment sums — multivariate regression as a
+    map-side-combined aggregate, no iterative solver, no driver-side
+    matrix.
+
+    Every Σx, Σx², Σxy is exact (2-dp decimals, products exact in
+    decimal(38,4-6)); the centered normal equations and the 2×2 solve
+    are a handful of double ops mirrored textually in the oracle,
+    rounded 6 dp. R² comes from the same moments. This is the k-feature
+    pattern at any scale: k(k+3)/2 moment sums in one partial-agg pass,
+    then an O(k³) closed-form solve on ONE reducer row — at 100 TB the
+    data pass is the whole cost and it is a single aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    q, d, y = F.expr(_Q), F.expr(_D), F.expr(_Y)
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).cast("double").alias("sq"),
+        F.sum(d).cast("double").alias("sd"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(q * q).cast("double").alias("sqq"),
+        F.sum(q * d).cast("double").alias("sqd"),
+        F.sum(d * d).cast("double").alias("sdd"),
+        F.sum(q * y).cast("double").alias("sqy"),
+        F.sum(d * y).cast("double").alias("sdy"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    c = m.select(
+        "n",
+        "sy",
+        (F.col("sqq") - F.col("sq") * F.col("sq") / F.col("n")).alias("a11"),
+        (F.col("sqd") - F.col("sq") * F.col("sd") / F.col("n")).alias("a12"),
+        (F.col("sdd") - F.col("sd") * F.col("sd") / F.col("n")).alias("a22"),
+        (F.col("sqy") - F.col("sq") * F.col("sy") / F.col("n")).alias("b1"),
+        (F.col("sdy") - F.col("sd") * F.col("sy") / F.col("n")).alias("b2"),
+        (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")).alias("syy_c"),
+        (F.col("sq") / F.col("n")).alias("mq"),
+        (F.col("sd") / F.col("n")).alias("md"),
+        (F.col("sy") / F.col("n")).alias("my"),
+    )
+    det = F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12")
+    sol = c.select(
+        "n",
+        "my",
+        "mq",
+        "md",
+        "syy_c",
+        "b1",
+        "b2",
+        ((F.col("b1") * F.col("a22") - F.col("b2") * F.col("a12")) / det).alias(
+            "beta_qty"
+        ),
+        ((F.col("b2") * F.col("a11") - F.col("b1") * F.col("a12")) / det).alias(
+            "beta_disc"
+        ),
+    )
+    return sol.select(
+        "n",
+        F.round("beta_qty", 6).alias("beta_qty"),
+        F.round("beta_disc", 6).alias("beta_disc"),
+        F.round(
+            F.col("my")
+            - F.col("beta_qty") * F.col("mq")
+            - F.col("beta_disc") * F.col("md"),
+            6,
+        ).alias("intercept"),
+        F.round(
+            (F.col("beta_qty") * F.col("b1") + F.col("beta_disc") * F.col("b2"))
+            / F.col("syy_c"),
+            6,
+        ).alias("r2"),
+    )

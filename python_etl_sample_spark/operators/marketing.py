@@ -377,3 +377,67 @@ def ts_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("ape") / F.count(F.lit(1)), 6).alias("mape"),
         F.round(F.max("ape"), 6).alias("worst_ape"),
     )
+
+
+@query(
+    "win_rolling_distinct_users",
+    oracle="""
+    WITH user_days AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num
+      FROM events
+    ),
+    bounds AS (SELECT MIN(day_num) AS d0, MAX(day_num) AS d1 FROM user_days),
+    contrib AS (
+      SELECT DISTINCT ud.user_id, ud.day_num + o.off AS target_day
+      FROM user_days ud
+      CROSS JOIN (SELECT UNNEST(range(0, 7)) AS off) o
+      WHERE ud.day_num + o.off <= (SELECT d1 FROM bounds)
+    )
+    SELECT target_day AS day_num,
+           COUNT(DISTINCT user_id) AS active_7d
+    FROM contrib
+    WHERE target_day >= (SELECT d0 FROM bounds)
+    GROUP BY target_day
+    """,
+)
+def win_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the rolling
+    DISTINCT aggregate that plain window frames cannot express (COUNT
+    DISTINCT over a moving frame is unsupported in both engines'
+    windows) and a self-join-per-day would turn quadratic.
+
+    The scale-canonical rewrite: dedup to (user, day) once, then
+    EXPLODE each user-day into the ≤7 target days it contributes to —
+    a constant ×7 map-side expansion of the already-deduped frame —
+    and one exact distinct-count per target day. No range join, no
+    per-day rescan; at 100 TB the expansion factor stays 7 regardless
+    of event volume because it applies AFTER the first dedup. Days
+    travel as epoch-day BIGINTs; everything is exact integers."""
+    ev = table(spark, sf_dir, "events")
+    day_num = F.expr("datediff(CAST(ts AS DATE), DATE'1970-01-01')")
+    user_days = ev.select(
+        "user_id", day_num.alias("day_num")
+    ).distinct()
+    bounds = user_days.agg(
+        F.min("day_num").alias("d0"), F.max("day_num").alias("d1")
+    )
+    contrib = (
+        user_days.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("day_num"),
+                    F.least(F.col("day_num") + 6, F.col("d1")),
+                )
+            ).alias("target_day"),
+            "d0",
+        )
+        .filter(F.col("target_day") >= F.col("d0"))
+        .select("user_id", "target_day")
+        .distinct()
+    )
+    return contrib.groupBy(F.col("target_day").alias("day_num")).agg(
+        F.countDistinct("user_id").alias("active_7d")
+    )

@@ -295,6 +295,8 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "features_hashing_trick",
     "customer_survival_km",
     "graph_bfs_hops",
+    "win_rolling_distinct_users",
+    "stats_ols_multivariate",
 )
 
 
@@ -363,7 +365,9 @@ DRIVER_ORDER: tuple[str, ...] = (
     "features_hashing_trick",
     "customer_survival_km",
     "graph_bfs_hops",
-    # --- rows-only demos last among the never-recorded (54 candidates,
+    "win_rolling_distinct_users",
+    "stats_ols_multivariate",
+    # --- rows-only demos last among the never-recorded (56 candidates,
     # 50 driver slots): their driver row is the weakest form (rows>0
     # only) and both already carry batch-parity + stability tests, so
     # they are the two that can wait for round 6 ---

@@ -514,3 +514,53 @@ def test_bfs_hops_matches_python_bfs(spark):
         nodes = [x for x, d in dist.items() if d == h]
         expect[h] = (len(nodes), min(nodes), max(nodes))
     assert got == expect
+
+
+def test_rolling_distinct_matches_python_windows(spark):
+    """win_rolling_distinct_users vs a direct per-day set scan over the
+    deduped (user, day) frame."""
+    rows = (
+        table(spark, SF_DIR, "events")
+        .selectExpr("user_id", "datediff(CAST(ts AS DATE), DATE'1970-01-01') AS d")
+        .collect()
+    )
+    user_days = {(int(r["user_id"]), int(r["d"])) for r in rows}
+    days = [d for _, d in user_days]
+    d0, d1 = min(days), max(days)
+    got = {
+        int(r["day_num"]): int(r["active_7d"])
+        for r in REGISTRY["win_rolling_distinct_users"].fn(spark, SF_DIR).collect()
+    }
+    expect = {}
+    for d in range(d0, d1 + 1):
+        users = {u for (u, ud) in user_days if d - 6 <= ud <= d}
+        if users:
+            expect[d] = len(users)
+    assert got == expect
+
+
+def test_multivariate_ols_matches_numpy_lstsq(spark):
+    """stats_ols_multivariate vs numpy's least-squares solve on the
+    collected design matrix — an INDEPENDENT solver (QR-based), not the
+    normal-equations formula, so agreement validates the math, not just
+    the transcription."""
+    import numpy as np
+
+    rows = (
+        table(spark, SF_DIR, "lineitem")
+        .selectExpr("l_quantity q", "l_discount d", "l_extendedprice y")
+        .collect()
+    )
+    X = np.array([[1.0, float(r["q"]), float(r["d"])] for r in rows])
+    y = np.array([float(r["y"]) for r in rows])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    pred = X @ beta
+    ss_res = float(((y - pred) ** 2).sum())
+    ss_tot = float(((y - y.mean()) ** 2).sum())
+    r2 = 1.0 - ss_res / ss_tot
+    row = REGISTRY["stats_ols_multivariate"].fn(spark, SF_DIR).collect()[0]
+    assert int(row["n"]) == len(rows)
+    assert math.isclose(float(row["intercept"]), beta[0], rel_tol=1e-6)
+    assert math.isclose(float(row["beta_qty"]), beta[1], rel_tol=1e-6)
+    assert math.isclose(float(row["beta_disc"]), beta[2], rel_tol=1e-5)
+    assert math.isclose(float(row["r2"]), r2, abs_tol=1e-5)
