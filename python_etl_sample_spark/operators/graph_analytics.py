@@ -355,8 +355,18 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     state. The driver loop only builds the plan; runtime exchange reuse
     dedupes the repeated edge subtrees exactly as in graph_pagerank.
     Hop-level aggregation (not per-node rows) keeps the answer
-    calendar-sized; the per-node frame is the intermediate."""
-    edges = _copurchase_edges(spark, sf_dir)
+    calendar-sized; the per-node frame is the intermediate.
+
+    Lineage note — the OPPOSITE call from graph_pagerank, measured both
+    ways: each BFS round references the previous distance frame TWICE
+    (frontier join + merge), so the unrolled tree DOUBLES per round
+    (2^rounds copies; 5.8 s at sf0.1) and, unlike PageRank's linear
+    tree, cannot be saved by same-job exchange reuse alone. A lazy
+    localCheckpoint on the edge list and on each round's distances
+    caps the tree at one round (2.6 s measured). Rule of thumb
+    recorded: linear self-reference → lean on ReuseExchange;
+    multiplicative self-reference → cut lineage per round."""
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
     dir_edges = edges.select(
         F.col("u").alias("src"), F.col("v").alias("dst")
     ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
@@ -381,11 +391,15 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("dist").alias("nbr_min"))
         )
-        dist = dist.join(nbr, "node", "left").select(
-            "node",
-            F.least(
-                F.col("dist"), F.coalesce(F.col("nbr_min") + 1, F.lit(_INF))
-            ).alias("dist"),
+        dist = (
+            dist.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("dist"), F.coalesce(F.col("nbr_min") + 1, F.lit(_INF))
+                ).alias("dist"),
+            )
+            .localCheckpoint(eager=False)
         )
     return (
         dist.filter(F.col("dist") < _INF)
