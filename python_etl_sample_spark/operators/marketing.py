@@ -441,3 +441,51 @@ def win_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contrib.groupBy(F.col("target_day").alias("day_num")).agg(
         F.countDistinct("user_id").alias("active_7d")
     )
+
+
+@query(
+    "win_sliding_median",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num,
+             CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS rev
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day_num,
+           ROUND(rev, 6) AS rev,
+           ROUND(CAST(quantile_cont(rev, 0.5) OVER (
+                   PARTITION BY event_type ORDER BY day_num
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
+             AS median_7d
+    FROM daily
+    """,
+)
+def win_sliding_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day median of daily revenue per event type — the
+    robust smoother (median, not mean) over a sliding window, the
+    statistic a mean-based moving average cannot give you when a spike
+    day lands in the frame.
+
+    Both engines compute the interpolated median as an aggregate OVER
+    the rows frame — the shared linear-at-rank-q·(n-1) definition the
+    percentile family already pins — over exact decimal daily sums.
+    Scale: the window runs on the per-(type, day) aggregate (calendar-
+    sized), never on raw events; frames hold ≤7 values so window state
+    is constant."""
+    ev = table(spark, sf_dir, "events")
+    day_num = F.expr("datediff(CAST(ts AS DATE), DATE'1970-01-01')")
+    daily = ev.groupBy("event_type", day_num.alias("day_num")).agg(
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("rev")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_num")
+        .rowsBetween(-6, 0)
+    )
+    return daily.select(
+        "event_type",
+        "day_num",
+        F.round("rev", 6).alias("rev"),
+        F.round(F.expr("percentile(rev, 0.5)").over(w), 6).alias("median_7d"),
+    )

@@ -386,3 +386,113 @@ def corpus_quality_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("kept_chars"),
     )
+
+
+@query(
+    "text_collocations_pmi",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS words
+      FROM documents
+    ),
+    raw AS (
+      SELECT doc_id, generate_subscripts(words, 1) AS i, words
+      FROM w
+    ),
+    tok AS (
+      -- ordinality via generate_subscripts (DuckDB 1.0 lacks UNNEST
+      -- WITH ORDINALITY); empty tokens keep their slot so positions
+      -- match Spark's posexplode over the same split
+      SELECT doc_id, words[i] AS token, i AS pos
+      FROM raw WHERE words[i] <> ''
+    ),
+    uni AS (
+      SELECT token, COUNT(*) AS c FROM tok GROUP BY token
+    ),
+    n_uni AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+    big AS (
+      SELECT a.token AS w1, b.token AS w2, COUNT(*) AS c
+      FROM tok a JOIN tok b
+        ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      GROUP BY a.token, b.token
+    ),
+    n_big AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM big),
+    scored AS (
+      SELECT big.w1, big.w2, big.c AS pair_count,
+             ln( (CAST(big.c AS DOUBLE) / (SELECT n FROM n_big))
+                / ( (CAST(u1.c AS DOUBLE) / (SELECT n FROM n_uni))
+                  * (CAST(u2.c AS DOUBLE) / (SELECT n FROM n_uni)) ) ) AS pmi
+      FROM big
+      JOIN uni u1 ON u1.token = big.w1
+      JOIN uni u2 ON u2.token = big.w2
+      WHERE big.c >= 5
+    )
+    SELECT w1, w2, pair_count, ROUND(pmi, 6) AS pmi
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) AS rn
+          FROM scored)
+    WHERE rn <= 20
+    """,
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by pointwise mutual information — the
+    corpus-linguistics statistic that surfaces MULTI-WORD UNITS
+    ("new york"-style pairs) that raw bigram counts bury under
+    frequent-word noise: PMI = ln(p(w1 w2) / (p(w1) p(w2))), with a
+    min-count floor of 5 against the low-count PMI explosion.
+
+    Shape: one ordinality-tokenize pass; bigrams via the (doc, pos)
+    self-join (adjacent positions, an equi-join); unigram and bigram
+    totals are two broadcast scalars; the PMI expression is one ln of
+    exact-count ratios mirrored textually, rounded 6 dp; top-20 under
+    a unique (pmi, w1, w2) order. At 100 TB the (token, token) bigram
+    frame is the only large intermediate and it aggregates map-side
+    before the join against unigram counts."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), r"\s+")).alias(
+            "pos", "token"
+        ),
+    ).filter(F.col("token") != "")
+    uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    n_uni = uni.agg(F.sum("c").alias("n_uni"))
+    a, b = tok.alias("a"), tok.alias("b")
+    big = (
+        a.join(
+            b,
+            (F.col("b.doc_id") == F.col("a.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .groupBy(F.col("a.token").alias("w1"), F.col("b.token").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= 5)
+    )
+    n_big = (
+        tok.groupBy("doc_id")
+        .agg((F.count(F.lit(1)) - 1).alias("nb"))
+        .agg(F.sum("nb").alias("n_big"))
+    )
+    scored = (
+        big.join(uni.select(F.col("token").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("token").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_big))
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            F.log(
+                (F.col("pair_count").cast("double") / F.col("n_big"))
+                / (
+                    (F.col("c1").cast("double") / F.col("n_uni"))
+                    * (F.col("c2").cast("double") / F.col("n_uni"))
+                )
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("w1", "w2", "pair_count", F.round("pmi", 6).alias("pmi"))
+    )

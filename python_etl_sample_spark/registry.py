@@ -297,6 +297,8 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "graph_bfs_hops",
     "win_rolling_distinct_users",
     "stats_ols_multivariate",
+    "win_sliding_median",
+    "text_collocations_pmi",
 )
 
 
@@ -367,7 +369,9 @@ DRIVER_ORDER: tuple[str, ...] = (
     "graph_bfs_hops",
     "win_rolling_distinct_users",
     "stats_ols_multivariate",
-    # --- rows-only demos last among the never-recorded (56 candidates,
+    "win_sliding_median",
+    "text_collocations_pmi",
+    # --- rows-only demos last among the never-recorded (58 candidates,
     # 50 driver slots): their driver row is the weakest form (rows>0
     # only) and both already carry batch-parity + stability tests, so
     # they are the two that can wait for round 6 ---

@@ -564,3 +564,75 @@ def test_multivariate_ols_matches_numpy_lstsq(spark):
     assert math.isclose(float(row["beta_qty"]), beta[1], rel_tol=1e-6)
     assert math.isclose(float(row["beta_disc"]), beta[2], rel_tol=1e-5)
     assert math.isclose(float(row["r2"]), r2, abs_tol=1e-5)
+
+
+def test_sliding_median_matches_python(spark):
+    """win_sliding_median vs statistics.median over explicit 7-element
+    trailing slices of the per-type daily series."""
+    import statistics
+
+    rows = (
+        table(spark, SF_DIR, "events")
+        .selectExpr(
+            "event_type",
+            "datediff(CAST(ts AS DATE), DATE'1970-01-01') AS d",
+            "value",
+        )
+        .collect()
+    )
+    daily: dict[str, dict[int, float]] = defaultdict(lambda: defaultdict(float))
+    for r in rows:
+        daily[r["event_type"]][int(r["d"])] += float(r["value"])
+    got = {
+        (r["event_type"], int(r["day_num"])): (
+            float(r["rev"]),
+            float(r["median_7d"]),
+        )
+        for r in REGISTRY["win_sliding_median"].fn(spark, SF_DIR).collect()
+    }
+    n_expected = 0
+    for typ, series in daily.items():
+        days = sorted(series)
+        for i, d in enumerate(days):
+            frame = [series[x] for x in days[max(0, i - 6) : i + 1]]
+            med = statistics.median(frame)
+            rev, got_med = got[(typ, d)]
+            assert math.isclose(rev, series[d], abs_tol=2e-6), (typ, d)
+            assert math.isclose(got_med, med, abs_tol=2e-6), (typ, d)
+            n_expected += 1
+    assert len(got) == n_expected
+
+
+def test_pmi_collocations_match_python(spark):
+    """text_collocations_pmi vs a Counter-based bigram/unigram PMI
+    replay with the same min-count floor and tie-broken top-20."""
+    from collections import Counter
+
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    n_big = 0
+    for r in table(spark, SF_DIR, "documents").select("text").collect():
+        toks = [t for t in r["text"].lower().split() if t]
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+        n_big += max(0, len(toks) - 1)
+    n_uni = sum(uni.values())
+    scored = []
+    for (w1, w2), c in big.items():
+        if c >= 5:
+            pmi = math.log(
+                (c / n_big) / ((uni[w1] / n_uni) * (uni[w2] / n_uni))
+            )
+            scored.append((-pmi, w1, w2, c))
+    scored.sort()
+    expect = [
+        (w1, w2, c, round(-negpmi, 6)) for negpmi, w1, w2, c in scored[:20]
+    ]
+    got = [
+        (r["w1"], r["w2"], int(r["pair_count"]), float(r["pmi"]))
+        for r in REGISTRY["text_collocations_pmi"].fn(spark, SF_DIR).collect()
+    ]
+    assert len(got) == len(expect)
+    for g, e in zip(sorted(got), sorted(expect)):
+        assert g[:3] == e[:3]
+        assert math.isclose(g[3], e[3], abs_tol=2e-6)
