@@ -52,7 +52,22 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sketch_hll_mergeable", oracle=None)
+@query(
+    "sketch_hll_mergeable",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_distinct,
+           1 AS est_in_5pct,
+           'per_flag' AS level
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'ALL' AS l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_distinct,
+           1 AS est_in_5pct,
+           'union' AS level
+    FROM lineitem
+    """,
+)
 def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct part-keys per return flag via DataSketches HLL, plus the
     UNION of the per-flag sketches re-estimated as a global count —
@@ -60,30 +75,53 @@ def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     path: partial sketches merge associatively (hll_union_agg), so
     rollups reuse leaf sketches instead of rescanning data.
 
-    Rows-only by design: DuckDB's approx_count_distinct is a different
-    HLL implementation with different estimates. Stability across
-    partitionings is still guaranteed — DataSketches HLL is
-    deterministic for a given input SET (hash-based, order-free) — and
-    the estimates' closeness to the exact counts is asserted in tests,
-    not just eyeballed."""
+    Oracle-checked since round 5 via the agg_approx_distinct pattern:
+    the raw estimate is engine-specific (DuckDB's HLL differs), so the
+    hashed output carries the EXACT count plus a 1/0 flag asserting the
+    sketch estimate landed within 5% of it — the oracle asserts the
+    flag is 1, so a sketch-accuracy regression (including in the merged
+    union sketch, whose error compounds) becomes a driver hash
+    MISMATCH instead of an eyeball check. Default lgK ≈ 1-2% error;
+    5% is the alarm threshold."""
     li = table(spark, sf_dir, "lineitem")
     per_flag = li.groupBy("l_returnflag").agg(
         F.hll_sketch_agg("l_partkey").alias("sk"),
         F.countDistinct("l_partkey").alias("exact_distinct"),
     )
+    in_tol = (
+        F.abs(
+            F.hll_sketch_estimate(F.col("sk")).cast("double")
+            - F.col("exact_distinct")
+        )
+        / F.col("exact_distinct")
+        <= 0.05
+    )
     per_flag_est = per_flag.select(
         "l_returnflag",
-        F.hll_sketch_estimate("sk").alias("est_distinct"),
         "exact_distinct",
+        F.when(in_tol, F.lit(1)).otherwise(F.lit(0)).alias("est_in_5pct"),
         F.lit("per_flag").alias("level"),
     )
-    global_est = per_flag.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_distinct"),
-        F.lit(None).cast("bigint").alias("exact_distinct"),
-    ).select(
-        F.lit("ALL").alias("l_returnflag"),
-        "est_distinct",
-        "exact_distinct",
-        F.lit("union").alias("level"),
+    global_exact = li.agg(
+        F.countDistinct("l_partkey").alias("exact_distinct")
     )
-    return per_flag_est.unionAll(global_est)
+    union_est = per_flag.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    global_row = (
+        union_est.crossJoin(F.broadcast(global_exact))
+        .select(
+            F.lit("ALL").alias("l_returnflag"),
+            "exact_distinct",
+            F.when(
+                F.abs(F.col("est").cast("double") - F.col("exact_distinct"))
+                / F.col("exact_distinct")
+                <= 0.05,
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("est_in_5pct"),
+            F.lit("union").alias("level"),
+        )
+    )
+    return per_flag_est.unionAll(global_row)

