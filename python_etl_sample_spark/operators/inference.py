@@ -371,3 +371,142 @@ def stats_ols_multivariate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+@query(
+    "stats_gini_lorenz",
+    oracle=f"""
+    WITH cust AS (
+      SELECT o_custkey, CAST(SUM({_CENTS}) AS BIGINT) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT rev,
+             ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS rn,
+             SUM(rev) OVER (ORDER BY rev, o_custkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_rev
+      FROM cust
+    ),
+    tot AS (
+      SELECT COUNT(*) AS n, CAST(SUM(rev) AS BIGINT) AS total,
+             CAST(SUM(CAST(rn AS BIGINT) * rev) AS BIGINT) AS weighted
+      FROM ranked
+    ),
+    deciles AS (
+      SELECT ((rn - 1) * 10) // (SELECT n FROM tot) + 1 AS decile,
+             MAX(cum_rev) AS cum_rev_end
+      FROM ranked GROUP BY 1
+    )
+    SELECT d.decile,
+           ROUND(CAST(d.cum_rev_end AS DOUBLE) / t.total, 6)
+             AS cum_revenue_share,
+           ROUND((2.0 * t.weighted) / (CAST(t.n AS DOUBLE) * t.total)
+                 - (t.n + 1.0) / t.n, 6) AS gini
+    FROM deciles d CROSS JOIN tot t
+    """,
+)
+def stats_gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: the Lorenz curve at customer deciles plus
+    the Gini coefficient — "what share of revenue do the bottom k/10 of
+    customers generate", the inequality statistic behind every
+    power-user analysis.
+
+    Gini via the exact rank formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over
+    revenue-ascending ranks (unique tie-break on custkey): every input
+    is an exact integer (cents, ranks, their products summed as
+    BIGINT — max ~n·rank·rev ≈ 1e17 at sf0.1, inside int64), so the
+    two final divisions are the only float ops, mirrored textually.
+    Shape: one partial-agg pass over orders, then windows over the
+    per-customer frame; decile bucketing is integer arithmetic on the
+    row number — no NTILE needed, so the decile edges are exact."""
+    cents = F.expr(_CENTS)
+    cust = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(cents).alias("rev"))
+    )
+    w = Window.orderBy("rev", "o_custkey")
+    ranked = cust.select(
+        "rev",
+        F.row_number().over(w).alias("rn"),
+        F.sum("rev").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum_rev"
+        ),
+    )
+    tot = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev").alias("total"),
+        F.sum(F.col("rn").cast("bigint") * F.col("rev")).alias("weighted"),
+    )
+    deciles = (
+        ranked.crossJoin(F.broadcast(tot.select("n")))
+        .groupBy(
+            F.expr("((rn - 1) * 10) div n + 1").alias("decile")
+        )
+        .agg(F.max("cum_rev").alias("cum_rev_end"))
+    )
+    return deciles.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        F.round(F.col("cum_rev_end").cast("double") / F.col("total"), 6).alias(
+            "cum_revenue_share"
+        ),
+        F.round(
+            (2.0 * F.col("weighted")) / (F.col("n").cast("double") * F.col("total"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
+@query(
+    "stats_benford_first_digit",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST({_CENTS} AS VARCHAR), 1, 1) AS BIGINT) AS d
+      FROM orders WHERE {_CENTS} > 0
+    ),
+    obs AS (
+      SELECT d, COUNT(*) AS c FROM digits GROUP BY d
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM obs)
+    SELECT d AS first_digit, c AS n_observed,
+           ROUND(CAST(c AS DOUBLE) / t.n, 6) AS observed_freq,
+           ROUND(ln(1.0 + 1.0 / d) / ln(10.0), 6) AS benford_freq,
+           ROUND(CAST(c AS DOUBLE) / t.n
+                 - ln(1.0 + 1.0 / d) / ln(10.0), 6) AS deviation
+    FROM obs CROSS JOIN tot t
+    """,
+)
+def stats_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen over order amounts — the
+    forensic data-quality check that flags fabricated or truncated
+    monetary data: natural multi-scale amounts follow
+    P(d) = log10(1 + 1/d); a synthetic uniform distribution (like these
+    fixtures') deviates visibly, which is exactly what the deviation
+    column surfaces.
+
+    First digit via string head of the exact integer cents (no float
+    log tricks on the extraction path); expected frequencies via
+    ln ratios mirrored textually. One partial-agg pass, nine reducer
+    rows."""
+    cents = F.expr(_CENTS)
+    digits = (
+        table(spark, sf_dir, "orders")
+        .filter(cents > 0)
+        .select(
+            F.substring(cents.cast("string"), 1, 1).cast("bigint").alias("d")
+        )
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).alias("c"))
+    tot = obs.agg(F.sum("c").alias("n"))
+    benford = F.log(1.0 + 1.0 / F.col("d")) / F.log(F.lit(10.0))
+    return obs.crossJoin(F.broadcast(tot)).select(
+        F.col("d").alias("first_digit"),
+        F.col("c").alias("n_observed"),
+        F.round(F.col("c").cast("double") / F.col("n"), 6).alias("observed_freq"),
+        F.round(benford, 6).alias("benford_freq"),
+        F.round(F.col("c").cast("double") / F.col("n") - benford, 6).alias(
+            "deviation"
+        ),
+    )

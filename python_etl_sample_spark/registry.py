@@ -299,6 +299,8 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "stats_ols_multivariate",
     "win_sliding_median",
     "text_collocations_pmi",
+    "stats_gini_lorenz",
+    "stats_benford_first_digit",
 )
 
 
@@ -371,7 +373,9 @@ DRIVER_ORDER: tuple[str, ...] = (
     "stats_ols_multivariate",
     "win_sliding_median",
     "text_collocations_pmi",
-    # --- rows-only demos last among the never-recorded (58 candidates,
+    "stats_gini_lorenz",
+    "stats_benford_first_digit",
+    # --- rows-only demos last among the never-recorded (60 candidates,
     # 50 driver slots): their driver row is the weakest form (rows>0
     # only) and both already carry batch-parity + stability tests, so
     # they are the two that can wait for round 6 ---

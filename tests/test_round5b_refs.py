@@ -636,3 +636,60 @@ def test_pmi_collocations_match_python(spark):
     for g, e in zip(sorted(got), sorted(expect)):
         assert g[:3] == e[:3]
         assert math.isclose(g[3], e[3], abs_tol=2e-6)
+
+
+def test_gini_lorenz_matches_python(spark):
+    """stats_gini_lorenz vs a sorted-list Gini/Lorenz replay."""
+    rows = (
+        table(spark, SF_DIR, "orders")
+        .selectExpr("o_custkey", "CAST(round(o_totalprice*100) AS BIGINT) c")
+        .collect()
+    )
+    rev: dict[int, int] = defaultdict(int)
+    for r in rows:
+        rev[int(r["o_custkey"])] += int(r["c"])
+    xs = [v for _, v in sorted(rev.items(), key=lambda kv: (kv[1], kv[0]))]
+    n, total = len(xs), sum(xs)
+    gini = 2.0 * sum((i + 1) * x for i, x in enumerate(xs)) / (n * total) - (
+        n + 1.0
+    ) / n
+    got = {
+        int(r["decile"]): (float(r["cum_revenue_share"]), float(r["gini"]))
+        for r in REGISTRY["stats_gini_lorenz"].fn(spark, SF_DIR).collect()
+    }
+    cum = 0
+    expect_share = {}
+    for i, x in enumerate(xs):
+        cum += x
+        d = (i * 10) // n + 1
+        expect_share[d] = cum / total
+    assert set(got) == set(expect_share)
+    for d, share in expect_share.items():
+        assert math.isclose(got[d][0], share, abs_tol=2e-6), d
+        assert math.isclose(got[d][1], gini, abs_tol=2e-6)
+
+
+def test_benford_screen_matches_python(spark):
+    """stats_benford_first_digit vs str()-based digit tallies and the
+    log10 law."""
+    from collections import Counter
+
+    rows = (
+        table(spark, SF_DIR, "orders")
+        .selectExpr("CAST(round(o_totalprice*100) AS BIGINT) c")
+        .collect()
+    )
+    digits = Counter(int(str(int(r["c"]))[0]) for r in rows if int(r["c"]) > 0)
+    n = sum(digits.values())
+    got = {
+        int(r["first_digit"]): r
+        for r in REGISTRY["stats_benford_first_digit"].fn(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(digits)
+    for d, c in digits.items():
+        r = got[d]
+        assert int(r["n_observed"]) == c
+        assert math.isclose(float(r["observed_freq"]), c / n, abs_tol=2e-6)
+        assert math.isclose(
+            float(r["benford_freq"]), math.log10(1 + 1 / d), abs_tol=2e-6
+        )
