@@ -489,3 +489,154 @@ def win_sliding_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rev", 6).alias("rev"),
         F.round(F.expr("percentile(rev, 0.5)").over(w), 6).alias("median_7d"),
     )
+
+
+@query(
+    "win_ratio_to_report",
+    oracle="""
+    WITH nation_rev AS (
+      SELECT n.n_name AS nation, r.r_name AS region,
+             CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY n.n_name, r.r_name
+    )
+    SELECT nation, region,
+           ROUND(rev_cents / 100.0, 2) AS revenue,
+           ROUND(CAST(rev_cents AS DOUBLE)
+                 / SUM(rev_cents) OVER (PARTITION BY region), 6)
+             AS share_of_region,
+           ROUND(CAST(rev_cents AS DOUBLE) / SUM(rev_cents) OVER (), 6)
+             AS share_of_total
+    FROM nation_rev
+    """,
+)
+def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RATIO_TO_REPORT — each nation's revenue as a share of its region
+    and of the world, the canonical percent-of-total window (Oracle's
+    RATIO_TO_REPORT, MDX's share calc) that turns an aggregate into a
+    composition report without a second scan or a self-join.
+
+    Shape: the fact table partial-aggregates down to 25 nation rows
+    BEFORE any window; the two window sums then run over that tiny
+    frame (one partitioned, one global). Shares divide exact integer
+    cent sums, rounded 6 dp. The join chain broadcasts every dimension
+    (customer→nation→region are all small next to orders)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    nation_rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(F.sum(cents).alias("rev_cents"))
+    )
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return nation_rev.select(
+        "nation",
+        "region",
+        F.round(F.col("rev_cents") / 100.0, 2).alias("revenue"),
+        F.round(
+            F.col("rev_cents").cast("double") / F.sum("rev_cents").over(w_region),
+            6,
+        ).alias("share_of_region"),
+        F.round(
+            F.col("rev_cents").cast("double") / F.sum("rev_cents").over(w_all), 6
+        ).alias("share_of_total"),
+    )
+
+
+@query(
+    "events_dau_wau_mau",
+    oracle="""
+    WITH user_days AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num
+      FROM events
+    ),
+    bounds AS (SELECT MIN(day_num) AS d0, MAX(day_num) AS d1 FROM user_days),
+    contrib AS (
+      SELECT DISTINCT ud.user_id, ud.day_num + o.off AS target_day, o.off
+      FROM user_days ud
+      CROSS JOIN (SELECT UNNEST(range(0, 30)) AS off) o
+      WHERE ud.day_num + o.off <= (SELECT d1 FROM bounds)
+    )
+    SELECT target_day AS day_num,
+           COUNT(DISTINCT CASE WHEN off = 0 THEN user_id END) AS dau,
+           COUNT(DISTINCT CASE WHEN off < 7 THEN user_id END) AS wau,
+           COUNT(DISTINCT user_id) AS mau,
+           ROUND(CAST(COUNT(DISTINCT CASE WHEN off = 0 THEN user_id END)
+                      AS DOUBLE)
+                 / COUNT(DISTINCT user_id), 6) AS stickiness
+    FROM contrib
+    WHERE target_day >= (SELECT d0 FROM bounds) + 29
+    GROUP BY target_day
+    """,
+)
+def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU and the DAU/MAU stickiness ratio per day — the
+    product-analytics vital signs, all three trailing-distinct windows
+    computed from ONE contribution expansion: each deduped (user, day)
+    explodes to the ≤30 target days it supports, tagged with its
+    offset, and conditional distincts split the same frame into the
+    1 / 7 / 30-day actives. Days before a full 30-day window are
+    dropped (no partial-window lies).
+
+    Scale: identical posture to win_rolling_distinct_users — the ×30
+    expansion applies AFTER the (user, day) dedup, so the factor is
+    the window length, independent of event volume; one shuffle on
+    target_day with the three distincts sharing it."""
+    ev = table(spark, sf_dir, "events")
+    day_num = F.expr("datediff(CAST(ts AS DATE), DATE'1970-01-01')")
+    user_days = ev.select("user_id", day_num.alias("day_num")).distinct()
+    bounds = user_days.agg(
+        F.min("day_num").alias("d0"), F.max("day_num").alias("d1")
+    )
+    contrib = (
+        user_days.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            "day_num",
+            "d0",
+            F.explode(
+                F.sequence(
+                    F.col("day_num"),
+                    F.least(F.col("day_num") + 29, F.col("d1")),
+                )
+            ).alias("target_day"),
+        )
+        .select(
+            "user_id",
+            "d0",
+            "target_day",
+            (F.col("target_day") - F.col("day_num")).alias("off"),
+        )
+        .distinct()
+    )
+    return (
+        contrib.filter(F.col("target_day") >= F.col("d0") + 29)
+        .groupBy(F.col("target_day").alias("day_num"))
+        .agg(
+            F.countDistinct(
+                F.when(F.col("off") == 0, F.col("user_id"))
+            ).alias("dau"),
+            F.countDistinct(
+                F.when(F.col("off") < 7, F.col("user_id"))
+            ).alias("wau"),
+            F.countDistinct("user_id").alias("mau"),
+            F.round(
+                F.countDistinct(
+                    F.when(F.col("off") == 0, F.col("user_id"))
+                ).cast("double")
+                / F.countDistinct("user_id"),
+                6,
+            ).alias("stickiness"),
+        )
+    )

@@ -301,6 +301,8 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "text_collocations_pmi",
     "stats_gini_lorenz",
     "stats_benford_first_digit",
+    "win_ratio_to_report",
+    "events_dau_wau_mau",
 )
 
 
@@ -375,7 +377,9 @@ DRIVER_ORDER: tuple[str, ...] = (
     "text_collocations_pmi",
     "stats_gini_lorenz",
     "stats_benford_first_digit",
-    # --- rows-only demos last among the never-recorded (60 candidates,
+    "win_ratio_to_report",
+    "events_dau_wau_mau",
+    # --- rows-only demos last among the never-recorded (62 candidates,
     # 50 driver slots): their driver row is the weakest form (rows>0
     # only) and both already carry batch-parity + stability tests, so
     # they are the two that can wait for round 6 ---

@@ -693,3 +693,61 @@ def test_benford_screen_matches_python(spark):
         assert math.isclose(
             float(r["benford_freq"]), math.log10(1 + 1 / d), abs_tol=2e-6
         )
+
+
+def test_ratio_to_report_shares_sum_to_one(spark):
+    """win_ratio_to_report vs Python tallies: shares must rebuild from
+    exact per-nation sums, region shares sum to 1 within each region,
+    global shares to 1 overall."""
+    rows = REGISTRY["win_ratio_to_report"].fn(spark, SF_DIR).collect()
+    by_region: dict[str, float] = defaultdict(float)
+    total = 0.0
+    for r in rows:
+        by_region[r["region"]] += float(r["share_of_region"])
+        total += float(r["share_of_total"])
+    for region, s in by_region.items():
+        assert math.isclose(s, 1.0, abs_tol=1e-4), region
+    assert math.isclose(total, 1.0, abs_tol=1e-4)
+    # cross-check one nation against a direct recount
+    o = (
+        table(spark, SF_DIR, "orders")
+        .selectExpr("o_custkey", "CAST(round(o_totalprice*100) AS BIGINT) c")
+        .collect()
+    )
+    cust_nation = {
+        int(r["c_custkey"]): int(r["c_nationkey"])
+        for r in table(spark, SF_DIR, "customer").collect()
+    }
+    nation_name = {
+        int(r["n_nationkey"]): r["n_name"]
+        for r in table(spark, SF_DIR, "nation").collect()
+    }
+    rev: dict[str, int] = defaultdict(int)
+    for r in o:
+        rev[nation_name[cust_nation[int(r["o_custkey"])]]] += int(r["c"])
+    got = {r["nation"]: float(r["revenue"]) for r in rows}
+    for nation, cents in rev.items():
+        assert math.isclose(got[nation], cents / 100.0, abs_tol=0.01), nation
+
+
+def test_dau_wau_mau_matches_python_sets(spark):
+    """events_dau_wau_mau vs direct set arithmetic on (user, day)."""
+    rows = (
+        table(spark, SF_DIR, "events")
+        .selectExpr("user_id", "datediff(CAST(ts AS DATE), DATE'1970-01-01') d")
+        .collect()
+    )
+    user_days = {(int(r["user_id"]), int(r["d"])) for r in rows}
+    days = [d for _, d in user_days]
+    d0, d1 = min(days), max(days)
+    got = {
+        int(r["day_num"]): (int(r["dau"]), int(r["wau"]), int(r["mau"]))
+        for r in REGISTRY["events_dau_wau_mau"].fn(spark, SF_DIR).collect()
+    }
+    expect = {}
+    for d in range(d0 + 29, d1 + 1):
+        dau = {u for (u, ud) in user_days if ud == d}
+        wau = {u for (u, ud) in user_days if d - 6 <= ud <= d}
+        mau = {u for (u, ud) in user_days if d - 29 <= ud <= d}
+        expect[d] = (len(dau), len(wau), len(mau))
+    assert got == expect
