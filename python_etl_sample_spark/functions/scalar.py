@@ -256,3 +256,69 @@ def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_vowel_pairs"
         ),
     )
+
+
+@query(
+    "fn_nested_struct_ops",
+    oracle="""
+    WITH packed AS (
+      SELECT l_orderkey,
+             list(struct_pack(
+                    ln := l_linenumber,
+                    qty := CAST(l_quantity AS BIGINT),
+                    pc := CAST(round(l_extendedprice * 100) AS BIGINT))
+                  ORDER BY l_linenumber, CAST(l_quantity AS BIGINT),
+                           CAST(round(l_extendedprice * 100) AS BIGINT))
+               AS lines
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           len(lines) AS n_lines,
+           lines[1].qty AS first_line_qty,
+           CAST(len(list_filter(lines, s -> s.qty > 25)) AS BIGINT)
+             AS n_big_lines,
+           CAST(list_sum(list_transform(lines, s -> s.pc)) AS BIGINT)
+             AS total_cents
+    FROM packed
+    """,
+)
+def fn_nested_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested array-of-struct processing — the higher-order-function
+    tier above #49's flat arrays: pack each order's lines into a SORTED
+    array<struct>, then operate on it without exploding (field access
+    into element 1, lambda filter on a struct field, transform+fold
+    aggregation) — the shape nested/denormalized lake schemas
+    (order-with-lines documents) are actually queried in.
+
+    Determinism: sort_array orders structs lexicographically by ALL
+    fields, and the fixtures' line numbers are NOT unique per order, so
+    the oracle's ORDER BY lists every struct field in declaration
+    order — ties resolved by law, not insertion order; quantities and cents are exact BIGINTs, so the fold is
+    integer arithmetic. Scale: one shuffle to pack (the groupBy);
+    every nested op after it is map-side codegen over the packed rows —
+    this is the "nest once, query many" pattern that saves re-shuffles
+    when several per-order computations share the packed array."""
+    li = table(spark, sf_dir, "lineitem")
+    line = F.struct(
+        F.col("l_linenumber").alias("ln"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("pc"),
+    )
+    packed = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list(line)).alias("lines")
+    )
+    return packed.select(
+        "l_orderkey",
+        F.size("lines").alias("n_lines"),
+        F.col("lines")[0]["qty"].alias("first_line_qty"),
+        F.size(
+            F.filter("lines", lambda s: s["qty"] > 25)
+        )
+        .cast("bigint")
+        .alias("n_big_lines"),
+        F.aggregate(
+            F.transform("lines", lambda s: s["pc"]),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("total_cents"),
+    )

@@ -640,3 +640,91 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stickiness"),
         )
     )
+
+
+@query(
+    "events_cohort_ltv",
+    oracle=f"""
+    WITH first_order AS (
+      SELECT o_custkey,
+             MIN(year(o_orderdate) * 12 + month(o_orderdate)) AS cohort_m
+      FROM orders GROUP BY o_custkey
+    ),
+    cohort_size AS (
+      SELECT cohort_m, COUNT(*) AS n_customers
+      FROM first_order GROUP BY cohort_m
+    ),
+    rev AS (
+      SELECT f.cohort_m,
+             (year(o.o_orderdate) * 12 + month(o.o_orderdate)) - f.cohort_m
+               AS age_months,
+             CAST(SUM({_OCENTS}) AS BIGINT) AS rev_cents
+      FROM orders o JOIN first_order f ON f.o_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT cohort_m, age_months,
+             SUM(rev_cents) OVER (PARTITION BY cohort_m ORDER BY age_months
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_cents
+      FROM rev
+    )
+    SELECT c.cohort_m AS cohort_month, c.age_months,
+           s.n_customers,
+           ROUND(CAST(c.cum_cents AS DOUBLE) / 100.0 / s.n_customers, 6)
+             AS cum_ltv_per_customer
+    FROM cum c JOIN cohort_size s ON s.cohort_m = c.cohort_m
+    WHERE c.age_months <= 12
+    """,
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime value: customers cohorted by first-order month,
+    cumulative revenue per cohort member tracked by cohort age (capped
+    at 12 months) — the money-dimension sibling of
+    events_retention_cohort, and the curve a growth team reads to know
+    when a cohort pays back.
+
+    Months travel as y*12+m integers (exact lag arithmetic, no date
+    truncation differences); revenue is exact cents; the cumulative
+    window runs per cohort over ≤13 age rows. Shape: two partial-agg
+    passes over orders (first-order frame, then cohort×age revenue)
+    joined on the customer key, windows over the tiny cohort frame."""
+    o = table(spark, sf_dir, "orders")
+    month_key = (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+    first_order = o.groupBy("o_custkey").agg(
+        F.min(month_key).alias("cohort_m")
+    )
+    cohort_size = first_order.groupBy("cohort_m").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    rev = (
+        o.join(first_order, "o_custkey")
+        .groupBy(
+            "cohort_m",
+            (month_key - F.col("cohort_m")).alias("age_months"),
+        )
+        .agg(F.sum(F.expr(_OCENTS)).alias("rev_cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_m")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = rev.select(
+        "cohort_m",
+        "age_months",
+        F.sum("rev_cents").over(w).alias("cum_cents"),
+    )
+    return (
+        cum.filter(F.col("age_months") <= 12)
+        .join(F.broadcast(cohort_size), "cohort_m")
+        .select(
+            F.col("cohort_m").alias("cohort_month"),
+            "age_months",
+            "n_customers",
+            F.round(
+                F.col("cum_cents").cast("double") / 100.0 / F.col("n_customers"),
+                6,
+            ).alias("cum_ltv_per_customer"),
+        )
+    )

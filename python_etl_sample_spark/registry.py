@@ -303,6 +303,8 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "stats_benford_first_digit",
     "win_ratio_to_report",
     "events_dau_wau_mau",
+    "fn_nested_struct_ops",
+    "events_cohort_ltv",
 )
 
 
@@ -379,7 +381,9 @@ DRIVER_ORDER: tuple[str, ...] = (
     "stats_benford_first_digit",
     "win_ratio_to_report",
     "events_dau_wau_mau",
-    # --- rows-only demos last among the never-recorded (62 candidates,
+    "fn_nested_struct_ops",
+    "events_cohort_ltv",
+    # --- rows-only demos last among the never-recorded (64 candidates,
     # 50 driver slots): their driver row is the weakest form (rows>0
     # only) and both already carry batch-parity + stability tests, so
     # they are the two that can wait for round 6 ---

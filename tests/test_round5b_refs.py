@@ -751,3 +751,84 @@ def test_dau_wau_mau_matches_python_sets(spark):
         mau = {u for (u, ud) in user_days if d - 29 <= ud <= d}
         expect[d] = (len(dau), len(wau), len(mau))
     assert got == expect
+
+
+def test_nested_struct_ops_matches_python(spark):
+    """fn_nested_struct_ops vs per-order Python list processing with
+    the same full-struct sort."""
+    rows = (
+        table(spark, SF_DIR, "lineitem")
+        .selectExpr(
+            "l_orderkey",
+            "l_linenumber",
+            "CAST(l_quantity AS BIGINT) q",
+            "CAST(round(l_extendedprice*100) AS BIGINT) pc",
+        )
+        .collect()
+    )
+    orders: dict[int, list] = defaultdict(list)
+    for r in rows:
+        orders[int(r["l_orderkey"])].append(
+            (int(r["l_linenumber"]), int(r["q"]), int(r["pc"]))
+        )
+    got = {
+        int(r["l_orderkey"]): (
+            int(r["n_lines"]),
+            int(r["first_line_qty"]),
+            int(r["n_big_lines"]),
+            int(r["total_cents"]),
+        )
+        for r in REGISTRY["fn_nested_struct_ops"].fn(spark, SF_DIR).collect()
+    }
+    for ok, lines in orders.items():
+        lines.sort()
+        expect = (
+            len(lines),
+            lines[0][1],
+            sum(1 for _, q, _pc in lines if q > 25),
+            sum(pc for _, _q, pc in lines),
+        )
+        assert got[ok] == expect, ok
+    assert len(got) == len(orders)
+
+
+def test_cohort_ltv_matches_python(spark):
+    """events_cohort_ltv vs a dict-based cohort accumulation."""
+    rows = (
+        table(spark, SF_DIR, "orders")
+        .selectExpr(
+            "o_custkey",
+            "year(o_orderdate)*12 + month(o_orderdate) AS m",
+            "CAST(round(o_totalprice*100) AS BIGINT) c",
+        )
+        .collect()
+    )
+    first_m: dict[int, int] = {}
+    for r in rows:
+        u, m = int(r["o_custkey"]), int(r["m"])
+        first_m[u] = min(first_m.get(u, m), m)
+    size: dict[int, int] = defaultdict(int)
+    for u, m in first_m.items():
+        size[m] += 1
+    rev: dict[tuple[int, int], int] = defaultdict(int)
+    for r in rows:
+        u, m, c = int(r["o_custkey"]), int(r["m"]), int(r["c"])
+        rev[(first_m[u], m - first_m[u])] += c
+    got = {
+        (int(r["cohort_month"]), int(r["age_months"])): (
+            int(r["n_customers"]),
+            float(r["cum_ltv_per_customer"]),
+        )
+        for r in REGISTRY["events_cohort_ltv"].fn(spark, SF_DIR).collect()
+    }
+    for cohort in size:
+        cum = 0
+        ages = sorted(a for (cm, a) in rev if cm == cohort)
+        for a in ages:
+            cum += rev[(cohort, a)]
+            if a <= 12:
+                n, ltv = got[(cohort, a)]
+                assert n == size[cohort]
+                assert math.isclose(
+                    ltv, cum / 100.0 / size[cohort], abs_tol=2e-6
+                ), (cohort, a)
