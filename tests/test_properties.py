@@ -342,3 +342,72 @@ def test_grid_bucketing_finds_all_in_radius_pairs(big, small, r):
             if (x - sx) ** 2 + (y - sy) ** 2 <= r2:
                 via_grid.add((i, j))
     assert via_grid == exact
+
+
+@given(
+    st.sets(
+        st.tuples(st.integers(0, 20), st.integers(0, 40)),  # (user, day)
+        min_size=1,
+        max_size=120,
+    ),
+    st.integers(2, 9),
+)
+@settings(max_examples=80, deadline=None)
+def test_contribution_expansion_equals_direct_window(user_days, k):
+    """The explode-to-contribution-days rewrite (win_rolling_distinct_
+    users / events_dau_wau_mau) equals the direct trailing-k-day
+    distinct count for ARBITRARY activity sets and window lengths —
+    the algebraic identity the scale rewrite rests on."""
+    days = [d for _, d in user_days]
+    d0, d1 = min(days), max(days)
+    # direct: per day, distinct users active in [d-k+1, d]
+    direct = {
+        d: len({u for (u, ud) in user_days if d - k + 1 <= ud <= d})
+        for d in range(d0, d1 + 1)
+    }
+    # expansion: each (u, day) contributes to day..day+k-1
+    contrib: dict[int, set] = {}
+    for u, ud in user_days:
+        for t in range(ud, min(ud + k, d1 + 1)):
+            contrib.setdefault(t, set()).add(u)
+    expanded = {
+        d: len(contrib.get(d, set())) for d in range(d0, d1 + 1)
+    }
+    assert {d: c for d, c in direct.items() if c} == {
+        d: c for d, c in expanded.items() if c
+    }
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.booleans()),  # (duration, churned)
+        min_size=1,
+        max_size=80,
+    )
+)
+@settings(max_examples=80, deadline=None)
+def test_km_estimator_invariants(lifetimes):
+    """The KM recurrence (customer_survival_km's math) on arbitrary
+    censored samples: survival starts ≤1, never increases, stays in
+    [0,1], and equals the empirical survivor function when NOTHING is
+    censored."""
+    from collections import Counter
+
+    leavers = Counter(d for d, _ in lifetimes)
+    churns = Counter(d for d, ch in lifetimes if ch)
+    n = len(lifetimes)
+    at_risk, surv, curve = n, 1.0, []
+    for t in sorted(leavers):
+        d = churns.get(t, 0)
+        if d:
+            surv *= 1.0 - d / at_risk
+        curve.append((t, surv))
+        at_risk -= leavers[t]
+    vals = [s for _, s in curve]
+    assert all(0.0 <= s <= 1.0 + 1e-12 for s in vals)
+    assert all(a >= b - 1e-12 for a, b in zip(vals, vals[1:]))
+    if all(ch for _, ch in lifetimes):
+        # uncensored: S(t) = fraction with duration > t
+        for t, s in curve:
+            frac = sum(1 for d, _ in lifetimes if d > t) / n
+            assert abs(s - frac) < 1e-9
