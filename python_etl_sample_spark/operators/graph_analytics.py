@@ -410,3 +410,95 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("node").cast("bigint").alias("max_part"),
         )
     )
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 4
+
+
+def _peel_sql(prev_nodes: str, cur: str) -> str:
+    """One unrolled k-core peel: drop nodes whose degree in the current
+    induced subgraph is below k; the edge set follows the node set."""
+    return f"""
+    {cur} AS (
+      SELECT d.node FROM (
+        SELECT node, COUNT(*) AS deg FROM (
+          SELECT e.u AS node FROM edges e
+          JOIN {prev_nodes} a ON a.node = e.u
+          JOIN {prev_nodes} b ON b.node = e.v
+          UNION ALL
+          SELECT e.v AS node FROM edges e
+          JOIN {prev_nodes} a ON a.node = e.u
+          JOIN {prev_nodes} b ON b.node = e.v
+        ) GROUP BY node
+      ) d WHERE d.deg >= {_KCORE_K}
+    )"""
+
+
+@query(
+    "graph_kcore_peel",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    n0 AS (SELECT node FROM deg),
+    {_peel_sql("n0", "n1")},
+    {_peel_sql("n1", "n2")},
+    {_peel_sql("n2", "n3")},
+    {_peel_sql("n3", "n4")}
+    SELECT * FROM (
+      SELECT 0 AS round, COUNT(*) AS n_nodes FROM n0
+      UNION ALL SELECT 1, COUNT(*) FROM n1
+      UNION ALL SELECT 2, COUNT(*) FROM n2
+      UNION ALL SELECT 3, COUNT(*) FROM n3
+      UNION ALL SELECT 4, COUNT(*) FROM n4
+    )
+    """,
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four rounds of {_KCORE_K}-core peeling over the co-purchase
+    graph: repeatedly drop nodes whose degree in the surviving induced
+    subgraph is below {_KCORE_K}, reporting the shrinking node count
+    per round — the dense-core extraction that separates structurally
+    connected products from incidental co-occurrences (and, on
+    documents, dense duplicate cores from stragglers).
+
+    Each round is two semi-join filters of the edge list against the
+    surviving node set, a degree partial-agg, and a threshold filter —
+    all exact integers. The surviving-node frame shrinks monotonically,
+    and each round takes a lazy lineage cut (the BFS rule: a round
+    references its predecessor on BOTH edge endpoints, so unrolled
+    lineage would grow multiplicatively). Four fixed rounds make the
+    result deterministic and SQL-mirrorable; full convergence is the
+    same loop with a count-stability check (the CC kernel's escape
+    hatch), noted rather than hashed."""
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    counts = [("0", nodes)]
+    cur = nodes
+    for rnd in range(1, _KCORE_ROUNDS + 1):
+        kept_edges = edges.join(
+            cur.withColumnRenamed("node", "u"), "u", "leftsemi"
+        ).join(cur.withColumnRenamed("node", "v"), "v", "leftsemi")
+        deg = (
+            kept_edges.select(F.col("u").alias("node"))
+            .unionAll(kept_edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        cur = (
+            deg.filter(F.col("deg") >= _KCORE_K)
+            .select("node")
+            .localCheckpoint(eager=False)
+        )
+        counts.append((str(rnd), cur))
+    out = None
+    for rnd, frame in counts:
+        row = frame.agg(F.count(F.lit(1)).alias("n_nodes")).select(
+            F.lit(int(rnd)).alias("round"), "n_nodes"
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

@@ -510,3 +510,115 @@ def stats_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "deviation"
         ),
     )
+
+
+#: Poisson(1) CDF thresholds scaled to the integer hash modulus — the
+#: weight w for resample b is the count of thresholds BELOW the hash
+#: draw, giving P(w=k) = e^-1/k! exactly as integer comparisons
+_BOOT_MOD = 1000003
+_BOOT_T = (367879, 735758, 919698, 981011, 996340)  # floor(CDF_k * MOD)
+_BOOT_B = 32
+
+
+@query(
+    "stats_bootstrap_poisson_ci",
+    oracle=f"""
+    WITH draws AS (
+      SELECT b.b,
+             {_CENTS} AS cents,
+             ((o_orderkey % 100000) * 2654435761
+              + b.b * 2246822519) % {_BOOT_MOD} AS u
+      FROM orders
+      CROSS JOIN (SELECT UNNEST(range(0, {_BOOT_B})) AS b) b
+    ),
+    weighted AS (
+      SELECT b,
+             CASE WHEN u < {_BOOT_T[0]} THEN 0
+                  WHEN u < {_BOOT_T[1]} THEN 1
+                  WHEN u < {_BOOT_T[2]} THEN 2
+                  WHEN u < {_BOOT_T[3]} THEN 3
+                  WHEN u < {_BOOT_T[4]} THEN 4
+                  ELSE 5 END AS w,
+             cents
+      FROM draws
+    ),
+    means AS (
+      SELECT b,
+             CAST(SUM(w * cents) AS DOUBLE) / SUM(w) / 100.0 AS mean_b
+      FROM weighted GROUP BY b HAVING SUM(w) > 0
+    ),
+    pt AS (
+      SELECT CAST(SUM({_CENTS}) AS DOUBLE) / COUNT(*) / 100.0 AS point_mean
+      FROM orders
+    )
+    SELECT (SELECT COUNT(*) FROM means) AS n_resamples,
+           ROUND((SELECT point_mean FROM pt), 6) AS point_mean,
+           ROUND((SELECT quantile_cont(mean_b, 0.025) FROM means), 6) AS ci_lo,
+           ROUND((SELECT quantile_cont(mean_b, 0.975) FROM means), 6) AS ci_hi,
+           ROUND((SELECT stddev_samp(mean_b) FROM means), 6) AS boot_se
+    """,
+)
+def stats_bootstrap_poisson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for mean order value via the
+    POISSON BOOTSTRAP — the distributed-systems formulation: instead of
+    resampling rows (impossible without a global index), every row
+    draws an independent Poisson(1) weight per resample, so the whole
+    bootstrap is one map-side expansion + a (resample)-keyed aggregate.
+    This is how bootstrap CIs are actually computed on clusters.
+
+    Fully deterministic: the Poisson draw is integer hash arithmetic
+    (masked multiplicative hash mod {_BOOT_MOD} compared against
+    pre-scaled CDF thresholds — P(w=k) = e^-1/k! to 6 digits), weights
+    and weighted sums are exact integers, and the only float ops are
+    the final per-resample division and the CI quantiles over
+    {_BOOT_B} means (shared interpolation definition). At 100 TB the
+    ×{_BOOT_B} expansion is map-side (no shuffle of raw rows per
+    resample — the aggregate combines partials per b), reducer state is
+    {_BOOT_B} rows."""
+    cents = F.expr(_CENTS)
+    b_col = F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b")
+    draws = table(spark, sf_dir, "orders").select(
+        cents.alias("cents"), F.col("o_orderkey"), b_col
+    )
+    u = (
+        (F.col("o_orderkey") % 100000) * 2654435761
+        + F.col("b") * 2246822519
+    ) % _BOOT_MOD
+    w = (
+        F.when(u < _BOOT_T[0], 0)
+        .when(u < _BOOT_T[1], 1)
+        .when(u < _BOOT_T[2], 2)
+        .when(u < _BOOT_T[3], 3)
+        .when(u < _BOOT_T[4], 4)
+        .otherwise(5)
+    )
+    means = (
+        draws.select("b", "cents", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).alias("swc"),
+            F.sum("w").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            (F.col("swc").cast("double") / F.col("sw") / 100.0).alias("mean_b")
+        )
+    )
+    pt = table(spark, sf_dir, "orders").agg(
+        (F.sum(cents).cast("double") / F.count(F.lit(1)) / 100.0).alias(
+            "point_mean"
+        )
+    )
+    summary = means.agg(
+        F.count(F.lit(1)).alias("n_resamples"),
+        F.round(F.expr("percentile(mean_b, 0.025)"), 6).alias("ci_lo"),
+        F.round(F.expr("percentile(mean_b, 0.975)"), 6).alias("ci_hi"),
+        F.round(F.stddev_samp("mean_b"), 6).alias("boot_se"),
+    )
+    return summary.crossJoin(F.broadcast(pt)).select(
+        "n_resamples",
+        F.round("point_mean", 6).alias("point_mean"),
+        "ci_lo",
+        "ci_hi",
+        "boot_se",
+    )

@@ -305,6 +305,8 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "events_dau_wau_mau",
     "fn_nested_struct_ops",
     "events_cohort_ltv",
+    "stats_bootstrap_poisson_ci",
+    "graph_kcore_peel",
 )
 
 
@@ -383,7 +385,9 @@ DRIVER_ORDER: tuple[str, ...] = (
     "events_dau_wau_mau",
     "fn_nested_struct_ops",
     "events_cohort_ltv",
-    # --- rows-only demos last among the never-recorded (64 candidates,
+    "stats_bootstrap_poisson_ci",
+    "graph_kcore_peel",
+    # --- rows-only demos last among the never-recorded (66 candidates,
     # 50 driver slots): their driver row is the weakest form (rows>0
     # only) and both already carry batch-parity + stability tests, so
     # they are the two that can wait for round 6 ---

@@ -832,3 +832,66 @@ def test_cohort_ltv_matches_python(spark):
                 assert math.isclose(
                     ltv, cum / 100.0 / size[cohort], abs_tol=2e-6
                 ), (cohort, a)
+
+
+def test_poisson_bootstrap_matches_python_hash_replay(spark):
+    """stats_bootstrap_poisson_ci vs an exact integer-hash replay of
+    the weight draws and resample means."""
+    MOD, T, B = 1000003, (367879, 735758, 919698, 981011, 996340), 32
+    rows = (
+        table(spark, SF_DIR, "orders")
+        .selectExpr("o_orderkey", "CAST(round(o_totalprice*100) AS BIGINT) c")
+        .collect()
+    )
+    data = [(int(r["o_orderkey"]), int(r["c"])) for r in rows]
+    means = []
+    for b in range(B):
+        swc = sw = 0
+        for okey, c in data:
+            u = ((okey % 100000) * 2654435761 + b * 2246822519) % MOD
+            w = sum(1 for t in T if u >= t) if u >= T[0] else 0
+            swc += w * c
+            sw += w
+        if sw > 0:
+            means.append(swc / sw / 100.0)
+    means.sort()
+    row = REGISTRY["stats_bootstrap_poisson_ci"].fn(spark, SF_DIR).collect()[0]
+    assert int(row["n_resamples"]) == len(means)
+    point = sum(c for _, c in data) / len(data) / 100.0
+    assert math.isclose(float(row["point_mean"]), point, abs_tol=1e-5)
+    # CI must bracket the point estimate and sit inside the resample range
+    assert means[0] - 1e-6 <= float(row["ci_lo"]) <= float(row["ci_hi"]) <= means[-1] + 1e-6
+    lo_q = statistics_quantile(means, 0.025)
+    hi_q = statistics_quantile(means, 0.975)
+    assert math.isclose(float(row["ci_lo"]), lo_q, abs_tol=1e-5)
+    assert math.isclose(float(row["ci_hi"]), hi_q, abs_tol=1e-5)
+
+
+def statistics_quantile(xs, q):
+    """Linear interpolation at rank q*(n-1) — the shared engine definition."""
+    n = len(xs)
+    pos = q * (n - 1)
+    lo = int(pos)
+    frac = pos - lo
+    return xs[lo] if lo + 1 >= n else xs[lo] + (xs[lo + 1] - xs[lo]) * frac
+
+
+def test_kcore_peel_matches_python(spark):
+    """graph_kcore_peel vs an iterative Python peel on the same edges."""
+    edges = _edges_python(spark)
+    nodes = {x for e in edges for x in e}
+    counts = [len(nodes)]
+    cur = set(nodes)
+    for _ in range(4):
+        kept = [(u, v) for u, v in edges if u in cur and v in cur]
+        deg: dict[int, int] = defaultdict(int)
+        for u, v in kept:
+            deg[u] += 1
+            deg[v] += 1
+        cur = {x for x, d in deg.items() if d >= 3}
+        counts.append(len(cur))
+    got = {
+        int(r["round"]): int(r["n_nodes"])
+        for r in REGISTRY["graph_kcore_peel"].fn(spark, SF_DIR).collect()
+    }
+    assert got == dict(enumerate(counts))
