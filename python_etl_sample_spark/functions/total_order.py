@@ -1,0 +1,138 @@
+"""Range-partitioned exact global total order (VERDICT r5 item 2).
+
+A ``Window.orderBy(...)`` with no ``partitionBy`` funnels EVERY row
+through one task in Spark (the planner emits "No Partition Defined" and
+moves all rows to a single partition) — a scale-killer the moment the
+frame grows with the data. This module supplies the distributed
+formulation used by every operator that needs an exact global rank or
+running sum over an unbounded frame:
+
+1. ``repartitionByRange`` on the sort expressions — Spark's range
+   partitioner guarantees partition *i*'s rows all precede partition
+   *i+1*'s under that order, and each partition sorts locally;
+2. a per-partition ``row_number`` / running ``sum`` (window partitioned
+   by ``spark_partition_id()`` — parallel, one task per range);
+3. per-partition row/value totals, offset via a triangular self-join
+   over the (tiny, ≤ shuffle-partition-count) totals frame — no driver
+   collect, no single-task window anywhere;
+4. global rank = offset + local rank (exact, not approximate, because
+   the offsets are exact counts, independent of where the sampled range
+   boundaries landed).
+
+Determinism: callers must pass a sort order that is TOTAL (tie-broken
+to a unique key). Range boundaries come from reservoir sampling, but
+boundary placement only shifts which partition a row lands in — the
+(offset + local rank) composition yields the same global rank for any
+boundary choice, so results are bit-stable across runs and cluster
+sizes. Running sums stay exact for integer/decimal values; float
+running sums keep the same left-to-right association as the
+single-window form because each row's prefix is (exact partition
+prefix) + (local left-to-right sum) — identical grouping requires
+integer/decimal inputs, which is what every caller here feeds
+(cents-scaled BIGINTs; see functions/determinism.py).
+
+At 100 TB: one range shuffle of the frame + one broadcast of a
+``shuffle.partitions``-sized offsets table. Nothing is single-task.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "__to_pid"
+_LRN = "__to_lrn"
+
+
+def attach_global_order(
+    df: DataFrame,
+    order_exprs: Sequence[Column],
+    *,
+    rn: str | None = None,
+    cumsums: Sequence[tuple[str, str]] = (),
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Return ``df`` with an exact global ``rn`` (1-based row number
+    under ``order_exprs``) and/or exact inclusive running sums.
+
+    ``order_exprs`` — sort expressions forming a TOTAL order (unique
+    tie-break); accepted by both ``repartitionByRange`` and
+    ``Window.orderBy`` verbatim.
+    ``rn`` — output column name for the global row number (skip if None).
+    ``cumsums`` — (value_column, output_name) pairs; each output is the
+    exact inclusive prefix sum of the value column under the order.
+    """
+    spark = df.sparkSession
+    n = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    d = df.repartitionByRange(n, *order_exprs).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    w = Window.partitionBy(_PID).orderBy(*order_exprs)
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    d = d.withColumn(_LRN, F.row_number().over(w))
+    for val, out in cumsums:
+        d = d.withColumn(f"__to_lcs_{out}", F.sum(val).over(wrun))
+
+    aggs = [F.count(F.lit(1)).alias("__to_cnt")]
+    for val, out in cumsums:
+        aggs.append(F.sum(val).alias(f"__to_tot_{out}"))
+    parts = d.groupBy(_PID).agg(*aggs)
+
+    below = parts.select(
+        F.col(_PID).alias("__to_bpid"),
+        F.col("__to_cnt").alias("__to_bcnt"),
+        *[
+            F.col(f"__to_tot_{out}").alias(f"__to_btot_{out}")
+            for _, out in cumsums
+        ],
+    )
+    off_aggs = [
+        F.coalesce(F.sum("__to_bcnt"), F.lit(0)).alias("__to_off_rn")
+    ]
+    for _, out in cumsums:
+        off_aggs.append(
+            F.coalesce(F.sum(f"__to_btot_{out}"), F.lit(0)).alias(
+                f"__to_off_{out}"
+            )
+        )
+    offs = (
+        parts.join(below, F.col("__to_bpid") < F.col(_PID), "left")
+        .groupBy(_PID)
+        .agg(*off_aggs)
+    )
+
+    d = d.join(F.broadcast(offs), _PID)
+    if rn is not None:
+        d = d.withColumn(rn, F.col("__to_off_rn") + F.col(_LRN))
+    for val, out in cumsums:
+        d = d.withColumn(
+            out, F.col(f"__to_off_{out}") + F.col(f"__to_lcs_{out}")
+        )
+    drop = [_PID, _LRN, "__to_off_rn"] + [
+        c
+        for _, out in cumsums
+        for c in (f"__to_lcs_{out}", f"__to_off_{out}")
+    ]
+    return d.drop(*drop)
+
+
+def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
+    """SQL-standard ``NTILE(k)`` bucket from an exact global 1-based
+    ``rank`` and total row count ``n`` — the first ``n % k`` buckets get
+    ``n div k + 1`` rows, the rest ``n div k``. Matches Spark's and
+    DuckDB's NTILE bit-for-bit given the same total order, without the
+    single-task window NTILE itself requires."""
+    # truncating division via double is exact while n < 2^53 (~9e15 rows
+    # — two orders of magnitude above the 100 TB row count); n, k ≥ 0
+    q = (n / F.lit(k)).cast("bigint")
+    rem = n % F.lit(k)
+    big = rem * (q + 1)  # rows covered by the (q+1)-sized leading tiles
+    return (
+        F.when(rank <= big, ((rank - 1) / (q + 1)).cast("bigint") + 1)
+        .otherwise(rem + ((rank - big - 1) / q).cast("bigint") + 1)
+        .cast("int")
+    )

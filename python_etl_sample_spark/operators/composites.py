@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from python_etl_sample_spark.functions.determinism import dsum, dsum_sql
+from python_etl_sample_spark.functions.total_order import attach_global_order
 from python_etl_sample_spark.registry import query
 from python_etl_sample_spark.sources import table
 
@@ -224,14 +225,12 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = joined.groupBy("seg", "region").agg(
         F.count(F.lit(1)).cast("double").alias("o")
     )
+    n_tot = obs.agg(F.sum("o").alias("n"))
     m = obs.select(
         "o",
         F.sum("o").over(Window.partitionBy("seg")).alias("row_tot"),
         F.sum("o").over(Window.partitionBy("region")).alias("col_tot"),
-        F.sum("o").over(
-            Window.partitionBy()
-        ).alias("n"),
-    )
+    ).crossJoin(F.broadcast(n_tot))
     e = F.col("row_tot") * F.col("col_tot") / F.col("n")
     cell = (F.col("o") - e) * (F.col("o") - e) / e
     return m.agg(
@@ -353,24 +352,23 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The coverage compares are pure integer arithmetic (cum·2 ≥ tot
     etc.) — no float share ever exists, so there is nothing to round.
-    Scale: one shuffle to count tokens; the rank/cumsum window runs
-    over |vocab| rows (tens of thousands), fine on one partition — at
-    larger vocabs use a range-partitioned sort."""
+    Scale: one shuffle to count tokens; rank and the cumulative count
+    come from the range-partitioned exact total order
+    (functions/total_order.py) — the vocabulary grows with the corpus
+    (Heaps' law), so no partitionless window is allowed here."""
     d = table(spark, sf_dir, "documents")
     freq = (
         d.select(F.explode(F.split("text", " ")).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    w_rank = Window.orderBy(F.desc("c"), F.asc("token"))
-    ranked = freq.select(
-        "c",
-        F.row_number().over(w_rank).alias("r"),
-        F.sum("c").over(w_rank.rowsBetween(Window.unboundedPreceding, 0)).alias(
-            "cum"
-        ),
-        F.sum("c").over(Window.partitionBy()).alias("tot"),
-    )
+    tot = freq.agg(F.sum("c").alias("tot"))
+    ranked = attach_global_order(
+        freq,
+        [F.desc("c"), F.asc("token")],
+        rn="r",
+        cumsums=[("c", "cum")],
+    ).crossJoin(F.broadcast(tot))
     return ranked.agg(
         F.min(F.when(F.col("cum") * 2 >= F.col("tot"), F.col("r")))
         .cast("bigint")

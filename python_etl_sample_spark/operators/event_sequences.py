@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from python_etl_sample_spark.functions.determinism import dsum, dsum_sql
+from python_etl_sample_spark.functions.total_order import attach_global_order
 from python_etl_sample_spark.registry import query
 from python_etl_sample_spark.sources import table
 
@@ -97,12 +98,13 @@ def events_cum_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     first_day = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("day"))
     per_day = first_day.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    return per_day.select(
+    return attach_global_order(
+        per_day, [F.asc("day")], cumsums=[("new_users", "cum_users")]
+    ).select(
         # date -> midnight timestamp on both sides (see win_streak note)
         F.col("day").cast("timestamp_ntz").alias("day"),
         "new_users",
-        F.sum("new_users").over(w).alias("cum_users"),
+        "cum_users",
     )
 
 
@@ -256,6 +258,10 @@ def events_error_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
     )
+    # bounded-window: sliding frame over the per-HOUR aggregate — the
+    # frame is calendar-bounded (≤24·days rows regardless of data
+    # volume) and a cross-partition sliding frame is not prefix-sum
+    # decomposable, so the single-task window is the correct plan here
     w = Window.orderBy("hour").rowsBetween(-3, -1)
     ma = hourly.select(
         "hour",

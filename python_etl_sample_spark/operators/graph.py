@@ -184,6 +184,10 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_price = p.groupBy(F.col("p_retailprice").alias("price")).agg(
         F.max("p_size").alias("msize")
     )
+    # bounded-window: runs over DISTINCT retail prices — the price
+    # domain is fixed by the pricing scheme, not data volume — and the
+    # lag-by-one-price-step needs cross-row adjacency a prefix-sum
+    # decomposition can't supply
     w_run = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, 0)
     w_lag = Window.orderBy("price")
     ranked = per_price.withColumn("runmax", F.max("msize").over(w_run))

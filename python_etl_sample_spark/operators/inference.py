@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from python_etl_sample_spark.functions.total_order import attach_global_order
 from python_etl_sample_spark.registry import query
 from python_etl_sample_spark.sources import table
 
@@ -200,11 +201,10 @@ def stats_rank_sum_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     correction in σ_U (same formula both sides, so parity holds;
     documented accuracy trade).
 
-    Scale: the windowed prefix sum runs over distinct VALUES (bounded
-    by price granularity), not rows; at 100 TB you'd range-partition
-    that window (Spark does via a single-partition sort here — the
-    distinct-value frame is small by construction) while the raw scan
-    aggregates map-side."""
+    Scale: the prefix sum runs over distinct VALUES (bounded by price
+    granularity), not rows, and uses the range-partitioned total-order
+    kernel (functions/total_order.py) — parallel even if the value
+    domain widens — while the raw scan aggregates map-side."""
     cents = F.expr(_CENTS)
     pool = (
         table(spark, sf_dir, "orders")
@@ -213,10 +213,11 @@ def stats_rank_sum_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     by_val = pool.groupBy("cents", "grp").agg(F.count(F.lit(1)).alias("c"))
     val = by_val.groupBy("cents").agg(F.sum("c").alias("cnt"))
-    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
-    ranked = val.select(
+    ranked = attach_global_order(
+        val, [F.asc("cents")], cumsums=[("cnt", "__cum")]
+    ).select(
         "cents",
-        (F.sum("cnt").over(w) - F.col("cnt")).alias("below"),
+        (F.col("__cum") - F.col("cnt")).alias("below"),
         "cnt",
     )
     credit = by_val.join(ranked, "cents").select(
@@ -417,23 +418,25 @@ def stats_gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
     is an exact integer (cents, ranks, their products summed as
     BIGINT — max ~n·rank·rev ≈ 1e17 at sf0.1, inside int64), so the
     two final divisions are the only float ops, mirrored textually.
-    Shape: one partial-agg pass over orders, then windows over the
-    per-customer frame; decile bucketing is integer arithmetic on the
-    row number — no NTILE needed, so the decile edges are exact."""
+    Shape: one partial-agg pass over orders, then the range-partitioned
+    exact total order (functions/total_order.py) over the per-customer
+    frame — the frame grows with |customers|, so a partitionless window
+    would be the single-task trap; rank and the cum-revenue prefix both
+    come from the distributed kernel (integer sums stay exact under the
+    partition-offset decomposition). Decile bucketing is integer
+    arithmetic on the row number — no NTILE needed, edges exact."""
     cents = F.expr(_CENTS)
     cust = (
         table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.sum(cents).alias("rev"))
     )
-    w = Window.orderBy("rev", "o_custkey")
-    ranked = cust.select(
-        "rev",
-        F.row_number().over(w).alias("rn"),
-        F.sum("rev").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
-            "cum_rev"
-        ),
-    )
+    ranked = attach_global_order(
+        cust,
+        [F.asc("rev"), F.asc("o_custkey")],
+        rn="rn",
+        cumsums=[("rev", "cum_rev")],
+    ).select("rev", "rn", "cum_rev")
     tot = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("rev").alias("total"),
@@ -518,6 +521,14 @@ def stats_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BOOT_MOD = 1000003
 _BOOT_T = (367879, 735758, 919698, 981011, 996340)  # floor(CDF_k * MOD)
 _BOOT_B = 32
+#: key-entropy modulus for the weight hash: the largest prime p such
+#: that (p-1) * 2654435761 stays inside int64 in BOTH engines (Spark
+#: wraps silently on overflow, DuckDB raises — the product must not
+#: overflow on either side). 3221225472 * 2654435761 ≈ 8.55e18 < 2^63.
+#: Keys collide on the weight VECTOR only when they share a residue
+#: mod ~3.2e9 — negligible correlation even at 10^10 orders, vs the
+#: old % 100000 which repeated vectors every 100k keys.
+_BOOT_KEYMOD = 3221225473
 
 
 @query(
@@ -526,7 +537,7 @@ _BOOT_B = 32
     WITH draws AS (
       SELECT b.b,
              {_CENTS} AS cents,
-             ((o_orderkey % 100000) * 2654435761
+             ((o_orderkey % {_BOOT_KEYMOD}) * 2654435761
               + b.b * 2246822519) % {_BOOT_MOD} AS u
       FROM orders
       CROSS JOIN (SELECT UNNEST(range(0, {_BOOT_B})) AS b) b
@@ -567,8 +578,10 @@ def stats_bootstrap_poisson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is how bootstrap CIs are actually computed on clusters.
 
     Fully deterministic: the Poisson draw is integer hash arithmetic
-    (masked multiplicative hash mod {_BOOT_MOD} compared against
-    pre-scaled CDF thresholds — P(w=k) = e^-1/k! to 6 digits), weights
+    (multiplicative hash of the key reduced mod _BOOT_KEYMOD ≈ 2^31.6
+    — full key entropy below ~3.2e9 orders, and only residue-colliding
+    keys beyond that share a weight vector — compared against
+    pre-scaled CDF thresholds, P(w=k) = e^-1/k! to 6 digits), weights
     and weighted sums are exact integers, and the only float ops are
     the final per-resample division and the CI quantiles over
     {_BOOT_B} means (shared interpolation definition). At 100 TB the
@@ -581,7 +594,7 @@ def stats_bootstrap_poisson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents.alias("cents"), F.col("o_orderkey"), b_col
     )
     u = (
-        (F.col("o_orderkey") % 100000) * 2654435761
+        (F.col("o_orderkey") % _BOOT_KEYMOD) * 2654435761
         + F.col("b") * 2246822519
     ) % _BOOT_MOD
     w = (

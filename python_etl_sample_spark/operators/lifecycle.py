@@ -109,6 +109,10 @@ def customer_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_leaving"),
     )
     total = cust.agg(F.count(F.lit(1)).alias("n_total"))
+    # bounded-window: the KM life table runs over DISTINCT durations —
+    # date-domain-bounded (≤ corpus span in days, ~2.4k rows even at
+    # 100 TB) — and the survival product chains floats left-to-right,
+    # which a partition-offset decomposition would re-associate
     w_prev = Window.orderBy("duration_days").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -121,6 +125,7 @@ def customer_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.coalesce(F.sum("n_leaving").over(w_prev), F.lit(0))
         ).alias("n_at_risk"),
     )
+    # bounded-window: same date-domain-bounded distinct-duration frame
     w = Window.orderBy("duration_days").rowsBetween(Window.unboundedPreceding, 0)
     zero = F.when(F.col("n_churned") == F.col("n_at_risk"), F.lit(1)).otherwise(
         F.lit(0)

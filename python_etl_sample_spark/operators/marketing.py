@@ -25,6 +25,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from python_etl_sample_spark.functions.total_order import (
+    attach_global_order,
+    ntile_from_rank,
+)
 from python_etl_sample_spark.registry import query
 from python_etl_sample_spark.sources import table
 
@@ -65,12 +69,15 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Recency is days since last order relative to the corpus max date
     (a 1-row broadcast); higher score = more recent (DESC order puts
     the stalest customers in tile 1). Frequency and monetary score
-    ascending. The ntile windows are global but run over the
-    per-customer aggregate (|customers| rows, not |orders|), and the
-    output is the segment-level profile — the thing a campaign system
-    actually joins against. At 100 TB the per-customer frame is the
-    only sorted structure; everything upstream is map-side-combined
-    aggregation."""
+    ascending. The quintiles are global over the per-customer frame —
+    which grows with |customers|, so instead of three partitionless
+    NTILE windows (each a single-task global sort in Spark) each score
+    is ntile_from_rank over the range-partitioned exact total order
+    (functions/total_order.py): three range shuffles of the customer
+    frame, all parallel. The output is the segment-level profile — the
+    thing a campaign system actually joins against. At 100 TB the
+    per-customer frame is the only sorted structure; everything
+    upstream is map-side-combined aggregation."""
     o = table(spark, sf_dir, "orders")
     ref = o.agg(F.max("o_orderdate").alias("d0"))
     cust = (
@@ -88,16 +95,20 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_cents",
         )
     )
-    scored = cust.select(
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("recency_days"), F.col("o_custkey")))
-        .alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy("frequency", "o_custkey"))
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy("monetary_cents", "o_custkey"))
-        .alias("m_score"),
+    tot = cust.agg(F.count(F.lit(1)).alias("__n"))
+    d = attach_global_order(
+        cust, [F.desc("recency_days"), F.asc("o_custkey")], rn="__rr"
+    )
+    d = attach_global_order(
+        d, [F.asc("frequency"), F.asc("o_custkey")], rn="__rf"
+    )
+    d = attach_global_order(
+        d, [F.asc("monetary_cents"), F.asc("o_custkey")], rn="__rm"
+    )
+    scored = d.crossJoin(F.broadcast(tot)).select(
+        ntile_from_rank(F.col("__rr"), F.col("__n"), 5).alias("r_score"),
+        ntile_from_rank(F.col("__rf"), F.col("__n"), 5).alias("f_score"),
+        ntile_from_rank(F.col("__rm"), F.col("__n"), 5).alias("m_score"),
         "monetary_cents",
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
@@ -538,8 +549,8 @@ def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(cents).alias("rev_cents"))
     )
     w_region = Window.partitionBy("region")
-    w_all = Window.partitionBy()
-    return nation_rev.select(
+    tot = nation_rev.agg(F.sum("rev_cents").alias("__tot"))
+    return nation_rev.crossJoin(F.broadcast(tot)).select(
         "nation",
         "region",
         F.round(F.col("rev_cents") / 100.0, 2).alias("revenue"),
@@ -548,7 +559,7 @@ def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("share_of_region"),
         F.round(
-            F.col("rev_cents").cast("double") / F.sum("rev_cents").over(w_all), 6
+            F.col("rev_cents").cast("double") / F.col("__tot"), 6
         ).alias("share_of_total"),
     )
 

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from python_etl_sample_spark.functions.determinism import davg_sql, dsum, dsum_sql
+from python_etl_sample_spark.functions.total_order import attach_global_order
 from python_etl_sample_spark.registry import query
 from python_etl_sample_spark.scratch import stage_once
 from python_etl_sample_spark.sources import table
@@ -138,21 +139,24 @@ def events_max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent.
 
     Scale: the naive count-overlaps self-join is O(n·k); the sweep is a
-    UNION ALL (map-only) plus one global sort. At 100 TB the global
-    window becomes per-shard sweeps (partition by resource/tenant —
-    here the global sweep IS the semantics) or a two-pass
-    range-partitioned prefix sum; the delta encoding is what makes
-    either shape linear."""
+    UNION ALL (map-only) plus the two-pass range-partitioned prefix sum
+    of functions/total_order.py — the delta frame is 2·|events|, so a
+    partitionless window would be the single-task trap. Tie groups that
+    straddle a range boundary still yield the same per-group SET of
+    running values (consecutive prefix slots), so the per-day MAX is
+    unchanged — the same argument that makes in-group ordering
+    irrelevant."""
     ev = table(spark, sf_dir, "events")
     opens = ev.select(F.col("ts").alias("t"), F.lit(1).alias("delta"))
     closes = ev.select(
         (F.col("ts") + F.expr(f"INTERVAL {_HOLD_S} SECOND")).alias("t"),
         F.lit(-1).alias("delta"),
     )
-    w = Window.orderBy("t", "delta").rowsBetween(Window.unboundedPreceding, 0)
-    swept = opens.unionAll(closes).select(
-        "t", F.sum("delta").over(w).alias("live")
-    )
+    swept = attach_global_order(
+        opens.unionAll(closes),
+        [F.asc("t"), F.asc("delta")],
+        cumsums=[("delta", "live")],
+    ).select("t", "live")
     return swept.groupBy(
         F.to_date("t").cast("timestamp_ntz").alias("day")
     ).agg(F.max("live").alias("max_concurrent"))

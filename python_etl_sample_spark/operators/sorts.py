@@ -6,9 +6,8 @@ part of the hashed values.
 
 Scale: ``orderBy().limit(k)`` fuses to TakeOrderedAndProject — each
 task keeps a k-heap, the driver merges k×tasks rows; no global sort.
-The global row_number in #39 is single-partition by construction —
-fine here, and flagged as the one operator that would instead use
-range-partitioned sort + zipWithIndex-style ranking at 100 TB.
+The global row_number in #39 uses the range-partitioned exact total
+order (functions/total_order.py), so no operator here is single-task.
 """
 
 from __future__ import annotations
@@ -16,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from python_etl_sample_spark.functions.total_order import attach_global_order
 from python_etl_sample_spark.registry import query
 from python_etl_sample_spark.sources import table
 
@@ -35,7 +35,12 @@ from python_etl_sample_spark.sources import table
 )
 def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#39 multi-key sort with explicit nulls placement, materialized as
-    a global position column so the hash checks the ordering."""
+    a global position column so the hash checks the ordering.
+
+    The position comes from the range-partitioned exact total order
+    (functions/total_order.py) — one range shuffle + per-partition
+    row_number + broadcast offsets — not a partitionless window, which
+    would funnel every row through a single task."""
     s = table(spark, sf_dir, "supplier")
     t = s.select(
         "s_suppkey",
@@ -45,12 +50,12 @@ def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("s_acctbal"))
         .alias("bal"),
     )
-    w = Window.orderBy(
-        F.desc_nulls_last("bal"), F.asc("s_nationkey"), F.asc("s_suppkey")
+    ranked = attach_global_order(
+        t,
+        [F.desc_nulls_last("bal"), F.asc("s_nationkey"), F.asc("s_suppkey")],
+        rn="pos",
     )
-    return t.select(
-        "s_suppkey", "s_name", "bal", F.row_number().over(w).alias("pos")
-    )
+    return ranked.select("s_suppkey", "s_name", "bal", "pos")
 
 
 @query(

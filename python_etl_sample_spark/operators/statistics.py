@@ -24,6 +24,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from python_etl_sample_spark.functions.determinism import dsum, dsum_sql
+from python_etl_sample_spark.functions.total_order import (
+    attach_global_order,
+    ntile_from_rank,
+)
 from python_etl_sample_spark.registry import query
 from python_etl_sample_spark.sources import table
 
@@ -433,16 +437,30 @@ def agg_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     order (price, then the primary key) makes boundary assignment of
     tied prices identical in both engines.
 
-    Scale note, stated honestly: a global NTILE is a global sort —
-    Spark range-partitions it, but the single ordering is the cost. At
-    100 TB the same result shape comes from approx_percentile
-    boundaries + one bucketing pass (see agg_approx_quantile); this
-    operator is the EXACT tier used on profiling samples, where exact
-    tie handling is what makes profiles reproducible."""
+    Scale: Spark's own NTILE over a partitionless window is a
+    SINGLE-TASK global sort (the "No Partition Defined" plan), so the
+    bucket is instead derived arithmetically from the range-partitioned
+    exact global rank (functions/total_order.py) plus the total count —
+    ntile_from_rank reproduces SQL NTILE's first-(n mod k)-buckets-
+    larger split bit-for-bit. One range shuffle, fully parallel. The
+    approximate tier for one-pass profiling remains approx_percentile
+    boundaries + a bucketing pass (see agg_approx_quantile)."""
     li = table(spark, sf_dir, "lineitem")
-    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    ranked = attach_global_order(
+        li.select("l_extendedprice", "l_orderkey", "l_linenumber"),
+        [
+            F.asc("l_extendedprice"),
+            F.asc("l_orderkey"),
+            F.asc("l_linenumber"),
+        ],
+        rn="__rank",
+    )
+    tot = ranked.agg(F.count(F.lit(1)).alias("__n"))
     return (
-        li.withColumn("bucket", F.ntile(8).over(w))
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "bucket", ntile_from_rank(F.col("__rank"), F.col("__n"), 8)
+        )
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),

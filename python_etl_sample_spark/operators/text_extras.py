@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from python_etl_sample_spark.functions.determinism import dsum_sql
+from python_etl_sample_spark.functions.total_order import attach_global_order
 from python_etl_sample_spark.registry import query
 from python_etl_sample_spark.sources import table
 
@@ -120,17 +121,20 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     regression (the unigram-LM convention for libm values —
     text_analysis.py) so the sums run on identical doubles, then go
     through decimal; the closed form mirrors agg_regression_ols. Scale:
-    token counting is the only big stage (one shuffle); the window and
-    fit run on 100 rows."""
+    token counting is the only big stage (one shuffle); the rank comes
+    from the range-partitioned total order (functions/total_order.py —
+    the vocab frame grows with the corpus) and the fit runs on 100
+    rows."""
     d = table(spark, sf_dir, "documents")
     counts = (
         d.select(F.explode(F.split("text", " ")).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    w = Window.orderBy(F.desc("c"), F.asc("token"))
     top = (
-        counts.withColumn("r", F.row_number().over(w))
+        attach_global_order(
+            counts, [F.desc("c"), F.asc("token")], rn="r"
+        )
         .filter(F.col("r") <= 100)
         .select(
             F.round(F.log10(F.col("r").cast("double")), 9).alias("x"),
@@ -457,7 +461,7 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
     n_uni = uni.agg(F.sum("c").alias("n_uni"))
     a, b = tok.alias("a"), tok.alias("b")
-    big = (
+    big_all = (
         a.join(
             b,
             (F.col("b.doc_id") == F.col("a.doc_id"))
@@ -465,13 +469,12 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("a.token").alias("w1"), F.col("b.token").alias("w2"))
         .agg(F.count(F.lit(1)).alias("pair_count"))
-        .filter(F.col("pair_count") >= 5)
     )
-    n_big = (
-        tok.groupBy("doc_id")
-        .agg((F.count(F.lit(1)) - 1).alias("nb"))
-        .agg(F.sum("nb").alias("n_big"))
-    )
+    # n_big counts the SAME adjacent-pair frame the oracle sums (before
+    # the min-count filter) — not sum(tokens_per_doc - 1), which only
+    # matches while kept-token positions happen to stay contiguous
+    big = big_all.filter(F.col("pair_count") >= 5)
+    n_big = big_all.agg(F.sum("pair_count").alias("n_big"))
     scored = (
         big.join(uni.select(F.col("token").alias("w1"), F.col("c").alias("c1")), "w1")
         .join(uni.select(F.col("token").alias("w2"), F.col("c").alias("c2")), "w2")
@@ -490,9 +493,11 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
-    w = Window.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+    # top-20 under a unique order: orderBy+limit fuses to
+    # TakeOrderedAndProject (per-task 20-heaps, no global sort, no
+    # single-task window)
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
+        scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(20)
         .select("w1", "w2", "pair_count", F.round("pmi", 6).alias("pmi"))
     )

@@ -310,69 +310,19 @@ EXTENSION_ORDER: tuple[str, ...] = (
 )
 
 
-#: Driver-facing rotation for round 5. The driver's CORRECTNESS artifact
+#: Driver-facing rotation for round 6. The driver's CORRECTNESS artifact
 #: records at most 50 entries per round in ``queries()`` order; the union
-#: of rounds 1-4 (UNION.md, tools/correctness_union.py) leaves exactly 15
-#: queries with no driver row in any artifact — they take slots 1-15.
-#: Round-5 additions follow (new code is the least-evidenced code), then
-#: every previously-recorded query ordered by (number of driver rows,
-#: round of most recent row) ascending, so re-recording slots always go
-#: to the stalest evidence first. Regenerate with the snippet in
-#: COVERAGE.md §"Driver-artifact rotation" after adding queries.
+#: of rounds 1-5 (UNION.md, tools/correctness_union.py) leaves exactly 16
+#: queries with no driver row in any artifact — they take slots 1-16.
+#: Any queries added during round 6 are never-recorded by construction
+#: and are inserted right after them. Then every previously-recorded
+#: query follows, ordered by (number of driver rows, round of most
+#: recent row) ascending, so re-recording slots always go to the stalest
+#: evidence first. Regenerate with ``python tools/gen_driver_order.py``.
 DRIVER_ORDER: tuple[str, ...] = (
-    # --- never driver-recorded through r4 (15) — r5 slots 1-15 ---
-    "agg_approx_topk",
-    "agg_grouping_id",
-    "api_sql_frontend",
-    "etl_partition_overwrite",
-    "fn_try_safe",
-    "join_asof_nearest",
-    "multimodal_image_thumbnail",
-    "pipeline_daily_etl",
-    "pipeline_feature_store",
-    "scan_corrupt_records",
-    "set_intersect_except_all",
-    "sketch_hll_mergeable",
-    "text_lang_overlap_jaccard",
-    "win_time_range_frame",
-    # --- round-5 additions (new code = least-evidenced) ---
-    "plan_cbo_multiway",
-    "sample_reservoir_per_key",
-    "agg_equi_depth_histogram",
-    "scan_metadata_columns",
-    "text_chunk_fixed_overlap",
-    "etl_snapshot_diff",
-    "agg_weighted_percentile",
-    "join_point_in_time_scd2",
-    "events_windowed_funnel",
-    "corpus_quality_gate_report",
-    "events_sessionize",
-    "events_max_concurrent",
-    "basket_brand_pairs_lift",
-    "join_bloom_runtime",
-    "etl_zorder_clustering",
-    "join_dpp_partitioned",
-    "etl_incremental_rollup_merge",
-    "etl_compact_small_files",
-    "api_sql_registered_udf",
-    "events_pattern_funnel_runs",
-    "join_hinted_strategies",
-    "sample_weighted_priority",
-    "agg_skew_salted_distinct",
-    "stats_winsorized_mean",
-    # --- round-5 late additions, never driver-recorded ---
-    "graph_triangle_count",
-    "graph_pagerank",
-    "stats_ttest_welch",
-    "stats_rank_sum_u",
-    "events_rfm_segmentation",
-    "attribution_position_weighted",
-    "ts_resample_interpolate",
-    "spatial_grid_join",
-    "stream_demo_stream_join",
-    "ts_seasonal_naive_eval",
-    "dq_skew_report",
-    "features_hashing_trick",
+# never driver-recorded (16) — next round's first slots
+    "stream_demo_session",
+    "stream_demo_rate_source",
     "customer_survival_km",
     "graph_bfs_hops",
     "win_rolling_distinct_users",
@@ -387,13 +337,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "events_cohort_ltv",
     "stats_bootstrap_poisson_ci",
     "graph_kcore_peel",
-    # --- rows-only demos last among the never-recorded (66 candidates,
-    # 50 driver slots): their driver row is the weakest form (rows>0
-    # only) and both already carry batch-parity + stability tests, so
-    # they are the two that can wait for round 6 ---
-    "stream_demo_session",
-    "stream_demo_rate_source",
-    # --- 1 driver row(s), last in r1 (19) ---
+    # --- 1 driver row(s), last in r1 ---
     "dedup_embedding_cosine",
     "dedup_exact",
     "dedup_near_minhash",
@@ -413,7 +357,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "sim_ann_lsh",
     "sim_cosine_topk",
     "sim_knn_per_query",
-    # --- 1 driver row(s), last in r2 (18) ---
+    # --- 1 driver row(s), last in r2 ---
     "scan_projected",
     "set_except",
     "set_intersect",
@@ -432,7 +376,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "win_rank",
     "win_running",
     "win_sliding_frame",
-    # --- 1 driver row(s), last in r3 (49) ---
+    # --- 1 driver row(s), last in r3 ---
     "agg_approx_quantile",
     "agg_histogram",
     "attribution_last_touch",
@@ -482,7 +426,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "udtf_python_lateral",
     "win_percent_cume",
     "win_streak_gaps_islands",
-    # --- 1 driver row(s), last in r4 (50) ---
+    # --- 1 driver row(s), last in r4 ---
     "agg_bool_bit",
     "agg_count_distinct_multi",
     "agg_filter_clause",
@@ -533,7 +477,58 @@ DRIVER_ORDER: tuple[str, ...] = (
     "ts_ohlc_bars",
     "unpivot_metrics",
     "win_qualify_latest",
-    # --- 2 driver row(s), last in r2 (31) ---
+    # --- 1 driver row(s), last in r5 ---
+    "agg_approx_topk",
+    "agg_equi_depth_histogram",
+    "agg_grouping_id",
+    "agg_skew_salted_distinct",
+    "agg_weighted_percentile",
+    "api_sql_frontend",
+    "api_sql_registered_udf",
+    "attribution_position_weighted",
+    "basket_brand_pairs_lift",
+    "corpus_quality_gate_report",
+    "dq_skew_report",
+    "etl_compact_small_files",
+    "etl_incremental_rollup_merge",
+    "etl_partition_overwrite",
+    "etl_snapshot_diff",
+    "etl_zorder_clustering",
+    "events_max_concurrent",
+    "events_pattern_funnel_runs",
+    "events_rfm_segmentation",
+    "events_sessionize",
+    "events_windowed_funnel",
+    "features_hashing_trick",
+    "fn_try_safe",
+    "graph_pagerank",
+    "graph_triangle_count",
+    "join_asof_nearest",
+    "join_bloom_runtime",
+    "join_dpp_partitioned",
+    "join_hinted_strategies",
+    "join_point_in_time_scd2",
+    "multimodal_image_thumbnail",
+    "pipeline_daily_etl",
+    "pipeline_feature_store",
+    "plan_cbo_multiway",
+    "sample_reservoir_per_key",
+    "sample_weighted_priority",
+    "scan_corrupt_records",
+    "scan_metadata_columns",
+    "set_intersect_except_all",
+    "sketch_hll_mergeable",
+    "spatial_grid_join",
+    "stats_rank_sum_u",
+    "stats_ttest_welch",
+    "stats_winsorized_mean",
+    "stream_demo_stream_join",
+    "text_chunk_fixed_overlap",
+    "text_lang_overlap_jaccard",
+    "ts_resample_interpolate",
+    "ts_seasonal_naive_eval",
+    "win_time_range_frame",
+    # --- 2 driver row(s), last in r2 ---
     "agg_approx_distinct",
     "agg_collect",
     "agg_cube",
@@ -565,7 +560,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "pivot",
     "project_derive",
     "self_join",
-    # --- 2 driver row(s), last in r3 (1) ---
+    # --- 2 driver row(s), last in r3 ---
     "scan_parquet",
 )
 

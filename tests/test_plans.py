@@ -254,11 +254,17 @@ def test_sessionize_single_shuffle(spark):
 
 def test_max_concurrent_is_join_free_sweep(spark):
     """events_max_concurrent: the sweep line must stay a UNION ALL +
-    one global running sum — the naive count-overlaps formulation is a
-    range self-join, which is the shape this operator exists to avoid."""
+    a range-partitioned prefix sum — the naive count-overlaps
+    formulation is a range SELF-join of the event frame, the shape this
+    operator exists to avoid. The total-order kernel's offset joins are
+    broadcast-only over the partition-count-sized totals frame; any
+    SortMergeJoin would mean the event frame itself is being joined."""
     plan = plan_of(spark, "events_max_concurrent")
     assert "Union" in plan, plan
-    assert "Join" not in plan, "sweep line degraded to a self-join:\n" + plan
+    assert "rangepartitioning" in plan, "sweep lost its range shuffle:\n" + plan
+    assert "SortMergeJoin" not in plan, (
+        "sweep degraded to a data-frame join:\n" + plan
+    )
 
 
 def test_basket_pairs_broadcast_dims(spark):
@@ -401,3 +407,56 @@ def test_ivm_merge_never_rescans_base(spark):
     assert rollup_scans, "merge plan lost the materialized rollup scan:\n" + plan
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln and "ts" in ln]
     assert pushed, "delta-day filter not pushed to the events scan:\n" + plan
+
+
+def test_no_unpartitioned_window_without_justification():
+    """VERDICT r5 item 2: a Window.orderBy(...) with no partitionBy (or
+    an argument-less Window.partitionBy()) funnels every row through
+    ONE task. Every such construction in the package must either live
+    in functions/total_order.py (the distributed replacement itself) or
+    carry a `# bounded-window:` justification comment within the six
+    preceding lines explaining why the frame cannot grow with data
+    volume (calendar/domain-bounded) and why the prefix-sum kernel
+    cannot express it (sliding frame, lag, float association)."""
+    import re
+    from pathlib import Path
+
+    pkg = Path("/root/repo/python_etl_sample_spark")
+    pat = re.compile(r"Window\.orderBy\(|Window\.partitionBy\(\)")
+    offenders = []
+    for path in sorted(pkg.rglob("*.py")):
+        if path.name == "total_order.py":
+            continue
+        lines = path.read_text().splitlines()
+        for i, ln in enumerate(lines):
+            if not pat.search(ln) or ln.lstrip().startswith("#"):
+                continue
+            context = "\n".join(lines[max(0, i - 6): i])
+            if "# bounded-window:" not in context:
+                offenders.append(f"{path}:{i + 1}: {ln.strip()}")
+    assert not offenders, (
+        "unjustified single-task window(s):\n" + "\n".join(offenders)
+    )
+
+
+def test_exact_total_order_plans_are_range_partitioned(spark):
+    """sort_multi and agg_equi_depth_histogram (VERDICT r5 'weak' item)
+    must plan a rangepartitioning exchange — the distributed total
+    order — and every Window in their plans must be partitioned (the
+    kernel's per-range row_number), never the single-task global form."""
+    import re
+
+    for name in ("sort_multi", "agg_equi_depth_histogram"):
+        plan = plan_of(spark, name)
+        assert "rangepartitioning" in plan, name + " lost its range shuffle:\n" + plan
+        # an UNpartitioned Window prints Arguments: [fns], [], [sort...]
+        # — the empty middle list is the single-task spec
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if re.match(r"\(\d+\) Window", ln.strip()):
+                args = next(
+                    l for l in lines[i:] if l.strip().startswith("Arguments:")
+                )
+                assert not re.search(r"\], \[\], \[", args), (
+                    name + " plans a single-task window:\n" + args
+                )

@@ -838,6 +838,7 @@ def test_poisson_bootstrap_matches_python_hash_replay(spark):
     """stats_bootstrap_poisson_ci vs an exact integer-hash replay of
     the weight draws and resample means."""
     MOD, T, B = 1000003, (367879, 735758, 919698, 981011, 996340), 32
+    KEYMOD = 3221225473
     rows = (
         table(spark, SF_DIR, "orders")
         .selectExpr("o_orderkey", "CAST(round(o_totalprice*100) AS BIGINT) c")
@@ -848,7 +849,7 @@ def test_poisson_bootstrap_matches_python_hash_replay(spark):
     for b in range(B):
         swc = sw = 0
         for okey, c in data:
-            u = ((okey % 100000) * 2654435761 + b * 2246822519) % MOD
+            u = ((okey % KEYMOD) * 2654435761 + b * 2246822519) % MOD
             w = sum(1 for t in T if u >= t) if u >= T[0] else 0
             swc += w * c
             sw += w

@@ -1,6 +1,6 @@
 """Mimic the driver: plain session, import __spark_entry__, smoke + oracle compare."""
-import sys, hashlib
-sys.path.insert(0, "/root/repo")
+import os, sys, hashlib
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession
 import duckdb, pandas as pd
 

@@ -1,6 +1,6 @@
 """Quick single-query parity check: python tools/quick_parity.py name1,name2 [sf_dir]"""
-import sys, hashlib
-sys.path.insert(0, "/root/repo")
+import os, sys, hashlib
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession
 import duckdb, pandas as pd
 
