@@ -92,10 +92,37 @@ def decode_image(payload: bytes) -> tuple[int, int, int]:
     raise ValueError(f"unsupported image container: {payload[:2]!r}")
 
 
-@query("multimodal_decode", oracle=None)
+@query(
+    "multimodal_decode",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, lang,
+             4 + doc_id % 13 AS w,
+             3 + length(text) % 9 AS h
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN doc_id % 2 = 0 THEN 'image/bmp'
+                ELSE 'image/x-portable-pixmap' END AS mime,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           3 AS channels,
+           CAST(CASE WHEN doc_id % 2 = 0
+                THEN 54 + (3*w + (4 - (3*w) % 4) % 4) * h
+                ELSE 9 + length(CAST(w AS VARCHAR))
+                       + length(CAST(h AS VARCHAR)) + 3*w*h
+           END AS BIGINT) AS n_bytes
+    FROM f
+    """,
+)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column decode pipeline (rows-only: the payload synthesis
-    and Arrow UDF are not SQL-expressible).
+    """Binary-column decode pipeline, HASH-CHECKED (VERDICT r5 item 3):
+    the synthesized container geometry is a pure function of doc
+    features, so the DuckDB oracle mirrors the byte math of the real
+    encoders — BMP = 54-byte headers + 4-aligned pixel rows, P6 = text
+    header + raw RGB — and the decoded dimensions and byte counts are
+    compared cross-engine. A header-parse bug, padding slip, or
+    truncated payload breaks the hash.
 
     Synthesizes real BMP / PPM payloads (deterministic per doc: size
     from doc features, pixel bytes from the text) into an opaque binary
@@ -193,14 +220,48 @@ def iter_ppm_frames(payload: bytes):
         off = end
 
 
-@query("multimodal_frame_sample", oracle=None)
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, text,
+             2 + doc_id % 7 AS n_frames,
+             4 + doc_id % 5 AS w,
+             3 + doc_id % 4 AS h,
+             greatest(length(text), 1) AS L
+      FROM documents
+    ), frames AS (
+      SELECT doc_id, text, w, h, L,
+             UNNEST(range(0, n_frames, 3)) AS fno
+      FROM f
+    )
+    SELECT doc_id,
+           CAST(fno AS INT) AS frame_no,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           round(
+             list_aggregate(
+               list_transform(range(0, w*h),
+                 j -> CASE WHEN length(text) = 0 THEN 0
+                      ELSE unicode(text[CAST((3*j + fno) % L AS INT) + 1])
+                           % 256 END),
+               'sum') / CAST(w*h AS DOUBLE), 6) AS mean_r
+    FROM frames
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video-style frame sampling (rows-only: payload synthesis and the
-    Arrow UDF are not SQL-expressible): each doc carries a multi-frame
-    concatenated-PPM stream (ffmpeg's image2pipe container), and an
-    Arrow-batched mapInPandas walks the real frame headers, keeps every
-    k-th frame (k=3), and emits per-frame features — the
-    decode → sample → featurize shape a video training pipeline runs.
+    """Video-style frame sampling, HASH-CHECKED (VERDICT r5 item 3):
+    each doc carries a multi-frame concatenated-PPM stream (ffmpeg's
+    image2pipe container), and an Arrow-batched mapInPandas walks the
+    real frame headers, keeps every k-th frame (k=3), and emits
+    per-frame features — the decode → sample → featurize shape a video
+    training pipeline runs. The pixel bytes are char codes of the doc
+    text rolled by frame number, so the per-frame red-channel mean is a
+    pure function of (doc_id, text) that the DuckDB oracle recomputes
+    with list arithmetic — a header-walk slip, wrong sample stride, or
+    channel off-by-one breaks the hash. (No exact-6dp rounding tie is
+    reachable: w·h has only {2,3,5,7} factors, and 10⁶/area is either
+    an integer or non-terminating, never x.5 — see round-6 notes.)
 
     Scale: map-only (no shuffle at all); payloads stay columnar binary;
     one output row per SAMPLED frame bounds the blow-up to n_frames/k.
@@ -215,13 +276,14 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 n_frames = 2 + int(doc_id) % 7
                 w, h = 4 + int(doc_id) % 5, 3 + int(doc_id) % 4
-                tb = text.encode("utf-8") or b"\x00"
+                src = text or "\x00"
+                L = len(src)
                 need = w * h * 3
                 frames = []
                 for f in range(n_frames):
                     px = bytes(
-                        tb[(i + f) % len(tb)] for i in range(need)
-                    )  # frame f = text bytes rolled by f
+                        ord(src[(i + f) % L]) % 256 for i in range(need)
+                    )  # frame f = text char codes rolled by f
                     frames.append(encode_ppm(w, h, px))
                 stream = encode_ppm_stream(frames)
                 for fno, (fw, fh, rgb) in enumerate(iter_ppm_frames(stream)):
@@ -269,14 +331,46 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
     return rate, channels, bits, pcm
 
 
-@query("multimodal_audio_features", oracle=None)
+@query(
+    "multimodal_audio_features",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             200 + (length(text) * 7) % 800 AS n,
+             5000 + (doc_id * 37) % 20000 AS amp,
+             1 + (doc_id * 31) % 997 AS step
+      FROM documents
+    ), s AS (
+      SELECT doc_id, n,
+             list_transform(range(0, n),
+                            t -> (t * step) % (2 * amp) - amp) AS sig
+      FROM f
+    )
+    SELECT doc_id,
+           8000 AS sample_rate,
+           CAST(n AS INT) AS n_samples,
+           round(1000.0 * n / 8000, 3) AS duration_ms,
+           round(sqrt(list_aggregate(
+                        list_transform(sig, x -> x * x), 'sum')
+                      / CAST(n AS DOUBLE)), 3) AS rms,
+           CAST(list_aggregate(list_transform(sig, x -> abs(x)), 'max')
+                AS INT) AS peak
+    FROM s
+    """,
+)
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio feature extraction (rows-only: payload synthesis and the
-    Arrow UDF are not SQL-expressible): each doc carries a REAL RIFF/WAV
-    payload (deterministic 16-bit PCM synthesized from doc features); an
-    Arrow-batched mapInPandas walks the actual chunk structure and emits
-    duration / RMS / peak — the decode-and-featurize shape an audio
-    training pipeline runs ahead of filtering.
+    """Audio feature extraction, HASH-CHECKED (VERDICT r5 item 3): each
+    doc carries a REAL RIFF/WAV payload (deterministic 16-bit PCM
+    synthesized from doc features); an Arrow-batched mapInPandas walks
+    the actual chunk structure and emits duration / RMS / peak — the
+    decode-and-featurize shape an audio training pipeline runs ahead of
+    filtering. The PCM is an integer sawtooth — ((t·step) mod 2A) − A —
+    so every sample, the sum of squares (≤6e11, exact in int64 and
+    double), and the peak are exact integers both engines reproduce;
+    the only float ops are the final divide/sqrt/round, identical IEEE
+    operations on identical inputs. (A sine here would tie the hash to
+    libm's last ulp at int16 truncation boundaries — the sawtooth keeps
+    the container and chunk-walk real while making parity exact.)
 
     Scale: map-only; fixed-size features per clip regardless of payload
     size; the chunk walker swaps for libsndfile/ffmpeg without touching
@@ -291,12 +385,13 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 rate = 8000
                 n = 200 + (len(text) * 7) % 800
-                # deterministic PCM: quantized sine whose frequency and
-                # amplitude derive from doc features
-                freq = 100 + int(doc_id) % 400
+                # deterministic PCM: integer sawtooth whose step and
+                # amplitude derive from doc features (exact int16)
                 amp = 5000 + (int(doc_id) * 37) % 20000
-                t = np.arange(n, dtype=np.float64) / rate
-                pcm = (amp * np.sin(2 * np.pi * freq * t)).astype("<i2")
+                step = 1 + (int(doc_id) * 31) % 997
+                pcm = (
+                    (np.arange(n, dtype=np.int64) * step) % (2 * amp) - amp
+                ).astype("<i2")
                 payload = encode_wav(rate, pcm.tobytes())
                 prate, _ch, _bits, raw = decode_wav(payload)
                 sig = np.frombuffer(raw, dtype="<i2").astype(np.float64)
@@ -346,21 +441,41 @@ def thumbnail_bmp(payload: bytes) -> bytes:
     return encode_bmp(tw, th, bytes(out))
 
 
-@query("multimodal_image_thumbnail", oracle=None)
+@query(
+    "multimodal_image_thumbnail",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             6 + doc_id % 11 AS w,
+             4 + length(text) % 7 AS h
+      FROM documents
+    ), t AS (
+      SELECT doc_id, w // 2 AS tw, h // 2 AS th FROM f
+    )
+    SELECT doc_id,
+           CAST(tw AS INT) AS thumb_width,
+           CAST(th AS INT) AS thumb_height,
+           CAST(54 + (3*tw + (4 - (3*tw) % 4) % 4) * th AS BIGINT)
+             AS thumb_bytes
+    FROM t
+    """,
+)
 def multimodal_image_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image resize stage (rows-only: binary payloads + Arrow UDFs are
-    not SQL-expressible): synthesize real BMP payloads, then a
-    mapInPandas stage decodes the actual pixel rows (header + alignment
-    padding) and re-encodes a 2× nearest-neighbor thumbnail, emitting
-    the new geometry plus a crc32 of the thumbnail container so the
-    transform is pinned byte-exactly.
+    """Image resize stage, HASH-CHECKED (VERDICT r5 item 3): synthesize
+    real BMP payloads, then a mapInPandas stage decodes the actual pixel
+    rows (header + alignment padding) and re-encodes a 2× nearest-
+    neighbor thumbnail. The thumbnail geometry and container byte count
+    are pure functions of doc features, so the DuckDB oracle mirrors the
+    encoder's byte math (w//2 halving, 54-byte headers, 4-byte row
+    alignment) and any resize/re-encode slip breaks the hash. Byte-level
+    exactness of the container (pixel selection, padding bytes) is
+    pinned separately by the crc32 tests in tests/test_properties.py —
+    crc32 itself is not SQL-expressible.
 
     This is the multimodal preprocessing shape at 100 TB: map-only
     (zero shuffle), Arrow-batched, payload column pruned straight into
     the UDF, output a fraction of input bytes. Swapping the kernel for
     PIL/turbojpeg changes thumbnail_bmp's body only."""
-    import zlib
-
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -387,14 +502,11 @@ def multimodal_image_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "thumb_width": dims.map(lambda t: t[0]),
                     "thumb_height": dims.map(lambda t: t[1]),
                     "thumb_bytes": thumbs.map(len),
-                    "thumb_crc32": thumbs.map(
-                        lambda b: zlib.crc32(b) & 0xFFFFFFFF
-                    ),
                 }
             )
 
     return with_payload.mapInPandas(
         resize,
         "doc_id bigint, thumb_width int, thumb_height int,"
-        " thumb_bytes bigint, thumb_crc32 bigint",
+        " thumb_bytes bigint",
     )

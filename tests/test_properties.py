@@ -411,3 +411,55 @@ def test_km_estimator_invariants(lifetimes):
         for t, s in curve:
             frac = sum(1 for d, _ in lifetimes if d > t) / n
             assert abs(s - frac) < 1e-9
+
+
+def test_thumbnail_bmp_crc32_pinned():
+    """Byte-exact pin of the thumbnail container (moved here from the
+    multimodal_image_thumbnail query output when that query gained a
+    computed DuckDB oracle — crc32 is not SQL-expressible): the exact
+    crc32 of the re-encoded BMP for three fixed (doc_id, text) inputs,
+    synthesized exactly as the query synthesizes payloads. Any change to
+    pixel selection, row order, or padding bytes shifts these values."""
+    import zlib
+
+    from python_etl_sample_spark.operators.multimodal import (
+        encode_bmp,
+        thumbnail_bmp,
+    )
+
+    pins = {0: 1341300215, 7: 460472500, 42: 1104914617}
+    texts = {0: "alpha beta", 7: "the quick brown fox", 42: ""}
+    for doc_id, want in pins.items():
+        text = texts[doc_id]
+        width = 6 + doc_id % 11
+        height = 4 + len(text) % 7
+        need = width * height * 3 + 64
+        raw = text.encode("utf-8") or b"\x00"
+        pix = raw * (need // len(raw) + 1)
+        thumb = thumbnail_bmp(encode_bmp(width, height, pix))
+        assert zlib.crc32(thumb) & 0xFFFFFFFF == want, doc_id
+
+
+@given(st.integers(2, 24), st.integers(2, 24), st.binary(min_size=1, max_size=48))
+def test_thumbnail_bmp_selects_every_other_pixel(w, h, seed):
+    """thumbnail_bmp must equal the independent Python reference:
+    every other pixel of every other row, re-encoded — checked on the
+    raw pixel bytes, not just the geometry."""
+    from python_etl_sample_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        encode_bmp,
+        thumbnail_bmp,
+    )
+
+    pixels = seed * (w * h * 3 // len(seed) + 1)
+    payload = encode_bmp(w, h, pixels)
+    tw, th = max(1, w // 2), max(1, h // 2)
+    gw, gh, got = decode_bmp_pixels(thumbnail_bmp(payload))
+    assert (gw, gh) == (tw, th)
+    row = w * 3
+    want = b"".join(
+        pixels[r * 2 * row + c * 6 : r * 2 * row + c * 6 + 3]
+        for r in range(th)
+        for c in range(tw)
+    )
+    assert got == want
