@@ -43,6 +43,17 @@ WARM_PYTHON = (
     "stream_demo_stateful",  # applyInPandasWithState
 )
 
+# queries that run a REAL bounded micro-batch stream internally and
+# return a batch snapshot: the session's first stream pays micro-batch
+# engine + state-store + (for the stateful one) Arrow-state worker
+# init. Warm each untimed so driver rounds time plans, not first-use
+# machinery (VERDICT r5 item 5).
+WARM_STREAMING = (
+    "stream_demo_rate_source",
+    "stream_demo_stream_join",
+    "stream_demo_session",
+)
+
 STAGED_READS = (
     "source_csv",
     "source_json",
@@ -97,6 +108,11 @@ def main() -> int:
     qs["agg_groupby"](spark, sf_dir).collect()
     # Python-worker-pool warm-up, one query per execution shape
     for name in WARM_PYTHON:
+        df = qs[name](spark, sf_dir)
+        if not df.isStreaming:
+            df.count()
+    # micro-batch engine warm-up (bounded real streams, batch results)
+    for name in WARM_STREAMING:
         df = qs[name](spark, sf_dir)
         if not df.isStreaming:
             df.count()

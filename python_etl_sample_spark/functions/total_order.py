@@ -12,9 +12,10 @@ running sum over an unbounded frame:
    *i+1*'s under that order, and each partition sorts locally;
 2. a per-partition ``row_number`` / running ``sum`` (window partitioned
    by ``spark_partition_id()`` — parallel, one task per range);
-3. per-partition row/value totals, offset via a triangular self-join
-   over the (tiny, ≤ shuffle-partition-count) totals frame — no driver
-   collect, no single-task window anywhere;
+3. per-partition row/value totals, offset via an exclusive prefix sum
+   over the totals frame — that frame has ≤ ``shuffle.partitions``
+   rows (CONFIG-bounded, not data-bounded), so its one-task window is
+   a constant-size reduction, not a scale risk; no driver collect;
 4. global rank = offset + local rank (exact, not approximate, because
    the offsets are exact counts, independent of where the sampled range
    boundaries landed).
@@ -82,28 +83,28 @@ def attach_global_order(
         aggs.append(F.sum(val).alias(f"__to_tot_{out}"))
     parts = d.groupBy(_PID).agg(*aggs)
 
-    below = parts.select(
-        F.col(_PID).alias("__to_bpid"),
-        F.col("__to_cnt").alias("__to_bcnt"),
-        *[
-            F.col(f"__to_tot_{out}").alias(f"__to_btot_{out}")
-            for _, out in cumsums
-        ],
+    # exclusive prefix over the partition-totals frame: ≤ n rows where
+    # n = shuffle.partitions — bounded by CLUSTER CONFIG, not by data
+    # volume, so the one-task window here is a constant-size reduction
+    # (the same reason the final 32-row merge of any global aggregate
+    # is fine). This replaced a triangular self-join that cost two
+    # extra stages per kernel call for identical output.
+    w_off = Window.orderBy(_PID).rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    off_aggs = [
-        F.coalesce(F.sum("__to_bcnt"), F.lit(0)).alias("__to_off_rn")
+    off_cols = [
+        F.col(_PID),
+        F.coalesce(F.sum("__to_cnt").over(w_off), F.lit(0)).alias(
+            "__to_off_rn"
+        ),
     ]
     for _, out in cumsums:
-        off_aggs.append(
-            F.coalesce(F.sum(f"__to_btot_{out}"), F.lit(0)).alias(
-                f"__to_off_{out}"
-            )
+        off_cols.append(
+            F.coalesce(
+                F.sum(f"__to_tot_{out}").over(w_off), F.lit(0)
+            ).alias(f"__to_off_{out}")
         )
-    offs = (
-        parts.join(below, F.col("__to_bpid") < F.col(_PID), "left")
-        .groupBy(_PID)
-        .agg(*off_aggs)
-    )
+    offs = parts.select(*off_cols)
 
     d = d.join(F.broadcast(offs), _PID)
     if rn is not None:

@@ -307,6 +307,11 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "events_cohort_ltv",
     "stats_bootstrap_poisson_ci",
     "graph_kcore_peel",
+    # round-6 additions (operators/round6_ops.py)
+    "agg_exact_quantiles_global",
+    "embedding_matryoshka_quality",
+    "dedup_url_canonicalize",
+    "text_ngram_novelty",
 )
 
 
@@ -320,7 +325,7 @@ EXTENSION_ORDER: tuple[str, ...] = (
 #: recent row) ascending, so re-recording slots always go to the stalest
 #: evidence first. Regenerate with ``python tools/gen_driver_order.py``.
 DRIVER_ORDER: tuple[str, ...] = (
-# never driver-recorded (16) — next round's first slots
+# never driver-recorded (20) — next round's first slots
     "stream_demo_session",
     "stream_demo_rate_source",
     "customer_survival_km",
@@ -337,6 +342,10 @@ DRIVER_ORDER: tuple[str, ...] = (
     "events_cohort_ltv",
     "stats_bootstrap_poisson_ci",
     "graph_kcore_peel",
+    "agg_exact_quantiles_global",
+    "embedding_matryoshka_quality",
+    "dedup_url_canonicalize",
+    "text_ngram_novelty",
     # --- 1 driver row(s), last in r1 ---
     "dedup_embedding_cosine",
     "dedup_exact",

@@ -450,13 +450,16 @@ def test_exact_total_order_plans_are_range_partitioned(spark):
         plan = plan_of(spark, name)
         assert "rangepartitioning" in plan, name + " lost its range shuffle:\n" + plan
         # an UNpartitioned Window prints Arguments: [fns], [], [sort...]
-        # — the empty middle list is the single-task spec
+        # — the empty middle list is the single-task spec. Sole allowed
+        # occurrence: the kernel's offsets prefix, ordered by its
+        # internal __to_pid key — that frame is ≤ shuffle.partitions
+        # rows (config-bounded), a constant-size reduction.
         lines = plan.splitlines()
         for i, ln in enumerate(lines):
             if re.match(r"\(\d+\) Window", ln.strip()):
                 args = next(
                     l for l in lines[i:] if l.strip().startswith("Arguments:")
                 )
-                assert not re.search(r"\], \[\], \[", args), (
+                assert not re.search(r"\], \[\], \[(?!__to_pid)", args), (
                     name + " plans a single-task window:\n" + args
                 )
