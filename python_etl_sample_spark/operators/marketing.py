@@ -70,14 +70,23 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a 1-row broadcast); higher score = more recent (DESC order puts
     the stalest customers in tile 1). Frequency and monetary score
     ascending. The quintiles are global over the per-customer frame —
-    which grows with |customers|, so instead of three partitionless
-    NTILE windows (each a single-task global sort in Spark) each score
-    is ntile_from_rank over the range-partitioned exact total order
-    (functions/total_order.py): three range shuffles of the customer
-    frame, all parallel. The output is the segment-level profile — the
-    thing a campaign system actually joins against. At 100 TB the
-    per-customer frame is the only sorted structure; everything
-    upstream is map-side-combined aggregation."""
+    which grows with |customers| — and each dimension takes the
+    cheapest EXACT route for its value domain:
+
+    - recency and frequency have DOMAIN-BOUNDED value sets (calendar
+      days; order counts), so their global rank is below-count (an
+      exclusive prefix over the distinct-value histogram — the
+      Mann-Whitney trick) + row_number within the tied value by
+      custkey. One groupBy(value) each; no range shuffle of customers.
+    - monetary is near-unique per customer, so it uses the
+      range-partitioned total-order kernel (functions/total_order.py).
+
+    No partitionless window touches a data-sized frame (NTILE over the
+    raw customer frame would be a single-task global sort); NTILE
+    semantics are reproduced exactly by ntile_from_rank. The output is
+    the segment-level profile — the thing a campaign system actually
+    joins against. At 100 TB the per-customer frame is the only sorted
+    structure; everything upstream is map-side-combined aggregation."""
     o = table(spark, sf_dir, "orders")
     ref = o.agg(F.max("o_orderdate").alias("d0"))
     cust = (
@@ -96,12 +105,30 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tot = cust.agg(F.count(F.lit(1)).alias("__n"))
-    d = attach_global_order(
-        cust, [F.desc("recency_days"), F.asc("o_custkey")], rn="__rr"
-    )
-    d = attach_global_order(
-        d, [F.asc("frequency"), F.asc("o_custkey")], rn="__rf"
-    )
+
+    def hist_rank(d: DataFrame, val: str, rn: str, desc: bool) -> DataFrame:
+        """Global rank under ((val asc|desc), custkey asc) as
+        below-count + within-value row_number — exact while the value
+        domain is bounded (the # bounded-window: justification below)."""
+        counts = d.groupBy(val).agg(F.count(F.lit(1)).alias("__c"))
+        order = F.desc(val) if desc else F.asc(val)
+        # bounded-window: exclusive prefix over the DISTINCT-value
+        # histogram — recency is calendar-bounded, frequency is
+        # bounded by max orders per customer; neither grows with row
+        # count, and the per-row rank below is value-partitioned
+        w_below = Window.orderBy(order).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        below = counts.select(
+            val, F.coalesce(F.sum("__c").over(w_below), F.lit(0)).alias("__b")
+        )
+        w_tie = Window.partitionBy(val).orderBy(F.asc("o_custkey"))
+        return d.join(below, val).withColumn(
+            rn, F.col("__b") + F.row_number().over(w_tie)
+        ).drop("__b")
+
+    d = hist_rank(cust, "recency_days", "__rr", desc=True)
+    d = hist_rank(d, "frequency", "__rf", desc=False)
     d = attach_global_order(
         d, [F.asc("monetary_cents"), F.asc("o_custkey")], rn="__rm"
     )

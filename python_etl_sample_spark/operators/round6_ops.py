@@ -355,3 +355,380 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_novel") / F.sum("n_tri").cast("double"), 6
         ).alias("novelty_rate"),
     )
+
+
+#: as-of staleness tolerance: a click older than this is too stale to
+#: credit (the point-in-time feature-join contract — serving a feature
+#: computed too long before the request is a correctness bug)
+_ASOF_TOL_S = 24 * 3600
+
+
+@query(
+    "join_asof_tolerance",
+    oracle=f"""
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+           CASE WHEN c.ts IS NOT NULL
+                 AND date_diff('second', c.ts, p.ts) <= {_ASOF_TOL_S}
+                THEN c.ts END AS click_ts_within,
+           CASE WHEN c.ts IS NOT NULL
+                 AND date_diff('second', c.ts, p.ts) <= {_ASOF_TOL_S}
+                THEN 1 ELSE 0 END AS matched
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH STALENESS TOLERANCE: each purchase matched to
+    the user's latest click at-or-before it, but only credited when
+    that click is at most 24 h old — the point-in-time feature-join
+    contract (a feature computed long before the request must not be
+    served as fresh). Purchases whose nearest click is older keep a
+    NULL match and matched = 0, so the tolerance actually filters.
+
+    The oracle is DuckDB's NATIVE ASOF JOIN plus the tolerance CASE —
+    the strongest available cross-check for Spark's emulation (union
+    the streams, last(click_ts, ignorenulls) over a user-partitioned
+    (ts, side) window, then the same tolerance gate). One shuffle on
+    user_id; no per-row subquery; a user's history sorts within one
+    task — the standard as-of contract."""
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        "event_id",
+        F.lit(None).cast("timestamp_ntz").alias("click_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = clicks.unionByName(purchases).withColumn(
+        "last_click_ts", F.last("click_ts", ignorenulls=True).over(w)
+    )
+    fresh = (
+        F.col("last_click_ts").isNotNull()
+        & (
+            F.unix_timestamp("ts") - F.unix_timestamp("last_click_ts")
+            <= _ASOF_TOL_S
+        )
+    )
+    return merged.filter(F.col("side") == 1).select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.when(fresh, F.col("last_click_ts")).alias("click_ts_within"),
+        F.when(fresh, F.lit(1)).otherwise(F.lit(0)).alias("matched"),
+    )
+
+
+@query(
+    "events_bounce_rate",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS session_idx
+      FROM marked
+    ), sessions AS (
+      SELECT user_id, session_idx, MIN(ts) AS session_start,
+             COUNT(*) AS n_events
+      FROM numbered GROUP BY user_id, session_idx
+    )
+    SELECT CAST(CAST(session_start AS DATE) AS TIMESTAMP) AS day,
+           COUNT(*) AS n_sessions,
+           COUNT(CASE WHEN n_events = 1 THEN 1 END) AS n_bounces,
+           round(COUNT(CASE WHEN n_events = 1 THEN 1 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate
+    FROM sessions GROUP BY CAST(session_start AS DATE)
+    """,
+)
+def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: share of sessions (30-min-gap sessionization,
+    identical to events_sessionize — whose session frame this REUSES)
+    containing exactly one event, keyed by session-start day — the
+    engagement-health headline every product dashboard carries.
+
+    Determinism: session numbering inherits the (ts, event_id)
+    tie-break law; the rate is one mirrored integer division rounded
+    6 dp. Scale: the one user_id shuffle from sessionization, then a
+    partial-agg rollup on ~30 day keys."""
+    from python_etl_sample_spark.operators.scale_ops5 import events_sessionize
+
+    sessions = events_sessionize(spark, sf_dir)
+    bounce = F.when(F.col("n_events") == 1, 1)
+    return (
+        sessions.groupBy(
+            F.to_date("session_start").cast("timestamp_ntz").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.count(bounce).alias("n_bounces"),
+            F.round(
+                F.count(bounce) / F.count(F.lit(1)).cast("double"), 6
+            ).alias("bounce_rate"),
+        )
+    )
+
+
+#: synthetic resource-hold length for the interval-merge op (its own
+#: constant — events_max_concurrent's 15-min sweep is a different query)
+_IVL_HOLD_S = 10 * 60
+
+
+@query(
+    "fn_intervals_overlap_merge",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, ts AS s, ts + INTERVAL {_IVL_HOLD_S} SECOND AS e,
+             event_id
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, s, e, event_id,
+             CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING) >= s
+                  THEN 0 ELSE 1 END AS is_new
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY s, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS island
+      FROM marked
+    ),
+    merged AS (
+      SELECT user_id, island, MIN(s) AS ms, MAX(e) AS me, COUNT(*) AS n_raw
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           COUNT(*) AS n_merged,
+           CAST(SUM(n_raw) AS BIGINT) AS n_raw,
+           CAST(SUM(date_diff('second', ms, me)) AS BIGINT) AS covered_s
+    FROM merged GROUP BY user_id
+    """,
+)
+def fn_intervals_overlap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union per key (gaps-and-islands over RANGES): each
+    event holds a resource for 10 minutes; overlapping holds merge, and
+    the per-user report counts merged intervals and total covered
+    seconds — the classic uptime/billing/utilization primitive that
+    naive per-second expansion (600× blow-up) or a range self-join
+    (O(n·k)) gets catastrophically wrong.
+
+    The rewrite: an interval starts a new island iff the running MAX of
+    previous interval ends (user-partitioned, (start, event_id) order)
+    does not reach its start; islands number by running sum of the
+    marks; coverage is Σ(island end − island start) in exact epoch
+    seconds — both windows share the (start, event_id) TOTAL order (the
+    engine tie-break law), so tied starts island identically in both
+    engines. One user_id shuffle serves the mark window, the island
+    numbering, and (partial-agg) both rollups."""
+    ev = table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr(f"INTERVAL {_IVL_HOLD_S} SECOND")).alias("e"),
+        "event_id",
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.select(
+        "user_id",
+        "s",
+        "e",
+        "event_id",
+        F.when(F.max("e").over(w_prev) >= F.col("s"), 0)
+        .otherwise(1)
+        .alias("is_new"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = marked.withColumn("island", F.sum("is_new").over(w_run))
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("ms"),
+        F.max("e").alias("me"),
+        F.count(F.lit(1)).alias("n_raw"),
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_merged"),
+        F.sum("n_raw").cast("bigint").alias("n_raw"),
+        F.sum(
+            F.unix_timestamp("me") - F.unix_timestamp("ms")
+        ).cast("bigint").alias("covered_s"),
+    )
+
+
+#: referential-integrity edges: (child table, fk column, parent table,
+#: pk column) — the star schema's declared-but-unenforced constraints
+_RI_EDGES = (
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+@query(
+    "dq_referential_integrity",
+    oracle=" UNION ALL ".join(
+        f"""
+    SELECT '{child}.{fk}' AS fk_edge,
+           (SELECT COUNT(*) FROM {child}) AS n_child_rows,
+           (SELECT COUNT(*) FROM {child} c
+             WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                               WHERE p.{pk} = c.{fk})) AS n_orphans,
+           (SELECT COUNT(DISTINCT c.{fk}) FROM {child} c
+             WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                               WHERE p.{pk} = c.{fk})) AS n_missing_keys
+    """
+        for child, fk, parent, pk in _RI_EDGES
+    ),
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity sweep: for every foreign-key edge of the
+    star schema, the orphan count (child rows whose key has no parent)
+    and the distinct missing-key count — the data-quality audit that
+    runs after every backfill, because distributed stores declare
+    constraints but never enforce them.
+
+    Shape per edge: one LEFT ANTI join (broadcast for the small
+    parents, shuffle for orders⋈lineitem) + counts; the six per-edge
+    1-row results union. On healthy fixtures every orphan count is 0 —
+    the hash pins the HEALTH, and any loader regression that drops
+    parent rows or mangles keys flips it."""
+    results = None
+    for child, fk, parent, pk in _RI_EDGES:
+        c = table(spark, sf_dir, child)
+        p = table(spark, sf_dir, parent).select(F.col(pk).alias("__pk"))
+        orphans = c.join(
+            F.broadcast(p) if parent != "orders" else p,
+            c[fk] == F.col("__pk"),
+            "left_anti",
+        )
+        row = orphans.agg(
+            F.count(F.lit(1)).alias("n_orphans"),
+            F.countDistinct(fk).alias("n_missing_keys"),
+        ).crossJoin(
+            F.broadcast(c.agg(F.count(F.lit(1)).alias("n_child_rows")))
+        ).select(
+            F.lit(f"{child}.{fk}").alias("fk_edge"),
+            "n_child_rows",
+            "n_orphans",
+            "n_missing_keys",
+        )
+        results = row if results is None else results.unionByName(row)
+    return results
+
+
+@query(
+    "etl_gdpr_delete_propagation",
+    oracle="""
+    WITH keyset AS (
+      SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0
+    ),
+    del_orders AS (
+      SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT k FROM keyset)
+    )
+    SELECT 'customer' AS table_name,
+           (SELECT COUNT(*) FROM customer) AS n_rows,
+           (SELECT COUNT(*) FROM keyset) AS n_deleted
+    UNION ALL
+    SELECT 'orders',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM del_orders)
+    UNION ALL
+    SELECT 'lineitem',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem
+             WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders))
+    UNION ALL
+    SELECT 'events',
+           (SELECT COUNT(*) FROM events),
+           (SELECT COUNT(*) FROM events
+             WHERE user_id IN (SELECT k FROM keyset))
+    """,
+)
+def etl_gdpr_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure impact report: a deletion keyset (every 97th
+    customer key — deterministic stand-in for the day's GDPR requests)
+    cascades through the schema's ownership edges
+    (customer → orders → lineitem, customer → events), and the report
+    counts rows each table would lose — the blast-radius audit run
+    BEFORE the actual delete job.
+
+    Shape: the keyset is a broadcast semi-join filter at every edge;
+    the orders keyset (the only derived set) is itself broadcastable
+    (|orders|/97). Nothing scans twice at the same depth; the real
+    delete job is these same semi-joins feeding an overwrite (see
+    etl_partition_overwrite / etl_merge_upsert for the write side)."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    ev = table(spark, sf_dir, "events")
+    keyset = cust.filter(F.col("c_custkey") % 97 == 0).select(
+        F.col("c_custkey").alias("k")
+    )
+    del_orders = orders.join(
+        F.broadcast(keyset), orders.o_custkey == F.col("k"), "left_semi"
+    ).select("o_orderkey")
+
+    def row(name: str, base: DataFrame, deleted: DataFrame) -> DataFrame:
+        return (
+            base.agg(F.count(F.lit(1)).alias("n_rows"))
+            .crossJoin(
+                F.broadcast(
+                    deleted.agg(F.count(F.lit(1)).alias("n_deleted"))
+                )
+            )
+            .select(F.lit(name).alias("table_name"), "n_rows", "n_deleted")
+        )
+
+    out = row("customer", cust, keyset)
+    out = out.unionByName(row("orders", orders, del_orders))
+    out = out.unionByName(
+        row(
+            "lineitem",
+            li,
+            li.join(
+                F.broadcast(del_orders),
+                li.l_orderkey == del_orders.o_orderkey,
+                "left_semi",
+            ),
+        )
+    )
+    out = out.unionByName(
+        row(
+            "events",
+            ev,
+            ev.join(F.broadcast(keyset), ev.user_id == F.col("k"), "left_semi"),
+        )
+    )
+    return out

@@ -312,6 +312,11 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "embedding_matryoshka_quality",
     "dedup_url_canonicalize",
     "text_ngram_novelty",
+    "join_asof_tolerance",
+    "events_bounce_rate",
+    "fn_intervals_overlap_merge",
+    "dq_referential_integrity",
+    "etl_gdpr_delete_propagation",
 )
 
 
@@ -325,7 +330,7 @@ EXTENSION_ORDER: tuple[str, ...] = (
 #: recent row) ascending, so re-recording slots always go to the stalest
 #: evidence first. Regenerate with ``python tools/gen_driver_order.py``.
 DRIVER_ORDER: tuple[str, ...] = (
-# never driver-recorded (20) — next round's first slots
+# never driver-recorded (25) — next round's first slots
     "stream_demo_session",
     "stream_demo_rate_source",
     "customer_survival_km",
@@ -346,6 +351,11 @@ DRIVER_ORDER: tuple[str, ...] = (
     "embedding_matryoshka_quality",
     "dedup_url_canonicalize",
     "text_ngram_novelty",
+    "join_asof_tolerance",
+    "events_bounce_rate",
+    "fn_intervals_overlap_merge",
+    "dq_referential_integrity",
+    "etl_gdpr_delete_propagation",
     # --- 1 driver row(s), last in r1 ---
     "dedup_embedding_cosine",
     "dedup_exact",
