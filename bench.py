@@ -49,6 +49,7 @@ WARM_PYTHON = (
 # init. Warm each untimed so driver rounds time plans, not first-use
 # machinery (VERDICT r5 item 5).
 WARM_STREAMING = (
+    "stream_demo_foreachbatch_merge",
     "stream_demo_rate_source",
     "stream_demo_stream_join",
     "stream_demo_session",

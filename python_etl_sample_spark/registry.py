@@ -317,6 +317,7 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "fn_intervals_overlap_merge",
     "dq_referential_integrity",
     "etl_gdpr_delete_propagation",
+    "stream_demo_foreachbatch_merge",
 )
 
 
@@ -330,7 +331,7 @@ EXTENSION_ORDER: tuple[str, ...] = (
 #: recent row) ascending, so re-recording slots always go to the stalest
 #: evidence first. Regenerate with ``python tools/gen_driver_order.py``.
 DRIVER_ORDER: tuple[str, ...] = (
-# never driver-recorded (25) — next round's first slots
+# never driver-recorded (26) — next round's first slots
     "stream_demo_session",
     "stream_demo_rate_source",
     "customer_survival_km",
@@ -356,6 +357,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "fn_intervals_overlap_merge",
     "dq_referential_integrity",
     "etl_gdpr_delete_propagation",
+    "stream_demo_foreachbatch_merge",
     # --- 1 driver row(s), last in r1 ---
     "dedup_embedding_cosine",
     "dedup_exact",

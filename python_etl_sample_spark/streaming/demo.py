@@ -429,3 +429,111 @@ __all__ = [
     "demo_dedup_watermark",
     "demo_stateful_running",
 ]
+
+
+@query(
+    "stream_demo_foreachbatch_merge",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, ts, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_events
+      FROM events
+    )
+    SELECT user_id,
+           CAST(n_events AS BIGINT) AS n_events,
+           ts AS last_ts,
+           event_type AS last_event_type
+    FROM ranked WHERE rn = 1
+    """,
+)
+def stream_demo_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch incremental MERGE under a real multi-batch stream —
+    HASH-CHECKED (the only streaming demo that can be, because the
+    final merged state over a bounded replay is a pure function of the
+    input, independent of how the stream was batched): the events
+    fixture is staged as FOUR parquet files, replayed one file per
+    micro-batch (maxFilesPerTrigger=1 + AvailableNow), and every batch
+    upserts a per-user state table — total event count plus the argmax
+    (ts, event_id) last event — via the read-merge-write-new-version
+    pattern a lakehouse MERGE performs. The oracle recomputes the same
+    per-user rollup from the raw table, so a lost batch, double-applied
+    batch, or merge-order sensitivity breaks the hash.
+
+    Merge algebra: (count, argmax-struct) is a commutative monoid —
+    sum the counts, take the struct max ordered by (ts, event_id,
+    event_type) — so the result is batch-order independent, which is
+    exactly the idempotence/reordering contract production foreachBatch
+    sinks must satisfy. State versions are immutable (v{batch_id}
+    directories): the write-new-then-read-latest cycle, not an
+    in-place overwrite that would corrupt on mid-batch failure.
+
+    At 100 TB: same code with the state table as a real MERGE target
+    (Delta/Iceberg); per-batch work is one map-side-combined groupBy of
+    the BATCH (not history) joined against state — O(delta + state),
+    never a rescan of the stream's past."""
+    ensure_session_configs(spark)
+    import os
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    from pyspark.sql.types import LongType
+
+    def _stage(p: str) -> None:
+        os.makedirs(p, exist_ok=True)
+        spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
+            4
+        ).write.mode("overwrite").parquet(p)
+
+    src = stage_once("stream_src_fb4", sf_dir, _stage)
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    if isinstance(raw_schema["ts"].dataType, LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    from python_etl_sample_spark.scratch import scratch_path
+
+    state_base = scratch_path(f"fb_state_{uuid.uuid4().hex[:12]}", sf_dir)
+    latest: list[str] = []
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        partial = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(F.struct("ts", "event_id", "event_type")).alias("m"),
+        )
+        if latest:
+            prev = spark.read.parquet(latest[-1])
+            partial = prev.unionByName(partial).groupBy("user_id").agg(
+                F.sum("n_events").alias("n_events"),
+                F.max("m").alias("m"),
+            )
+        path = f"{state_base}/v{batch_id}"
+        partial.write.mode("overwrite").parquet(path)
+        latest.append(path)
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", f"{state_base}/_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    q.awaitTermination()
+    assert latest, "stream produced no batches"
+    return spark.read.parquet(latest[-1]).select(
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("m.ts").alias("last_ts"),
+        F.col("m.event_type").alias("last_event_type"),
+    )
