@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from python_etl_sample_spark.functions.total_order import attach_global_order
+from python_etl_sample_spark.operators.graph_analytics import _copurchase_edges
 from python_etl_sample_spark.operators.similarity import _dot
 from python_etl_sample_spark.registry import query
 from python_etl_sample_spark.sources import table
@@ -732,3 +733,224 @@ def etl_gdpr_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+#: recursive-CTE hierarchy walk — {idiv} is '//' (DuckDB) / 'div'
+#: (Spark SQL); the synthetic forest is parent(k) = k div 7 for k ≥ 7
+#: (keys < 7 are roots — the explicit k ≥ 7 recursion guard matters:
+#: key 0 would otherwise be its own parent, an infinite cycle BOTH
+#: engines faithfully looped on when first written). parent(k) < k for
+#: every recursing k, so depth is bounded by log7(max key) and the
+#: recursion provably terminates.
+_RECURSIVE_TMPL = """
+    WITH RECURSIVE chain AS (
+      SELECT p_partkey AS node, 0 AS depth
+      FROM part WHERE p_partkey < 7
+      UNION ALL
+      SELECT p.p_partkey AS node, c.depth + 1 AS depth
+      FROM part p JOIN chain c ON p.p_partkey {idiv} 7 = c.node
+      WHERE p.p_partkey >= 7
+    )
+    SELECT depth,
+           COUNT(*) AS n_parts,
+           MIN(node) AS min_key,
+           MAX(node) AS max_key,
+           CAST(SUM(node) AS BIGINT) AS key_sum
+    FROM chain GROUP BY depth
+"""
+
+
+@query(
+    "api_sql_recursive_cte",
+    oracle=_RECURSIVE_TMPL.format(idiv="//"),
+)
+def api_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE — new in Spark 4): transitive
+    closure over a synthetic assembly forest (parent(k) = k div 7, the
+    bill-of-materials / org-chart shape), rolled up as parts per depth
+    with key checksums so the hash pins EVERY node's depth, not just
+    counts. The same query text runs on both engines modulo the
+    integer-division token — checking Spark's brand-new recursion
+    operator against DuckDB's mature one.
+
+    Termination is structural (parent key strictly decreases), not a
+    row-limit guard. Scale: each recursion step is one equi-join of the
+    frontier against the part scan + union — the same per-level
+    frontier shape as graph_bfs_hops, planned by Catalyst's
+    UnionLoop; depth is logarithmic in the key domain (≤8 levels at
+    10^7 parts)."""
+    from python_etl_sample_spark.sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_TMPL.format(idiv="div"))
+
+
+#: k-anonymity thresholds to report (the privacy-review standard asks)
+_KANON_KS = (2, 5, 10)
+
+
+@query(
+    "anon_k_anonymity_report",
+    oracle=f"""
+    WITH classes AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 100) AS BIGINT) AS bal_band,
+             COUNT(*) AS cnt
+      FROM customer
+      GROUP BY c_nationkey, c_mktsegment, CAST(FLOOR(c_acctbal / 100) AS BIGINT)
+    ),
+    ks AS (SELECT UNNEST([{", ".join(map(str, _KANON_KS))}]) AS k)
+    SELECT k AS k_threshold,
+           (SELECT COUNT(*) FROM classes) AS n_classes,
+           (SELECT MIN(cnt) FROM classes) AS min_class_size,
+           COUNT(CASE WHEN cnt < k THEN 1 END) AS n_classes_below,
+           COALESCE(CAST(SUM(CASE WHEN cnt < k THEN cnt END) AS BIGINT), 0)
+             AS n_rows_at_risk
+    FROM ks CROSS JOIN classes
+    GROUP BY k
+    """,
+)
+def anon_k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit: equivalence classes over the quasi-identifier
+    tuple (nation, market segment, account-balance band of 100) and,
+    per privacy threshold k ∈ {2, 5, 10}, how many classes fall below k
+    and how many ROWS sit in them — the re-identification risk report a
+    privacy review demands before any dataset release (a row alone in
+    its QI class is linkable by anyone holding those attributes).
+
+    Everything is exact integer counting; the balance band floors a
+    2-dp value at integer-safe distance from band edges. Scale: one
+    partial-agg shuffle on the QI tuple, then a 3-row broadcast of the
+    thresholds over the (bounded: |nations|·|segments|·|bands|) class
+    frame."""
+    c = table(spark, sf_dir, "customer")
+    classes = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 100).cast("bigint").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    totals = classes.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("cnt").alias("min_class_size"),
+    )
+    ks = spark.createDataFrame([(k,) for k in _KANON_KS], "k int")
+    return (
+        F.broadcast(ks)
+        .crossJoin(classes)
+        .groupBy(F.col("k").alias("k_threshold"))
+        .agg(
+            F.count(F.when(F.col("cnt") < F.col("k"), 1)).alias(
+                "n_classes_below"
+            ),
+            F.coalesce(
+                F.sum(F.when(F.col("cnt") < F.col("k"), F.col("cnt"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_rows_at_risk"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "k_threshold",
+            "n_classes",
+            "min_class_size",
+            "n_classes_below",
+            "n_rows_at_risk",
+        )
+    )
+
+
+@query(
+    "graph_jaccard_link_prediction",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+    ),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sym AS (
+      SELECT u AS src, v AS dst FROM edges
+      UNION ALL SELECT v, u FROM edges
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM sym GROUP BY src),
+    common AS (
+      SELECT a.src AS x, b.src AS y, COUNT(*) AS c
+      FROM sym a JOIN sym b ON a.dst = b.dst AND a.src < b.src
+      GROUP BY a.src, b.src
+    ),
+    cand AS (
+      SELECT cm.x, cm.y, cm.c, dx.deg AS degx, dy.deg AS degy
+      FROM common cm
+      JOIN deg dx ON dx.node = cm.x
+      JOIN deg dy ON dy.node = cm.y
+      WHERE NOT EXISTS (SELECT 1 FROM edges e
+                        WHERE e.u = cm.x AND e.v = cm.y)
+    )
+    SELECT x AS part_a, y AS part_b,
+           CAST(c AS BIGINT) AS n_common,
+           round(c / CAST(degx + degy - c AS DOUBLE), 6) AS jaccard
+    FROM cand
+    ORDER BY jaccard DESC, x, y
+    LIMIT 20
+    """,
+)
+def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighborhood Jaccard: for every NON-adjacent
+    part pair sharing at least one co-purchase neighbor,
+    |Γ(a)∩Γ(b)| / |Γ(a)∪Γ(b)| — the classic "customers who bought
+    these also bought..." candidate generator — reported as the top-20
+    under the unique (jaccard, a, b) order.
+
+    Shape: common-neighbor counting is one self-equi-join of the
+    symmetrized edge list on the shared endpoint + a partial-agg
+    count; existing edges leave via an anti join; top-20 fuses to
+    TakeOrderedAndProject. The wedge fan-out is Σ deg(n)² over hub
+    nodes — the honest cost of EXACT common-neighbor counts; at 100 TB
+    the standard mitigations are hub capping (drop neighbors past the
+    top-K per node before the join) or neighborhood MinHash (estimate
+    Jaccard from signatures — see dedup_near_minhash for the kernel),
+    both of which keep this plan's shape."""
+    edges = _copurchase_edges(spark, sf_dir)
+    sym = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    a, b = sym.alias("a"), sym.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.dst") == F.col("b.dst"))
+            & (F.col("a.src") < F.col("b.src")),
+        )
+        .groupBy(F.col("a.src").alias("x"), F.col("b.src").alias("y"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cand = (
+        common.join(
+            edges,
+            (common.x == edges.u) & (common.y == edges.v),
+            "left_anti",
+        )
+        .join(deg.select(F.col("node").alias("x"), F.col("deg").alias("degx")), "x")
+        .join(deg.select(F.col("node").alias("y"), F.col("deg").alias("degy")), "y")
+    )
+    return (
+        cand.select(
+            F.col("x").alias("part_a"),
+            F.col("y").alias("part_b"),
+            F.col("c").cast("bigint").alias("n_common"),
+            F.round(
+                F.col("c")
+                / (F.col("degx") + F.col("degy") - F.col("c")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )

@@ -318,6 +318,9 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "dq_referential_integrity",
     "etl_gdpr_delete_propagation",
     "stream_demo_foreachbatch_merge",
+    "api_sql_recursive_cte",
+    "anon_k_anonymity_report",
+    "graph_jaccard_link_prediction",
 )
 
 
@@ -331,7 +334,7 @@ EXTENSION_ORDER: tuple[str, ...] = (
 #: recent row) ascending, so re-recording slots always go to the stalest
 #: evidence first. Regenerate with ``python tools/gen_driver_order.py``.
 DRIVER_ORDER: tuple[str, ...] = (
-# never driver-recorded (26) — next round's first slots
+# never driver-recorded (29) — next round's first slots
     "stream_demo_session",
     "stream_demo_rate_source",
     "customer_survival_km",
@@ -358,6 +361,9 @@ DRIVER_ORDER: tuple[str, ...] = (
     "dq_referential_integrity",
     "etl_gdpr_delete_propagation",
     "stream_demo_foreachbatch_merge",
+    "api_sql_recursive_cte",
+    "anon_k_anonymity_report",
+    "graph_jaccard_link_prediction",
     # --- 1 driver row(s), last in r1 ---
     "dedup_embedding_cosine",
     "dedup_exact",
