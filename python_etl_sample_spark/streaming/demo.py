@@ -3,11 +3,12 @@
 Proves the batch-graded semantics in ``batch_semantics`` run unchanged
 under ``readStream``: the events parquet is replayed as a file source
 with ``Trigger.AvailableNow``, aggregated with real watermarks /
-session windows, and landed in a memory sink. ``stream_demo_tumbling``
-is registered rows-only (a running stream is not SQL-expressible for
-the DuckDB oracle; its values are cross-checked against the batch
-``stream_tumbling`` in tests instead — complete-mode output over a
-bounded replay equals the batch answer).
+session windows, and landed in a memory sink. Every demo here is
+HASH-CHECKED (round 6): a bounded replay's drained complete/update
+snapshot is a pure function of the input — independent of batching —
+so the DuckDB oracle recomputes it as a batch rollup (and the
+rate-source demo's from a bare range()); the batch-parity pytest
+cross-checks remain as the faster local tier.
 
 At 100 TB this is the production path: the same code with a Kafka/files
 source, checkpointed state store, and watermark-bounded state.
@@ -144,29 +145,48 @@ def demo_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events_stream(spark, sf_dir)
 
     def update_user(key, pdfs, state: GroupState):
-        n, total = state.get if state.exists else (0, 0.0)
+        # accumulate EXACT integer cents (value is a 2-dp money-like
+        # double): int state makes the emitted total independent of
+        # pandas' float summation order, so the demo is hash-checkable
+        n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, total))
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        state.update((n, cents))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "events_total": [n], "value_total": [round(total, 6)]}
+            {
+                "user_id": [key[0]],
+                "events_total": [n],
+                "value_total": [round(cents / 100.0, 6)],
+            }
         )
 
     out = ev.groupBy("user_id").applyInPandasWithState(
         update_user,
         outputStructType="user_id bigint, events_total bigint, value_total double",
-        stateStructType="n bigint, total double",
+        stateStructType="n bigint, cents bigint",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_to_memory(out, "update")
 
 
-@query("stream_demo_tumbling", oracle=None)
+@query(
+    "stream_demo_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR AS wend,
+           event_type, COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
 def stream_demo_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """#52-demo declared rows-only: the streaming tumbling aggregation
-    (its equality to batch stream_tumbling is asserted in tests)."""
+    """#52-demo, HASH-CHECKED: the watermarked streaming tumbling
+    aggregation, complete mode over the bounded AvailableNow replay —
+    the drained snapshot equals the batch tumbling counts (complete
+    mode retains every window; the watermark only gates eviction in
+    update/append), so the DuckDB oracle is the plain batch rollup. A
+    lost micro-batch or a watermark mis-eviction breaks the hash."""
     return demo_tumbling(spark, sf_dir)
 
 
@@ -212,15 +232,45 @@ def stream_demo_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "complete")
 
 
-@query("stream_demo_session", oracle=None)
+@query(
+    "stream_demo_session",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS sid
+      FROM marked
+    )
+    SELECT MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           user_id,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, sid
+    """,
+)
 def stream_demo_session(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """#54-demo declared rows-only: native ``session_window`` with a
-    30-minute gap under a real readStream (its equality to the batch
-    gap-sessionization — stream_session's engine — is asserted in
-    tests). Session windows are the one window type whose extent is
-    DATA-dependent; the state store merges windows as late rows arrive,
-    which is exactly what the batch twin's gaps-and-islands pass does
-    in one shot."""
+    """#54-demo, HASH-CHECKED: native ``session_window`` with a
+    30-minute gap under a real readStream, complete mode over the
+    bounded fixture replay — which makes the drained state a pure
+    function of the input that a batch gaps-and-islands pass
+    reproduces. The oracle mirrors Spark's EXACT merge rule,
+    empirically pinned on a two-event fixture AND discriminated by the
+    one exact-1800 s gap in the sf0.1 events: a session window is
+    [first event, last event + gap] INCLUSIVE of the end boundary — an
+    event exactly gap seconds after the previous one still MERGES
+    (``> 1800`` starts a new session, same rule as the batch
+    sessionize twin). Session windows are the one window
+    type whose extent is DATA-dependent; the state store merges windows
+    as late rows arrive, exactly what the islands pass does in one
+    shot."""
     return demo_session(spark, sf_dir)
 
 
@@ -337,14 +387,38 @@ def demo_rate_source(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(snap["rows"], schema=agg.schema)
 
 
-@query("stream_demo_rate_source", oracle=None)
+@query(
+    "stream_demo_rate_source",
+    oracle=f"""
+    WITH v AS (
+      SELECT UNNEST(range(0, {_RATE_BATCHES * _RATE_ROWS_PER_BATCH}))
+        AS value
+    ),
+    ev AS (
+      SELECT epoch_ms({_RATE_EPOCH_MS} + value * 2000) AS ts,
+             (['click','view','purchase','refund'])
+               [CAST(value % 4 + 1 AS INT)] AS event_type
+      FROM v
+    )
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR AS wend,
+           event_type, COUNT(*) AS n_events
+    FROM ev GROUP BY 1, 2, 3
+    """,
+)
 def stream_demo_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """#52-demo on a message-bus-shaped source: rows-only (a running
-    stream is not SQL-expressible for DuckDB), with determinism pinned
-    by the stability rerun and exact equality to a batch twin over the
-    same deterministic value range pinned in tests/test_streaming_demo.
-    ``sf_dir`` is unused — the source is synthesized, which is the
-    point."""
+    """#52-demo on a message-bus-shaped source — HASH-CHECKED, because
+    the rate-micro-batch source is fully deterministic: batch k emits
+    values [k·rowsPerBatch, (k+1)·rowsPerBatch), event time derives
+    from the value (never the generator's wall clock), and the
+    complete-mode snapshot at the final captured batch is therefore a
+    pure function of the first {_RATE_BATCHES}·{_RATE_ROWS_PER_BATCH}
+    values — which the DuckDB oracle recomputes from a range() without
+    any streaming machinery. A dropped batch, double-processed batch,
+    or watermark mis-eviction under complete mode breaks the hash.
+    (Complete mode retains all windows — the watermark only bounds
+    state eviction in update/append modes.) ``sf_dir`` is unused — the
+    source is synthesized, which is the point."""
     del sf_dir
     return demo_rate_source(spark)
 
@@ -414,12 +488,25 @@ def stream_demo_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(joined, "append")
 
 
-@query("stream_demo_stateful", oracle=None)
+@query(
+    "stream_demo_stateful",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS events_total,
+           round(CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0, 6) AS value_total
+    FROM events GROUP BY user_id
+    """,
+)
 def stream_demo_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """#57-demo declared rows-only: the applyInPandasWithState custom
-    stateful operator under a real readStream (its equality to the
-    batch running-window totals is asserted in tests; value_total is
-    rounded to 6 dp, far above float accumulation-order noise)."""
+    """#57-demo, HASH-CHECKED: the applyInPandasWithState custom
+    stateful operator under a real readStream. The per-user state
+    accumulates EXACT integer cents (value is 2-dp), so the drained
+    update-mode output — one final-totals row per user over the
+    bounded replay — is a pure function of the input with zero float
+    association sensitivity, and the DuckDB oracle is the plain
+    per-user rollup in the same cents arithmetic. A state-loss,
+    double-count, or emit-per-wrong-key bug breaks the hash."""
     return demo_stateful_running(spark, sf_dir)
 
 
