@@ -321,6 +321,14 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "api_sql_recursive_cte",
     "anon_k_anonymity_report",
     "graph_jaccard_link_prediction",
+    # round-6 additions (operators/tpch_extra6.py — the TPC-H completion set)
+    "q_forecast_revenue",
+    "q_volume_shipping",
+    "q_product_type_profit",
+    "q_parts_supplier_relationship",
+    "q_large_volume_customer",
+    "q_discounted_revenue",
+    "q_global_sales_opportunity",
 )
 
 
@@ -334,7 +342,7 @@ EXTENSION_ORDER: tuple[str, ...] = (
 #: recent row) ascending, so re-recording slots always go to the stalest
 #: evidence first. Regenerate with ``python tools/gen_driver_order.py``.
 DRIVER_ORDER: tuple[str, ...] = (
-# never driver-recorded (29) — next round's first slots
+# never driver-recorded (36) — next round's first slots
     "stream_demo_session",
     "stream_demo_rate_source",
     "customer_survival_km",
@@ -364,6 +372,13 @@ DRIVER_ORDER: tuple[str, ...] = (
     "api_sql_recursive_cte",
     "anon_k_anonymity_report",
     "graph_jaccard_link_prediction",
+    "q_forecast_revenue",
+    "q_volume_shipping",
+    "q_product_type_profit",
+    "q_parts_supplier_relationship",
+    "q_large_volume_customer",
+    "q_discounted_revenue",
+    "q_global_sales_opportunity",
     # --- 1 driver row(s), last in r1 ---
     "dedup_embedding_cosine",
     "dedup_exact",
