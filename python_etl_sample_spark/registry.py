@@ -329,6 +329,11 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "q_large_volume_customer",
     "q_discounted_revenue",
     "q_global_sales_opportunity",
+    # round-6 additions (operators/round6b_ops.py — sketches, drift, encoding)
+    "sketch_cms_frequency",
+    "sketch_kmv_distinct",
+    "stats_psi_drift",
+    "features_target_encoding",
 )
 
 
@@ -342,7 +347,7 @@ EXTENSION_ORDER: tuple[str, ...] = (
 #: recent row) ascending, so re-recording slots always go to the stalest
 #: evidence first. Regenerate with ``python tools/gen_driver_order.py``.
 DRIVER_ORDER: tuple[str, ...] = (
-# never driver-recorded (36) — next round's first slots
+# never driver-recorded (40) — next round's first slots
     "stream_demo_session",
     "stream_demo_rate_source",
     "customer_survival_km",
@@ -379,6 +384,10 @@ DRIVER_ORDER: tuple[str, ...] = (
     "q_large_volume_customer",
     "q_discounted_revenue",
     "q_global_sales_opportunity",
+    "sketch_cms_frequency",
+    "sketch_kmv_distinct",
+    "stats_psi_drift",
+    "features_target_encoding",
     # --- 1 driver row(s), last in r1 ---
     "dedup_embedding_cosine",
     "dedup_exact",
