@@ -334,6 +334,11 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "sketch_kmv_distinct",
     "stats_psi_drift",
     "features_target_encoding",
+    # round-6 additions (operators/round6c_ops.py)
+    "anon_l_diversity",
+    "graph_label_propagation",
+    "stats_ks_two_sample",
+    "ts_cross_correlation",
 )
 
 
@@ -347,7 +352,7 @@ EXTENSION_ORDER: tuple[str, ...] = (
 #: recent row) ascending, so re-recording slots always go to the stalest
 #: evidence first. Regenerate with ``python tools/gen_driver_order.py``.
 DRIVER_ORDER: tuple[str, ...] = (
-# never driver-recorded (40) — next round's first slots
+# never driver-recorded (44) — next round's first slots
     "stream_demo_session",
     "stream_demo_rate_source",
     "customer_survival_km",
@@ -388,6 +393,10 @@ DRIVER_ORDER: tuple[str, ...] = (
     "sketch_kmv_distinct",
     "stats_psi_drift",
     "features_target_encoding",
+    "anon_l_diversity",
+    "graph_label_propagation",
+    "stats_ks_two_sample",
+    "ts_cross_correlation",
     # --- 1 driver row(s), last in r1 ---
     "dedup_embedding_cosine",
     "dedup_exact",
