@@ -339,6 +339,11 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "graph_label_propagation",
     "stats_ks_two_sample",
     "ts_cross_correlation",
+    # round-6 additions (operators/round6d_ops.py)
+    "sim_mmr_rerank",
+    "stats_mann_kendall_trend",
+    "agg_theil_index",
+    "events_user_lifecycle",
 )
 
 
@@ -352,7 +357,7 @@ EXTENSION_ORDER: tuple[str, ...] = (
 #: recent row) ascending, so re-recording slots always go to the stalest
 #: evidence first. Regenerate with ``python tools/gen_driver_order.py``.
 DRIVER_ORDER: tuple[str, ...] = (
-# never driver-recorded (44) — next round's first slots
+# never driver-recorded (48) — next round's first slots
     "stream_demo_session",
     "stream_demo_rate_source",
     "customer_survival_km",
@@ -397,6 +402,10 @@ DRIVER_ORDER: tuple[str, ...] = (
     "graph_label_propagation",
     "stats_ks_two_sample",
     "ts_cross_correlation",
+    "sim_mmr_rerank",
+    "stats_mann_kendall_trend",
+    "agg_theil_index",
+    "events_user_lifecycle",
     # --- 1 driver row(s), last in r1 ---
     "dedup_embedding_cosine",
     "dedup_exact",
