@@ -344,6 +344,9 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "stats_mann_kendall_trend",
     "agg_theil_index",
     "events_user_lifecycle",
+    # round-6 additions (operators/round6e_ops.py)
+    "stats_cusum_changepoint",
+    "events_top_paths",
 )
 
 
@@ -357,7 +360,7 @@ EXTENSION_ORDER: tuple[str, ...] = (
 #: recent row) ascending, so re-recording slots always go to the stalest
 #: evidence first. Regenerate with ``python tools/gen_driver_order.py``.
 DRIVER_ORDER: tuple[str, ...] = (
-# never driver-recorded (48) — next round's first slots
+# never driver-recorded (50) — next round's first slots
     "stream_demo_session",
     "stream_demo_rate_source",
     "customer_survival_km",
@@ -406,6 +409,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "stats_mann_kendall_trend",
     "agg_theil_index",
     "events_user_lifecycle",
+    "stats_cusum_changepoint",
+    "events_top_paths",
     # --- 1 driver row(s), last in r1 ---
     "dedup_embedding_cosine",
     "dedup_exact",
