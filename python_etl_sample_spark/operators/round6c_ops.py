@@ -216,8 +216,9 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT priority,
            CAST(MAX(na) AS BIGINT) AS n_before,
            CAST(MAX(nb) AS BIGINT) AS n_after,
-           ROUND(MAX(ABS(CAST(cuma AS DOUBLE) / na
-                         - CAST(cumb AS DOUBLE) / nb)), 6) AS ks_d
+           ROUND(MAX(ABS(CAST(cuma AS DOUBLE) / NULLIF(na, 0)
+                         - CAST(cumb AS DOUBLE) / NULLIF(nb, 0))), 6)
+             AS ks_d
     FROM cum GROUP BY priority
     """,
 )
@@ -271,8 +272,10 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.max(
                 F.abs(
-                    F.col("cuma").cast("double") / F.col("na")
-                    - F.col("cumb").cast("double") / F.col("nb")
+                    F.col("cuma").cast("double")
+                    / F.when(F.col("na") > 0, F.col("na"))
+                    - F.col("cumb").cast("double")
+                    / F.when(F.col("nb") > 0, F.col("nb"))
                 )
             ),
             6,
@@ -313,8 +316,8 @@ _XCORR_LAGS = (-3, -2, -1, 0, 1, 2, 3)
     )
     SELECT lag, CAST(n AS BIGINT) AS n_days,
            ROUND((n * sxy - sx * sy)
-                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
-                 6) AS xcorr
+                 / NULLIF(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                          0.0), 6) AS xcorr
     FROM m
     """,
 )
@@ -365,14 +368,20 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("yv") * F.col("yv")).cast(dec)).cast("double").alias("syy"),
     )
     n = F.col("n")
+    # zero-variance guard: a constant series makes the denominator 0 —
+    # Spark doubles would give NaN/Inf where DuckDB's NULLIF gives NULL,
+    # so both sides agree on NULL (tests/test_ansi_edges class)
+    _den = F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
     return m.select(
         "lag",
         n.cast("bigint").alias("n_days"),
         F.round(
-            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
-            / F.sqrt(
-                (n * F.col("sxx") - F.col("sx") * F.col("sx"))
-                * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+            F.when(
+                _den != 0.0,
+                (n * F.col("sxy") - F.col("sx") * F.col("sy")) / _den,
             ),
             6,
         ).alias("xcorr"),

@@ -153,6 +153,8 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("cand_id"),
+            "vec",
+            "nrm",
             F.round(
                 _dot(F.col("qvec"), F.col("vec")) / (F.col("qnrm") * F.col("nrm")),
                 9,
@@ -160,30 +162,31 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("cand_id"))
-    pool = (
+    # the pool CARRIES its vectors (8 rows x 64 doubles per query), so
+    # the candidate-pair sims below are a tiny pool⋈pool join — never a
+    # second pass over the full embeddings table
+    pool_v = (
         rel.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= _MMR_POOL)
         .drop("rn")
     )
-    va = emb.select(
-        F.col("vec_id").alias("a_id"), F.col("vec").alias("a_vec"), F.col("nrm").alias("a_nrm")
+    pool = pool_v.select("query_id", "cand_id", "rel")
+    p2 = pool_v.select(
+        "query_id",
+        F.col("cand_id").alias("b_cand"),
+        F.col("vec").alias("b_vec"),
+        F.col("nrm").alias("b_nrm"),
     )
-    vb = emb.select(
-        F.col("vec_id").alias("b_id"), F.col("vec").alias("b_vec"), F.col("nrm").alias("b_nrm")
-    )
-    p2 = pool.select("query_id", F.col("cand_id").alias("b_cand"))
     psim = (
-        pool.join(p2, "query_id")
+        pool_v.join(p2, "query_id")
         .filter(F.col("cand_id") != F.col("b_cand"))
-        .join(F.broadcast(va), F.col("cand_id") == F.col("a_id"))
-        .join(F.broadcast(vb), F.col("b_cand") == F.col("b_id"))
         .select(
             "query_id",
             F.col("cand_id").alias("a"),
             F.col("b_cand").alias("b"),
             F.round(
-                _dot(F.col("a_vec"), F.col("b_vec"))
-                / (F.col("a_nrm") * F.col("b_nrm")),
+                _dot(F.col("vec"), F.col("b_vec"))
+                / (F.col("nrm") * F.col("b_nrm")),
                 9,
             ).alias("sim"),
         )
@@ -283,7 +286,8 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n.seg, n.n_months,
            COALESCE(CAST(SUM(p.sgn) AS BIGINT), 0) AS s_stat,
            ROUND(CAST(COALESCE(SUM(p.sgn), 0) AS DOUBLE)
-                 / (n.n_months * (n.n_months - 1) / 2), 6) AS kendall_tau
+                 / NULLIF(n.n_months * (n.n_months - 1) / 2, 0), 6)
+             AS kendall_tau
     FROM n LEFT JOIN pairs p ON p.seg = n.seg
     GROUP BY n.seg, n.n_months
     """,
@@ -336,8 +340,11 @@ def stats_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_months",
             "s_stat",
             F.round(
-                F.col("s_stat").cast("double")
-                / (F.col("n_months") * (F.col("n_months") - 1) / 2),
+                F.when(
+                    F.col("n_months") > 1,
+                    F.col("s_stat").cast("double")
+                    / (F.col("n_months") * (F.col("n_months") - 1) / 2),
+                ),
                 6,
             ).alias("kendall_tau"),
         )

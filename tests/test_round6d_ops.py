@@ -170,3 +170,42 @@ def test_lifecycle_accounting_identity(spark, tmp_path):
         (d0 + 2, "resurrected"): 1,  # u2 back on day 2
         (d0 + 2, "churned"): 1,    # u3 absent on day 2
     }
+
+
+def test_degenerate_guards_yield_null_not_nan(spark, tmp_path):
+    """Divide-by-zero parity guards (tests/test_ansi_edges divergence
+    matrix: Spark errors or IEEE-NaNs where DuckDB NULLs): a
+    single-month segment's tau, a zero-variance cross-correlation, and
+    a one-era-only KS priority must all come back NULL — in BOTH
+    engines, because the guard nulls the divisor before any division
+    happens."""
+    custs = [
+        (1, "Customer#1", 1, 0.0, "BUILDING"),
+        (2, "Customer#2", 1, 0.0, "AUTOMOBILE"),
+        (3, "Customer#3", 1, 0.0, "MACHINERY"),
+    ]
+    spark.createDataFrame(custs, _CUST_SCHEMA).write.mode("overwrite").parquet(
+        f"{tmp_path}/customer.parquet"
+    )
+    rows, ok = [], 0
+    # MACHINERY: ONE month only -> tau divisor 0
+    rows.append((ok, 3, "O", 500.0, _D(1996, 3, 3), "1-URGENT")); ok += 1
+    # BUILDING & AUTOMOBILE: constant identical daily series ->
+    # zero-variance xcorr denominator at every lag
+    for i in range(10):
+        day = _D(1996, 1, 1) + dt.timedelta(days=i)
+        rows.append((ok, 1, "O", 777.0, day, "1-URGENT")); ok += 1
+        rows.append((ok, 2, "O", 777.0, day, "2-HIGH")); ok += 1
+    spark.createDataFrame(rows, _ORD_SCHEMA).write.mode("overwrite").parquet(
+        f"{tmp_path}/orders.parquet"
+    )
+    mk = {r["seg"]: r for r in REGISTRY["stats_mann_kendall_trend"].fn(spark, str(tmp_path)).collect()}
+    assert mk["MACHINERY"]["n_months"] == 1
+    assert mk["MACHINERY"]["kendall_tau"] is None
+    xc = REGISTRY["ts_cross_correlation"].fn(spark, str(tmp_path)).collect()
+    assert xc  # lag 0 at least joins
+    assert all(r["xcorr"] is None for r in xc)
+    # KS: 1-URGENT exists only pre-1998 (all 1996) -> nb = 0 -> NULL
+    ks = {r["priority"]: r for r in REGISTRY["stats_ks_two_sample"].fn(spark, str(tmp_path)).collect()}
+    assert ks["1-URGENT"]["n_after"] == 0
+    assert ks["1-URGENT"]["ks_d"] is None
