@@ -347,6 +347,13 @@ EXTENSION_ORDER: tuple[str, ...] = (
     # round-6 additions (operators/round6e_ops.py)
     "stats_cusum_changepoint",
     "events_top_paths",
+    # round-6 additions (operators/round6f_ops.py — stats/structure completions)
+    "stats_spearman_corr",
+    "stats_anova_f",
+    "stats_mutual_information",
+    "graph_degree_assortativity",
+    "ts_seasonal_decompose",
+    "spatial_knn_grid",
 )
 
 
@@ -360,7 +367,7 @@ EXTENSION_ORDER: tuple[str, ...] = (
 #: recent row) ascending, so re-recording slots always go to the stalest
 #: evidence first. Regenerate with ``python tools/gen_driver_order.py``.
 DRIVER_ORDER: tuple[str, ...] = (
-# never driver-recorded (50) — next round's first slots
+# never driver-recorded (56) — next round's first slots
     "stream_demo_session",
     "stream_demo_rate_source",
     "customer_survival_km",
@@ -411,6 +418,12 @@ DRIVER_ORDER: tuple[str, ...] = (
     "events_user_lifecycle",
     "stats_cusum_changepoint",
     "events_top_paths",
+    "stats_spearman_corr",
+    "stats_anova_f",
+    "stats_mutual_information",
+    "graph_degree_assortativity",
+    "ts_seasonal_decompose",
+    "spatial_knn_grid",
     # --- 1 driver row(s), last in r1 ---
     "dedup_embedding_cosine",
     "dedup_exact",
