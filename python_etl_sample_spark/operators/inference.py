@@ -521,10 +521,12 @@ def stats_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BOOT_MOD = 1000003
 _BOOT_T = (367879, 735758, 919698, 981011, 996340)  # floor(CDF_k * MOD)
 _BOOT_B = 32
-#: key-entropy modulus for the weight hash: the largest prime p such
-#: that (p-1) * 2654435761 stays inside int64 in BOTH engines (Spark
+#: key-entropy modulus for the weight hash: a prime near 2^31.6 chosen
+#: so (p-1) * 2654435761 stays inside int64 in BOTH engines (Spark
 #: wraps silently on overflow, DuckDB raises — the product must not
-#: overflow on either side). 3221225472 * 2654435761 ≈ 8.55e18 < 2^63.
+#: overflow on either side). 3221225472 * 2654435761 ≈ 8.55e18 < 2^63;
+#: any prime up to ~3.474e9 would also fit, this one is the familiar
+#: NTT prime 3 * 2^30 + 1.
 #: Keys collide on the weight VECTOR only when they share a residue
 #: mod ~3.2e9 — negligible correlation even at 10^10 orders, vs the
 #: old % 100000 which repeated vectors every 100k keys.

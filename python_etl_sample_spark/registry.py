@@ -357,67 +357,18 @@ EXTENSION_ORDER: tuple[str, ...] = (
 )
 
 
-#: Driver-facing rotation for round 6. The driver's CORRECTNESS artifact
+#: Driver-facing rotation for round 7. The driver's CORRECTNESS artifact
 #: records at most 50 entries per round in ``queries()`` order; the union
-#: of rounds 1-5 (UNION.md, tools/correctness_union.py) leaves exactly 16
-#: queries with no driver row in any artifact — they take slots 1-16.
-#: Any queries added during round 6 are never-recorded by construction
-#: and are inserted right after them. Then every previously-recorded
-#: query follows, ordered by (number of driver rows, round of most
-#: recent row) ascending, so re-recording slots always go to the stalest
-#: evidence first. Regenerate with ``python tools/gen_driver_order.py``.
+#: of rounds 1-6 (UNION.md, tools/correctness_union.py) leaves exactly 6
+#: queries with no driver row in any artifact (the round-6f final-commit
+#: additions) — they take the first slots. Any queries added during
+#: round 7 are never-recorded by construction and are inserted right
+#: after them. Then every previously-recorded query follows, ordered by
+#: (number of driver rows, round of most recent row) ascending, so
+#: re-recording slots always go to the stalest evidence first.
+#: Regenerate with ``python tools/gen_driver_order.py``.
 DRIVER_ORDER: tuple[str, ...] = (
-# never driver-recorded (56) — next round's first slots
-    "stream_demo_session",
-    "stream_demo_rate_source",
-    "customer_survival_km",
-    "graph_bfs_hops",
-    "win_rolling_distinct_users",
-    "stats_ols_multivariate",
-    "win_sliding_median",
-    "text_collocations_pmi",
-    "stats_gini_lorenz",
-    "stats_benford_first_digit",
-    "win_ratio_to_report",
-    "events_dau_wau_mau",
-    "fn_nested_struct_ops",
-    "events_cohort_ltv",
-    "stats_bootstrap_poisson_ci",
-    "graph_kcore_peel",
-    "agg_exact_quantiles_global",
-    "embedding_matryoshka_quality",
-    "dedup_url_canonicalize",
-    "text_ngram_novelty",
-    "join_asof_tolerance",
-    "events_bounce_rate",
-    "fn_intervals_overlap_merge",
-    "dq_referential_integrity",
-    "etl_gdpr_delete_propagation",
-    "stream_demo_foreachbatch_merge",
-    "api_sql_recursive_cte",
-    "anon_k_anonymity_report",
-    "graph_jaccard_link_prediction",
-    "q_forecast_revenue",
-    "q_volume_shipping",
-    "q_product_type_profit",
-    "q_parts_supplier_relationship",
-    "q_large_volume_customer",
-    "q_discounted_revenue",
-    "q_global_sales_opportunity",
-    "sketch_cms_frequency",
-    "sketch_kmv_distinct",
-    "stats_psi_drift",
-    "features_target_encoding",
-    "anon_l_diversity",
-    "graph_label_propagation",
-    "stats_ks_two_sample",
-    "ts_cross_correlation",
-    "sim_mmr_rerank",
-    "stats_mann_kendall_trend",
-    "agg_theil_index",
-    "events_user_lifecycle",
-    "stats_cusum_changepoint",
-    "events_top_paths",
+    # never driver-recorded (6) — next round's first slots
     "stats_spearman_corr",
     "stats_anova_f",
     "stats_mutual_information",
@@ -615,6 +566,57 @@ DRIVER_ORDER: tuple[str, ...] = (
     "ts_resample_interpolate",
     "ts_seasonal_naive_eval",
     "win_time_range_frame",
+    # --- 1 driver row(s), last in r6 ---
+    "agg_exact_quantiles_global",
+    "agg_theil_index",
+    "anon_k_anonymity_report",
+    "anon_l_diversity",
+    "api_sql_recursive_cte",
+    "customer_survival_km",
+    "dedup_url_canonicalize",
+    "dq_referential_integrity",
+    "embedding_matryoshka_quality",
+    "etl_gdpr_delete_propagation",
+    "events_bounce_rate",
+    "events_cohort_ltv",
+    "events_dau_wau_mau",
+    "events_top_paths",
+    "events_user_lifecycle",
+    "features_target_encoding",
+    "fn_intervals_overlap_merge",
+    "fn_nested_struct_ops",
+    "graph_bfs_hops",
+    "graph_jaccard_link_prediction",
+    "graph_kcore_peel",
+    "graph_label_propagation",
+    "join_asof_tolerance",
+    "q_discounted_revenue",
+    "q_forecast_revenue",
+    "q_global_sales_opportunity",
+    "q_large_volume_customer",
+    "q_parts_supplier_relationship",
+    "q_product_type_profit",
+    "q_volume_shipping",
+    "sim_mmr_rerank",
+    "sketch_cms_frequency",
+    "sketch_kmv_distinct",
+    "stats_benford_first_digit",
+    "stats_bootstrap_poisson_ci",
+    "stats_cusum_changepoint",
+    "stats_gini_lorenz",
+    "stats_ks_two_sample",
+    "stats_mann_kendall_trend",
+    "stats_ols_multivariate",
+    "stats_psi_drift",
+    "stream_demo_foreachbatch_merge",
+    "stream_demo_rate_source",
+    "stream_demo_session",
+    "text_collocations_pmi",
+    "text_ngram_novelty",
+    "ts_cross_correlation",
+    "win_ratio_to_report",
+    "win_rolling_distinct_users",
+    "win_sliding_median",
     # --- 2 driver row(s), last in r2 ---
     "agg_approx_distinct",
     "agg_collect",

@@ -614,9 +614,11 @@ def stream_demo_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFram
             .trigger(availableNow=True)
             .start()
         )
+        # micro-batches plan asynchronously after start(); keep the
+        # pinned partition count until every batch has planned
+        q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-    q.awaitTermination()
     assert latest, "stream produced no batches"
     return spark.read.parquet(latest[-1]).select(
         "user_id",

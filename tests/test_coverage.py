@@ -10,9 +10,11 @@ from python_etl_sample_spark.registry import REGISTRY, load_all_operators
 
 load_all_operators()
 
+REPO = Path(__file__).resolve().parents[1]
+
 
 def _parse_coverage():
-    text = Path("/root/repo/COVERAGE.md").read_text()
+    text = (REPO / "COVERAGE.md").read_text()
     rows = {}
     for name, mark in re.findall(r"\|\s*`(\w+)`\s*\|[^|]*\|?\s*(✅|⚠)", text):
         rows[name] = mark
@@ -54,33 +56,42 @@ def test_driver_order_is_permutation_of_canonical():
 
 
 def test_driver_order_front_loads_unrecorded_queries():
-    """The first 50 driver-order names must include every query with no
-    row in any committed CORRECTNESS_r* artifact (the whole point of the
-    rotation). Queries ADDED this round have no artifact row either, by
-    construction — the registry front-loads them too, and this test pins
-    the invariant without naming them: never-recorded = not in any
-    artifact, whether old or new. Globbing the artifacts keeps the pin
-    current when the driver lands a new round's JSON."""
+    """Every query with no row in any committed CORRECTNESS_r* artifact
+    must sit within the first ``50 + len(never)`` driver-order slots —
+    the race-proof form of "never-recorded queries are front-loaded".
+
+    Why this bound and not ``never ⊆ DRIVER_ORDER[:50]``: the driver's
+    artifact lands AFTER the round's final commit, recording exactly the
+    first 50 names of the frozen order. When more than 50 queries were
+    unrecorded at freeze (rounds 5 and 6 both hit this), the post-freeze
+    artifact shrinks ``never`` to the block at positions 50..k — still a
+    correctly front-loaded order, but outside ``[:50]``. The invariant
+    ``never ⊆ DRIVER_ORDER[:50 + len(never)]`` is preserved by any
+    sequence of driver artifacts each recording a prefix: regeneration
+    puts ``never`` at positions [0, k); an artifact removes the first
+    min(50, k) of them, leaving positions [50, k) ⊆ [:50 + (k - 50)].
+    So no artifact landing can flip this test, while a genuinely
+    mis-ordered DRIVER_ORDER (an unrecorded query buried behind >50
+    recorded ones) still fails."""
     import glob
     import json
 
     from python_etl_sample_spark.registry import DRIVER_ORDER, canonical_names
 
     recorded: set[str] = set()
-    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r0*.json")):
+    for path in sorted(glob.glob(str(REPO / "CORRECTNESS_r0*.json"))):
         recorded |= set(json.load(open(path)))
     never = set(canonical_names()) - recorded
-    if len(never) <= 50:
-        missing = never - set(DRIVER_ORDER[:50])
-        assert not missing, sorted(missing)
-    else:
-        # more unrecorded queries than artifact slots: the 50 slots must
-        # at least all go to unrecorded queries
-        assert set(DRIVER_ORDER[:50]) <= never
+    window = set(DRIVER_ORDER[: 50 + len(never)])
+    missing = never - window
+    assert not missing, (
+        f"never-recorded queries buried beyond slot {50 + len(never)}: "
+        f"{sorted(missing)}"
+    )
 
 
 def test_totals_line():
-    text = Path("/root/repo/COVERAGE.md").read_text()
+    text = (REPO / "COVERAGE.md").read_text()
     n_total = len(REGISTRY)
     n_oracle = sum(1 for s in REGISTRY.values() if s.oracle is not None)
     assert f"{n_total} queries — {n_oracle} oracle-checked" in text

@@ -421,7 +421,7 @@ def test_no_unpartitioned_window_without_justification():
     import re
     from pathlib import Path
 
-    pkg = Path("/root/repo/python_etl_sample_spark")
+    pkg = Path(__file__).resolve().parents[1] / "python_etl_sample_spark"
     pat = re.compile(r"Window\.orderBy\(|Window\.partitionBy\(\)")
     offenders = []
     for path in sorted(pkg.rglob("*.py")):
