@@ -354,6 +354,10 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "graph_degree_assortativity",
     "ts_seasonal_decompose",
     "spatial_knn_grid",
+    # round-7 additions (operators/round7_ops.py)
+    "text_bm25_rank",
+    "cluster_kmeans_lloyd",
+    "dedup_consensus",
 )
 
 
@@ -375,6 +379,10 @@ DRIVER_ORDER: tuple[str, ...] = (
     "graph_degree_assortativity",
     "ts_seasonal_decompose",
     "spatial_knn_grid",
+    # added during round 7 — never-recorded by construction
+    "text_bm25_rank",
+    "cluster_kmeans_lloyd",
+    "dedup_consensus",
     # --- 1 driver row(s), last in r1 ---
     "dedup_embedding_cosine",
     "dedup_exact",
