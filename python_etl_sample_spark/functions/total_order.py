@@ -54,6 +54,7 @@ def attach_global_order(
     rn: str | None = None,
     cumsums: Sequence[tuple[str, str]] = (),
     num_partitions: int | None = None,
+    total_count: str | None = None,
 ) -> DataFrame:
     """Return ``df`` with an exact global ``rn`` (1-based row number
     under ``order_exprs``) and/or exact inclusive running sums.
@@ -64,6 +65,10 @@ def attach_global_order(
     ``rn`` — output column name for the global row number (skip if None).
     ``cumsums`` — (value_column, output_name) pairs; each output is the
     exact inclusive prefix sum of the value column under the order.
+    ``total_count`` — optional output column carrying the frame's total
+    row count on every row, computed from the same partition-totals
+    frame the offsets come from — callers that need ``n`` (e.g. NTILE)
+    get it without a second aggregation pass over the input.
     """
     # no explicit partition count unless the caller pins one: an
     # explicit count is user-specified and AQE must honor it, while the
@@ -103,6 +108,13 @@ def attach_global_order(
             "__to_off_rn"
         ),
     ]
+    if total_count is not None:
+        # bounded-window: grand total over the same ≤shuffle.partitions
+        # totals frame (config-bounded, one-task by construction)
+        w_all = Window.orderBy(_PID).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        off_cols.append(F.sum("__to_cnt").over(w_all).alias(total_count))
     for _, out in cumsums:
         off_cols.append(
             F.coalesce(

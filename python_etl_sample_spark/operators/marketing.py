@@ -70,73 +70,83 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a 1-row broadcast); higher score = more recent (DESC order puts
     the stalest customers in tile 1). Frequency and monetary score
     ascending. The quintiles are global over the per-customer frame —
-    which grows with |customers| — and each dimension takes the
-    cheapest EXACT route for its value domain:
-
-    - recency and frequency have DOMAIN-BOUNDED value sets (calendar
-      days; order counts), so their global rank is below-count (an
-      exclusive prefix over the distinct-value histogram — the
-      Mann-Whitney trick) + row_number within the tied value by
-      custkey. One groupBy(value) each; no range shuffle of customers.
-    - monetary is near-unique per customer, so it uses the
-      range-partitioned total-order kernel (functions/total_order.py).
+    which grows with |customers| — so all three ranks come from ONE
+    pass of the range-partitioned total-order kernel
+    (functions/total_order.py) over a stacked (metric, sortval,
+    custkey) frame of 3 rows per customer: metric leads the sort, so
+    each metric's block is contiguous in the global order and holds
+    exactly n rows, making the per-metric rank ``global_rn − metric·n``
+    — no second structure, no per-dimension histogram joins. Recency's
+    DESC order is encoded as ``sortval = −recency_days``.
 
     No partitionless window touches a data-sized frame (NTILE over the
     raw customer frame would be a single-task global sort); NTILE
     semantics are reproduced exactly by ntile_from_rank. The output is
     the segment-level profile — the thing a campaign system actually
-    joins against. At 100 TB the per-customer frame is the only sorted
-    structure; everything upstream is map-side-combined aggregation."""
+    joins against. At 100 TB the stacked per-customer frame (3n rows of
+    four longs) is the only sorted structure; everything upstream is
+    map-side-combined aggregation."""
     o = table(spark, sf_dir, "orders")
-    ref = o.agg(F.max("o_orderdate").alias("d0"))
-    cust = (
-        o.groupBy("o_custkey")
+    cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.expr(_OCENTS)).alias("monetary_cents"),
+    )
+
+    # one stacked frame: metric 0 = R, 1 = F, 2 = M. Recency DESC with
+    # recency = datediff(d0, last_order) orders IDENTICALLY to
+    # last_order ASC (d0 is a constant shift), so the R sortval is the
+    # epoch day of the last order — the corpus-max-date reference scan
+    # the oracle uses is unnecessary for RANKING. No extra payload:
+    # metric 2's sortval IS monetary_cents, recovered in the pivot.
+    stacked = cust.select(
+        "o_custkey",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("metric"),
+                    F.unix_date(F.to_date("last_order"))
+                    .cast("long")
+                    .alias("sortval"),
+                ),
+                F.struct(
+                    F.lit(1).alias("metric"),
+                    F.col("frequency").cast("long").alias("sortval"),
+                ),
+                F.struct(
+                    F.lit(2).alias("metric"),
+                    F.col("monetary_cents").cast("long").alias("sortval"),
+                ),
+            )
+        ).alias("mv"),
+    ).select("o_custkey", "mv.metric", "mv.sortval")
+
+    # the kernel also emits the stacked total (3n) — no second
+    # aggregation pass over orders just to learn n
+    ranked = attach_global_order(
+        stacked,
+        [F.asc("metric"), F.asc("sortval"), F.asc("o_custkey")],
+        rn="__grn",
+        total_count="__n3",
+    ).withColumn("__n", (F.col("__n3") / 3).cast("long"))
+    # each metric block holds exactly n rows → per-metric rank is a
+    # subtraction, and the quintile is computable per stacked row
+    score = ntile_from_rank(
+        F.col("__grn") - F.col("metric").cast("long") * F.col("__n"),
+        F.col("__n"),
+        5,
+    )
+    scored = (
+        ranked.withColumn("__s", score)
+        .groupBy("o_custkey")
         .agg(
-            F.max("o_orderdate").alias("last_order"),
-            F.count(F.lit(1)).alias("frequency"),
-            F.sum(F.expr(_OCENTS)).alias("monetary_cents"),
+            F.max(F.when(F.col("metric") == 0, F.col("__s"))).alias("r_score"),
+            F.max(F.when(F.col("metric") == 1, F.col("__s"))).alias("f_score"),
+            F.max(F.when(F.col("metric") == 2, F.col("__s"))).alias("m_score"),
+            F.max(F.when(F.col("metric") == 2, F.col("sortval"))).alias(
+                "monetary_cents"
+            ),
         )
-        .crossJoin(F.broadcast(ref))
-        .select(
-            "o_custkey",
-            F.datediff(F.col("d0"), F.col("last_order")).alias("recency_days"),
-            "frequency",
-            "monetary_cents",
-        )
-    )
-    tot = cust.agg(F.count(F.lit(1)).alias("__n"))
-
-    def hist_rank(d: DataFrame, val: str, rn: str, desc: bool) -> DataFrame:
-        """Global rank under ((val asc|desc), custkey asc) as
-        below-count + within-value row_number — exact while the value
-        domain is bounded (the # bounded-window: justification below)."""
-        counts = d.groupBy(val).agg(F.count(F.lit(1)).alias("__c"))
-        order = F.desc(val) if desc else F.asc(val)
-        # bounded-window: exclusive prefix over the DISTINCT-value
-        # histogram — recency is calendar-bounded, frequency is
-        # bounded by max orders per customer; neither grows with row
-        # count, and the per-row rank below is value-partitioned
-        w_below = Window.orderBy(order).rowsBetween(
-            Window.unboundedPreceding, -1
-        )
-        below = counts.select(
-            val, F.coalesce(F.sum("__c").over(w_below), F.lit(0)).alias("__b")
-        )
-        w_tie = Window.partitionBy(val).orderBy(F.asc("o_custkey"))
-        return d.join(below, val).withColumn(
-            rn, F.col("__b") + F.row_number().over(w_tie)
-        ).drop("__b")
-
-    d = hist_rank(cust, "recency_days", "__rr", desc=True)
-    d = hist_rank(d, "frequency", "__rf", desc=False)
-    d = attach_global_order(
-        d, [F.asc("monetary_cents"), F.asc("o_custkey")], rn="__rm"
-    )
-    scored = d.crossJoin(F.broadcast(tot)).select(
-        ntile_from_rank(F.col("__rr"), F.col("__n"), 5).alias("r_score"),
-        ntile_from_rank(F.col("__rf"), F.col("__n"), 5).alias("f_score"),
-        ntile_from_rank(F.col("__rm"), F.col("__n"), 5).alias("m_score"),
-        "monetary_cents",
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers"),
