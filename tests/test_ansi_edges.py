@@ -249,3 +249,108 @@ def test_fixture_domain_guards(sf):
                OR length(text) = 0"""
     ).fetchone()[0]
     assert bad == 0, "documents.text non-ASCII or empty — multimodal oracles break"
+
+
+# ---------------------------------------------------------------------------
+# Repo-wide hash-mix overflow sweep (VERDICT r6 item 6)
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+#: ``(key % MOD) * MULT`` in its three source spellings: numeric mod
+#: (SQL strings and Column exprs), named-constant mod (Column exprs),
+#: and f-string-brace mod (oracle SQL built from a named constant).
+_MIX_NUMERIC_RE = _re.compile(r"%\s*(\d{2,})\s*\)\s*\*\s*(\d{4,})")
+_MIX_NAMED_RE = _re.compile(r"%\s*(_?[A-Za-z][\w]*)\s*\)\s*\*\s*(\d{4,})")
+_MIX_BRACE_RE = _re.compile(r"%\s*\{(_?[A-Za-z][\w]*)\}\s*\)\s*\*\s*(\d{4,})")
+
+#: additive second-hash terms ``+ <var> * CONST`` (e.g. the bootstrap's
+#: ``b * 2246822519`` with b < _BOOT_B=32). 2^40 ≈ 1.1e12 upper-bounds
+#: every such term by >15× (32 · 2246822519 ≈ 7.2e10) — a site whose
+#: product leaves less than 2^40 of int64 headroom fails the sweep.
+_ADD_HEADROOM = 2**40
+
+
+def _scan_mix_sites():
+    """Every (file, line, mod, mult) hash-mix site in the package —
+    the enumeration the sweep asserts over, so a NEW site with an
+    overflow-capable (mod, mult) pair fails CI the day it lands."""
+    import re
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parents[1] / "python_etl_sample_spark"
+    sites = []
+    for p in sorted(pkg.rglob("*.py")):
+        text = p.read_text()
+        consts = {
+            m.group(1): int(m.group(2))
+            for m in re.finditer(r"^(_?[A-Z][A-Z_0-9]*)\s*=\s*(\d+)\s*$", text, re.M)
+        }
+        for lineno, line in enumerate(text.splitlines(), 1):
+            for m in _MIX_NUMERIC_RE.finditer(line):
+                sites.append((p.name, lineno, int(m.group(1)), int(m.group(2))))
+            for m in _MIX_NAMED_RE.finditer(line):
+                if m.group(1) in consts:
+                    sites.append((p.name, lineno, consts[m.group(1)], int(m.group(2))))
+            for m in _MIX_BRACE_RE.finditer(line):
+                if m.group(1) in consts:
+                    sites.append((p.name, lineno, consts[m.group(1)], int(m.group(2))))
+    return sites
+
+
+def test_mix_site_sweep_enumerates_known_sites():
+    """The scanner must see at least the sites known today (bootstrap,
+    split/arm hashes, spatial coords, weighted sampling, k-means seed);
+    a refactor that hides sites from the scan weakens the sweep and
+    fails here."""
+    sites = _scan_mix_sites()
+    files = {s[0] for s in sites}
+    assert len(sites) >= 10, sites
+    for expected in (
+        "inference.py",
+        "statistics.py",
+        "scale_ops5.py",
+        "composites.py",
+        "spatial.py",
+        "round7_ops.py",
+    ):
+        assert expected in files, f"mix sites in {expected} vanished from the scan"
+
+
+def test_mix_sites_cannot_overflow_int64_at_any_scale():
+    """(mod−1)·mult + 2^40 additive headroom must stay inside int64 for
+    EVERY scanned site: the key reduction (% mod) bounds the product
+    independently of corpus scale, so this single inequality proves the
+    site safe at 100× fixtures, 100 TB, or any other key volume."""
+    sites = _scan_mix_sites()
+    assert sites
+    for fname, lineno, mod, mult in sites:
+        worst = (mod - 1) * mult + _ADD_HEADROOM
+        assert worst < 2**63, (
+            f"{fname}:{lineno} mix (% {mod}) * {mult} can overflow int64: "
+            f"worst product {worst} ≥ 2^63"
+        )
+
+
+@pytest.mark.parametrize(
+    "mod,mult", sorted({(s[2], s[3]) for s in _scan_mix_sites()})
+)
+def test_scanned_mix_shapes_parity_on_full_key_domain(spark, mod, mult):
+    """Cross-engine parity for every DISTINCT scanned (mod, mult) pair,
+    composed with the largest additive second-hash term in use, over the
+    full-int64 adversarial keys — the scanned generalization of the
+    hand-listed MIX_FORMULAS cases."""
+    formula = f"((k % {mod}) * {mult} + 32 * 2246822519) % 1000003"
+    pdf = pd.DataFrame({"k": ADVERSARIAL_KEYS})
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = [r[0] for r in con.execute(f"SELECT {formula} FROM t ORDER BY k").fetchall()]
+    sdf = spark.createDataFrame(pdf)
+    sdf.createOrReplaceTempView("ansi_edge_sweep_t")
+    got = [
+        r[0]
+        for r in spark.sql(
+            f"SELECT {formula} AS v FROM ansi_edge_sweep_t ORDER BY k"
+        ).collect()
+    ]
+    assert got == want, (mod, mult)
