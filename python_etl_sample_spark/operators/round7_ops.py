@@ -208,9 +208,11 @@ def _km_dist_sql(a: str, b: str) -> str:
     )
 
 
-def _km_oracle() -> str:
-    """Unrolled-round Lloyd replay (the LPA/PageRank oracle pattern:
-    bounded rounds ARE the algorithm, so the SQL unrolls them)."""
+def _km_ctes() -> str:
+    """WITH-body replaying the full Lloyd fit through ``fin``
+    (vec_id → cid, dist) — shared by every oracle that consumes the
+    deterministic clustering (``cluster_kmeans_lloyd`` itself and the
+    cluster-pruned semantic dedup in round7b_ops)."""
     parts = [
         f"""
     v AS (
@@ -260,7 +262,15 @@ def _km_oracle() -> str:
                                            c.cid) AS rn
         FROM v CROSS JOIN c{r} c
       ) a WHERE rn = 1
-    ),
+    )""")
+    return ",".join(parts)
+
+
+def _km_oracle() -> str:
+    """Unrolled-round Lloyd replay (the LPA/PageRank oracle pattern:
+    bounded rounds ARE the algorithm, so the SQL unrolls them)."""
+    r = _KM_ROUNDS
+    return f"""WITH {_km_ctes()},
     norms AS (
       SELECT cid,
              round(sqrt((SELECT SUM(emb[i+1] * emb[i+1])
@@ -271,8 +281,7 @@ def _km_oracle() -> str:
            MAX(n.centroid_norm) AS centroid_norm,
            round({dsum_sql('f.dist')}, 6) AS inertia
     FROM fin f JOIN norms n ON n.cid = f.cid
-    GROUP BY f.cid""")
-    return "WITH " + ",".join(parts)
+    GROUP BY f.cid"""
 
 
 def _km_centroid_literal(rows: list[tuple[int, list[float]]]) -> Column:
@@ -349,6 +358,48 @@ def cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     combiner-reduced to k·64 rows per task before the shuffle. Nothing
     quadratic, nothing data-sized on the driver, no cartesian: at
     100 TB each round is one scan + one k·64-row shuffle."""
+    final, cents = _km_fit(spark, sf_dir)
+    norms = spark.createDataFrame(
+        [(cid, emb) for cid, emb in cents],
+        schema=T.StructType(
+            [
+                T.StructField("cid", T.IntegerType()),
+                T.StructField("cemb", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    ).select(
+        "cid",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(F.col("cemb"), lambda x: x * x),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+            6,
+        ).alias("centroid_norm"),
+    )
+    return (
+        final.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.sum(F.col("dist").cast(DEC)).cast("double"), 6).alias(
+                "inertia"
+            ),
+        )
+        .join(F.broadcast(norms), "cid")
+        .select("cid", "n_vecs", "centroid_norm", "inertia")
+    )
+
+
+def _km_fit(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """Run the deterministic Lloyd fit; return the final assignment
+    frame (vec_id, emb, cid, dist) and the final centroids. The only
+    driver-side materializations are the k seed rows and the k×64
+    centroid frame per round — constant in corpus size."""
     vecs = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
@@ -383,39 +434,7 @@ def cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cents = sorted((r["cid"], list(r["emb"])) for r in upd)
 
-    final = _km_assign(vecs, cents)
-    norms = spark.createDataFrame(
-        [(cid, emb) for cid, emb in cents],
-        schema=T.StructType(
-            [
-                T.StructField("cid", T.IntegerType()),
-                T.StructField("cemb", T.ArrayType(T.DoubleType())),
-            ]
-        ),
-    ).select(
-        "cid",
-        F.round(
-            F.sqrt(
-                F.aggregate(
-                    F.transform(F.col("cemb"), lambda x: x * x),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-            ),
-            6,
-        ).alias("centroid_norm"),
-    )
-    return (
-        final.groupBy("cid")
-        .agg(
-            F.count(F.lit(1)).alias("n_vecs"),
-            F.round(F.sum(F.col("dist").cast(DEC)).cast("double"), 6).alias(
-                "inertia"
-            ),
-        )
-        .join(F.broadcast(norms), "cid")
-        .select("cid", "n_vecs", "centroid_norm", "inertia")
-    )
+    return _km_assign(vecs, cents), cents
 
 
 # ---------------------------------------------------------------------------

@@ -358,6 +358,9 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "text_bm25_rank",
     "cluster_kmeans_lloyd",
     "dedup_consensus",
+    # round-7 additions (operators/round7b_ops.py)
+    "dedup_semantic_cluster",
+    "embedding_pca_power",
 )
 
 
@@ -383,6 +386,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "text_bm25_rank",
     "cluster_kmeans_lloyd",
     "dedup_consensus",
+    "dedup_semantic_cluster",
+    "embedding_pca_power",
     # --- 1 driver row(s), last in r1 ---
     "dedup_embedding_cosine",
     "dedup_exact",

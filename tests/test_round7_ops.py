@@ -249,3 +249,83 @@ def test_consensus_pairs_all_backed_by_a_detector(spark):
         assert r["n_detectors"] >= 1
         assert r["n_detectors"] == r["exact_dup"] + r["ngram_dup"] + r["fuzzy_dup"]
         assert r["doc_a"] < r["doc_b"]
+
+
+# ---------------------------------------------------------------------------
+# dedup_semantic_cluster (round7b_ops)
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_cluster_finds_planted_near_dup(spark, tmp_path):
+    """Eight well-separated anchors plus one near-copy of anchor 3.
+    Under the deterministic seeding hash, ids 1-9 seed in order
+    5,3,8,1,6,4,9,2 — id 7 is the one non-seed — so the near-copy gets
+    id 7: it joins anchor 3's cluster and the pair surfaces with
+    sim ≈ 1; no cross-anchor pair appears."""
+    vecs = []
+    for n, vid in enumerate((1, 2, 3, 4, 5, 6, 8, 9)):
+        emb = [0.0] * 64
+        emb[n] = 10.0
+        vecs.append((vid, emb, n))
+    near = [0.0] * 64
+    near[2] = 10.0  # anchor 3 is the third anchor -> axis 2
+    near[63] = 0.5  # small perturbation
+    vecs.append((7, near, 2))
+    _write(spark, tmp_path, "embeddings", vecs, _EMB_SCHEMA)
+    rows = REGISTRY["dedup_semantic_cluster"].fn(spark, str(tmp_path)).collect()
+    pairs = {(r["vec_a"], r["vec_b"]): r["sim"] for r in rows}
+    assert (3, 7) in pairs
+    assert pairs[(3, 7)] > 0.99
+    assert all(p == (3, 7) for p in pairs)
+
+
+def test_semantic_cluster_is_a_subset_of_exact_cosine_dedup(spark):
+    """The prune-only contract: every within-cluster pair this operator
+    emits must appear, with the identical similarity, in the unpruned
+    exact detector's output (dedup_embedding_cosine, same threshold)."""
+    pruned = REGISTRY["dedup_semantic_cluster"].fn(spark, SF_DIR).collect()
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["sim"]
+        for r in REGISTRY["dedup_embedding_cosine"].fn(spark, SF_DIR).collect()
+    }
+    assert pruned
+    for r in pruned:
+        key = (r["vec_a"], r["vec_b"])
+        assert key in exact, f"pair {key} not in the exact detector"
+        assert exact[key] == r["sim"]
+
+
+# ---------------------------------------------------------------------------
+# embedding_pca_power (round7b_ops)
+# ---------------------------------------------------------------------------
+
+
+def test_pca_power_recovers_dominant_axis(spark, tmp_path):
+    """Vectors varying strongly along dim 5 and faintly along dim 20:
+    the 8-step power iterate must align with axis 5 (loading ≈ 1) and
+    explain nearly all the variance."""
+    vecs = []
+    for i in range(40):
+        emb = [0.0] * 64
+        emb[5] = float(i)            # dominant variance direction
+        emb[20] = 0.01 * (i % 3)     # faint secondary direction
+        vecs.append((i + 1, emb, 0))
+    _write(spark, tmp_path, "embeddings", vecs, _EMB_SCHEMA)
+    row = REGISTRY["embedding_pca_power"].fn(spark, str(tmp_path)).collect()[0]
+    assert row["n_vecs"] == 40
+    assert row["dominant_dim"] == 5
+    assert row["dominant_loading"] > 0.999
+    assert row["evr1"] > 0.999
+    # lambda1 ~ population variance of 0..39 = (40^2-1)/12 ≈ 133.25
+    assert abs(row["lambda1"] - (40.0 * 40.0 - 1.0) / 12.0) < 0.5
+
+
+def test_pca_power_isotropic_space_has_low_evr(spark):
+    """On the (near-isotropic) fixture embeddings no single direction
+    dominates: evr1 stays far below the anisotropy alarm zone while
+    remaining a positive, well-formed ratio."""
+    row = REGISTRY["embedding_pca_power"].fn(spark, SF_DIR).collect()[0]
+    assert row["n_vecs"] == 500
+    assert 0.0 < row["evr1"] < 0.2
+    assert row["lambda1"] > 0.0
+    assert 0 <= row["dominant_dim"] < 64
