@@ -361,6 +361,10 @@ EXTENSION_ORDER: tuple[str, ...] = (
     # round-7 additions (operators/round7b_ops.py)
     "dedup_semantic_cluster",
     "embedding_pca_power",
+    # round-7 additions (operators/round7c_ops.py)
+    "events_markov_kstep",
+    "anon_ldp_frequency",
+    "graph_harmonic_centrality",
 )
 
 
@@ -388,6 +392,9 @@ DRIVER_ORDER: tuple[str, ...] = (
     "dedup_consensus",
     "dedup_semantic_cluster",
     "embedding_pca_power",
+    "events_markov_kstep",
+    "anon_ldp_frequency",
+    "graph_harmonic_centrality",
     # --- 1 driver row(s), last in r1 ---
     "dedup_embedding_cosine",
     "dedup_exact",
