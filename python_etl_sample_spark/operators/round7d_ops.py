@@ -1,0 +1,483 @@
+"""Round-7 batch 4 — forecasting, robust trend, scoring features, and
+a verifiable Bloom sketch:
+
+- ``ts_double_exponential_forecast``: Brown's double exponential
+  smoothing of daily revenue via the repo's banded-EWMA reformulation
+  (exact 2^k integer weights, no float recursion).
+- ``stats_theil_sen_trend``: the Theil–Sen robust slope — exact median
+  of all pairwise daily-revenue slopes, ranked by the total-order
+  kernel (the robust complement to stats_mann_kendall_trend's sign
+  test).
+- ``features_woe_iv``: weight-of-evidence / information-value scoring
+  of market segments against an urgency target — the credit-scoring
+  feature screen.
+- ``sketch_bloom_filter``: a 1024-bit Bloom filter over one segment's
+  customers (32×32-bit words, 3 audited mix hashes), probed by another
+  key set WITH exact verification — claimed vs actual membership and
+  the realized false-positive rate.
+
+Determinism: EWMA weights are exact powers of two (the
+ts_ewma_halflife precedent — dyadic weights dodge both the 6-dp
+half-way trap and libm ulp drift); Theil–Sen orders raw IEEE slopes
+(bit-identical in both engines) with a unique (i, j) tie-break; WOE's
+ln arguments are identical rational doubles rounded 6 dp after the
+multiply; the Bloom filter is pure int64 arithmetic end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from python_etl_sample_spark.functions.determinism import DEC, dsum_sql
+from python_etl_sample_spark.functions.total_order import attach_global_order
+from python_etl_sample_spark.registry import query
+from python_etl_sample_spark.sources import table
+
+_CENTS = "CAST(round(o_totalprice * 100) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# ts_double_exponential_forecast
+# ---------------------------------------------------------------------------
+
+_DE_WIN = 20  # 0.5^20 < 1e-6: truncated tail is sub-rounding noise
+_DE_TAIL = 5  # report the last 5 days
+
+
+@query(
+    "ts_double_exponential_forecast",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM({_CENTS}) AS DOUBLE) / 100.0 AS rev
+      FROM orders GROUP BY 1
+    ),
+    seq AS (
+      SELECT day, rev, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily
+    ),
+    s1 AS (
+      SELECT cur.rn, cur.day,
+             round({dsum_sql(f'CAST(power(2, {_DE_WIN - 1} - (cur.rn - past.rn)) AS BIGINT) * past.rev')}
+                   / CAST(SUM(CAST(power(2, {_DE_WIN - 1} - (cur.rn - past.rn)) AS BIGINT)) AS DOUBLE),
+                   6) AS s1
+      FROM seq cur JOIN seq past
+        ON past.rn BETWEEN cur.rn - {_DE_WIN - 1} AND cur.rn
+      GROUP BY cur.rn, cur.day
+    ),
+    s2 AS (
+      SELECT cur.rn, cur.day, cur.s1,
+             round({dsum_sql(f'CAST(power(2, {_DE_WIN - 1} - (cur.rn - past.rn)) AS BIGINT) * past.s1')}
+                   / CAST(SUM(CAST(power(2, {_DE_WIN - 1} - (cur.rn - past.rn)) AS BIGINT)) AS DOUBLE),
+                   6) AS s2
+      FROM s1 cur JOIN s1 past
+        ON past.rn BETWEEN cur.rn - {_DE_WIN - 1} AND cur.rn
+      GROUP BY cur.rn, cur.day, cur.s1
+    ),
+    n AS (SELECT MAX(rn) AS mx FROM seq)
+    SELECT CAST(day AS TIMESTAMP) AS day, s1, s2,
+           round(2 * s1 - s2, 6) AS level,
+           round(s1 - s2, 6) AS trend,
+           round((2 * s1 - s2) + (s1 - s2), 6) AS forecast_next
+    FROM s2
+    WHERE rn > (SELECT mx FROM n) - {_DE_TAIL}
+      AND rn >= 2 * {_DE_WIN}
+    """,
+)
+def ts_double_exponential_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown's double exponential smoothing (α = 1/2) of daily order
+    revenue, reported for the last {_DE_TAIL} days: S1 = EWMA(rev),
+    S2 = EWMA(S1), level = 2·S1−S2, trend = S1−S2 (Brown's α/(1−α)
+    factor is 1 at α = 1/2), one-step forecast = level + trend.
+
+    The recurrence is de-recursed exactly as ts_ewma_halflife's: a
+    20-step banded self-join with EXACT integer weights 2^(19−k) (the
+    truncated tail is below the 6-dp rounding floor), applied twice —
+    the second pass smooths the first pass's 6-dp-rounded output, so
+    both engines see identical inputs at every stage. Warm-up rows
+    (rn < 2·window) are suppressed: their truncated window differs
+    from the textbook infinite-history form.
+
+    Scale: the daily frame is CALENDAR-bounded (~2.5k rows at any
+    corpus size), so the banded joins cost ≤ 20× that regardless of
+    scale; the raw-order work is one map-side-combined groupBy(day)."""
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg((F.sum(F.expr(_CENTS)).cast("double") / 100.0).alias("rev"))
+    )
+    # bounded-window: the ROW_NUMBER total order runs over the daily
+    # frame — calendar-bounded (~2.5k rows at ANY corpus scale), the
+    # same justification as ts_seasonal_decompose's day index
+    w = Window.orderBy("day")
+    seq = daily.withColumn("rn", F.row_number().over(w))
+
+    def ewma(df: DataFrame, val: str, out: str) -> DataFrame:
+        cur, past = df.alias("cur"), df.alias("past")
+        wgt = F.pow(
+            F.lit(2.0),
+            F.lit(_DE_WIN - 1) - (F.col("cur.rn") - F.col("past.rn")),
+        ).cast("long")
+        # broadcast range join: the frame is calendar-bounded, so the
+        # pure-range band condition rides a BroadcastNestedLoopJoin
+        # (never a CartesianProduct); a data-sized series would add a
+        # (rn div WIN) block equi-key instead (ts_ewma_halflife's note)
+        return (
+            cur.join(
+                F.broadcast(past),
+                (F.col("past.rn") >= F.col("cur.rn") - (_DE_WIN - 1))
+                & (F.col("past.rn") <= F.col("cur.rn")),
+            )
+            .groupBy(*[F.col(f"cur.{c}").alias(c) for c in df.columns])
+            .agg(
+                F.round(
+                    F.sum((wgt * F.col(f"past.{val}")).cast(DEC)).cast("double")
+                    / F.sum(wgt).cast("double"),
+                    6,
+                ).alias(out)
+            )
+        )
+
+    s1 = ewma(seq.select("rn", "day", "rev"), "rev", "s1").select("rn", "day", "s1")
+    s2 = ewma(s1, "s1", "s2")
+    mx = seq.agg(F.max("rn").alias("mx"))
+    return (
+        s2.crossJoin(F.broadcast(mx))
+        .filter(
+            (F.col("rn") > F.col("mx") - _DE_TAIL) & (F.col("rn") >= 2 * _DE_WIN)
+        )
+        .select(
+            F.col("day").cast("timestamp_ntz").alias("day"),
+            "s1",
+            "s2",
+            F.round(2 * F.col("s1") - F.col("s2"), 6).alias("level"),
+            F.round(F.col("s1") - F.col("s2"), 6).alias("trend"),
+            F.round(
+                (2 * F.col("s1") - F.col("s2")) + (F.col("s1") - F.col("s2")), 6
+            ).alias("forecast_next"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# stats_theil_sen_trend
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_theil_sen_trend",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM({_CENTS}) AS DOUBLE) / 100.0 AS rev
+      FROM orders GROUP BY 1
+    ),
+    seq AS (
+      SELECT rev, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily
+    ),
+    slopes AS (
+      SELECT a.rn AS i, b.rn AS j,
+             (b.rev - a.rev) / (b.rn - a.rn) AS slope
+      FROM seq a JOIN seq b ON b.rn > a.rn
+    ),
+    ranked AS (
+      SELECT slope, ROW_NUMBER() OVER (ORDER BY slope, i, j) AS r,
+             COUNT(*) OVER () AS m
+      FROM slopes
+    )
+    SELECT (SELECT COUNT(*) FROM seq) AS n_days,
+           CAST(MAX(m) AS BIGINT) AS n_pairs,
+           round(AVG(slope), 6) AS theil_sen_slope
+    FROM ranked
+    WHERE r = (m + 1) // 2 OR r = (m + 2) // 2
+    """,
+)
+def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of daily revenue: the exact median of all
+    pairwise slopes (v_j−v_i)/(j−i) — the estimator that tolerates up
+    to ~29% outliers where OLS breaks, and the magnitude complement to
+    stats_mann_kendall_trend's sign-only test.
+
+    The slope set is CALENDAR-bounded (days², ~3M pairs at any corpus
+    scale — a constant, not a data-sized frame), but 3M rows through a
+    single-task median window is still wasteful, so the median rank
+    comes from the range-partitioned total-order kernel
+    (functions/total_order.py) under the unique (slope, i, j) order;
+    the two middle ranks average (even m) or coincide (odd m). Slopes
+    are single IEEE divisions of identical operands in both engines —
+    bit-identical, so ordering needs no rounding; only the final
+    median is rounded (6 dp).
+
+    Scale: one groupBy(day) over orders; everything after runs on the
+    calendar-bounded frame."""
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg((F.sum(F.expr(_CENTS)).cast("double") / 100.0).alias("rev"))
+    )
+    # bounded-window: calendar-bounded daily frame (see docstring)
+    w = Window.orderBy("day")
+    seq = daily.select("day", "rev").withColumn("rn", F.row_number().over(w))
+    a = seq.select(F.col("rn").alias("i"), F.col("rev").alias("vi"))
+    b = seq.select(F.col("rn").alias("j"), F.col("rev").alias("vj"))
+    # broadcast range join over the calendar-bounded frame (never a
+    # CartesianProduct: the j > i condition rides the join)
+    slopes = a.join(F.broadcast(b), F.col("j") > F.col("i")).select(
+        "i",
+        "j",
+        ((F.col("vj") - F.col("vi")) / (F.col("j") - F.col("i"))).alias("slope"),
+    )
+    ranked = attach_global_order(
+        slopes,
+        [F.asc("slope"), F.asc("i"), F.asc("j")],
+        rn="r",
+        total_count="m",
+    )
+    n_days = seq.agg(F.count(F.lit(1)).alias("n_days"))
+    lo = F.floor((F.col("m") + 1) / 2)
+    hi = F.floor((F.col("m") + 2) / 2)
+    return (
+        ranked.filter((F.col("r") == lo) | (F.col("r") == hi))
+        .agg(
+            F.max("m").alias("n_pairs"),
+            F.round(F.avg("slope"), 6).alias("theil_sen_slope"),
+        )
+        .crossJoin(F.broadcast(n_days))
+        .select("n_days", "n_pairs", "theil_sen_slope")
+    )
+
+
+# ---------------------------------------------------------------------------
+# features_woe_iv
+# ---------------------------------------------------------------------------
+
+@query(
+    "features_woe_iv",
+    oracle="""
+    WITH joined AS (
+      SELECT c.c_mktsegment AS segment,
+             CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    per AS (
+      SELECT segment,
+             SUM(y) AS pos, COUNT(*) - SUM(y) AS neg
+      FROM joined GROUP BY segment
+    ),
+    tot AS (SELECT SUM(pos) AS g, SUM(neg) AS b FROM per)
+    SELECT segment,
+           CAST(pos AS BIGINT) AS n_pos, CAST(neg AS BIGINT) AS n_neg,
+           round(ln((pos * 1.0 / (SELECT g FROM tot))
+                    / (neg * 1.0 / (SELECT b FROM tot))), 6) AS woe,
+           round((pos * 1.0 / (SELECT g FROM tot)
+                  - neg * 1.0 / (SELECT b FROM tot))
+                 * ln((pos * 1.0 / (SELECT g FROM tot))
+                      / (neg * 1.0 / (SELECT b FROM tot))), 6) AS iv_term
+    FROM per
+    WHERE pos > 0 AND neg > 0
+    """,
+)
+def features_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value screen of market segment
+    against the urgency target (priority ∈ {1-URGENT, 2-HIGH}) — the
+    standard credit-scoring measure of a categorical feature's
+    predictive power (IV = Σ iv_term; < 0.02 ≈ useless, > 0.3 strong).
+
+    WOE_c = ln((pos_c/G)/(neg_c/B)) from exact integer counts; the two
+    ratios are identical rational doubles in both engines, ln is one
+    libm call on an identical argument, and outputs round at 6 dp (the
+    BM25/MI precedent for ln parity). Zero-cell segments are excluded
+    (ln would be ±∞); the fixture has none, and the guard is the
+    documented convention rather than a smoothing constant.
+
+    Scale: one orders⋈customer key join (the broadcast-or-shuffle
+    choice belongs to the planner at 100 TB), one map-side-combined
+    groupBy to |segments| rows, one 1-row total broadcast."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    joined = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("y"),
+    )
+    per = joined.groupBy("segment").agg(
+        F.sum("y").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("neg"),
+    )
+    tot = per.agg(F.sum("pos").alias("g"), F.sum("neg").alias("b"))
+    pg = F.col("pos") * 1.0 / F.col("g")
+    nb = F.col("neg") * 1.0 / F.col("b")
+    woe = F.log(pg / nb)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .filter((F.col("pos") > 0) & (F.col("neg") > 0))
+        .select(
+            "segment",
+            F.col("pos").cast("long").alias("n_pos"),
+            F.col("neg").cast("long").alias("n_neg"),
+            F.round(woe, 6).alias("woe"),
+            F.round((pg - nb) * woe, 6).alias("iv_term"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sketch_bloom_filter
+# ---------------------------------------------------------------------------
+
+_BF_BITS = 1024
+_BF_WORDS = 32  # 32-bit payload per BIGINT word: 1 << bit stays positive
+_BF_K = 3
+
+
+def _bf_hash_sql(key: str, t: int) -> str:
+    """t-th audited mix hash of ``key`` onto the bit space."""
+    return (
+        f"((({key} % 3221225473) * 2654435761 + {t} * 2246822519)"
+        f" % {_BF_BITS})"
+    )
+
+
+@query(
+    "sketch_bloom_filter",
+    oracle=f"""
+    WITH members AS (
+      SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    bits AS (
+      SELECT {_bf_hash_sql('key', 0)} AS h FROM members
+      UNION ALL SELECT {_bf_hash_sql('key', 1)} FROM members
+      UNION ALL SELECT {_bf_hash_sql('key', 2)} FROM members
+    ),
+    words AS (
+      SELECT h // 32 AS w, BIT_OR(1::BIGINT << (h % 32)) AS bm
+      FROM bits GROUP BY h // 32
+    ),
+    probes AS (
+      SELECT c_custkey AS key,
+             MAX(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END)
+               AS is_member
+      FROM customer GROUP BY c_custkey
+    ),
+    probe_bits AS (
+      SELECT key, is_member, {_bf_hash_sql('key', 0)} AS h FROM probes
+      UNION ALL SELECT key, is_member, {_bf_hash_sql('key', 1)} FROM probes
+      UNION ALL SELECT key, is_member, {_bf_hash_sql('key', 2)} FROM probes
+    ),
+    claimed AS (
+      SELECT p.key, p.is_member,
+             MIN(CASE WHEN w.bm IS NOT NULL
+                       AND (w.bm & (1::BIGINT << (p.h % 32)))
+                           = (1::BIGINT << (p.h % 32))
+                  THEN 1 ELSE 0 END) AS hit
+      FROM probe_bits p LEFT JOIN words w ON w.w = p.h // 32
+      GROUP BY p.key, p.is_member
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(hit) AS BIGINT) AS n_claimed,
+           CAST(SUM(is_member) AS BIGINT) AS n_members,
+           CAST(SUM(CASE WHEN hit = 1 AND is_member = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_positive,
+           round(SUM(CASE WHEN hit = 1 AND is_member = 0 THEN 1 ELSE 0 END)
+                 * 1.0
+                 / NULLIF(COUNT(*) - SUM(is_member), 0), 6) AS fpr
+    FROM claimed
+    """,
+)
+def sketch_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A {_BF_BITS}-bit Bloom filter over the BUILDING segment's
+    customer keys (k = {_BF_K} audited mix hashes, {_BF_WORDS} BIGINT
+    words carrying 32 bits each so ``1 << bit`` never leaves positive
+    int64 in either engine), probed by EVERY customer key and verified
+    exactly: claimed membership vs true membership and the realized
+    false-positive rate — the honest version of a sketch demo, where
+    the error is measured rather than assumed.
+
+    Everything is integer: bit positions from the overflow-swept mix
+    family, the filter as BIT_OR-aggregated words, membership as
+    mask-AND equality folded with MIN over the k probes. The single
+    float is the final FPR division.
+
+    Scale: the filter build is one {_BF_WORDS}-group BIT_OR aggregate
+    (map-side combined — each task emits at most {_BF_WORDS} words);
+    the probe side joins on word index against the {_BF_WORDS}-row
+    broadcast filter — the exact shape of a distributed Bloom-join
+    runtime filter (join_bloom_runtime consumes Spark's built-in one;
+    this operator shows the mechanism itself, verifiable bit by bit)."""
+    c = table(spark, sf_dir, "customer")
+    members = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("key")
+    )
+
+    def hashes(df: DataFrame, extra: list[str]) -> DataFrame:
+        hs = [
+            (
+                (
+                    (F.col("key") % 3221225473) * 2654435761
+                    + t * 2246822519
+                )
+                % _BF_BITS
+            ).alias(f"h{t}")
+            for t in range(_BF_K)
+        ]
+        wide = df.select("key", *extra, *hs)
+        return wide.select(
+            "key",
+            *extra,
+            F.explode(F.array(*[F.col(f"h{t}") for t in range(_BF_K)])).alias(
+                "h"
+            ),
+        )
+
+    bits = hashes(members, [])
+    one_shift = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(h % 32 AS INT))")
+    words = bits.groupBy((F.col("h") / 32).cast("long").alias("w")).agg(
+        F.bit_or(one_shift).alias("bm")
+    )
+    probes = c.groupBy(F.col("c_custkey").alias("key")).agg(
+        F.max(
+            F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0)
+        ).alias("is_member")
+    )
+    pb = hashes(probes, ["is_member"])
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(h % 32 AS INT))")
+    claimed = (
+        pb.join(F.broadcast(words), (F.col("h") / 32).cast("long") == F.col("w"), "left")
+        .groupBy("key", "is_member")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("bm").isNotNull()
+                    & (F.col("bm").bitwiseAND(mask) == mask),
+                    1,
+                ).otherwise(0)
+            ).alias("hit")
+        )
+    )
+    return claimed.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum("hit").cast("long").alias("n_claimed"),
+        F.sum("is_member").cast("long").alias("n_members"),
+        F.sum(
+            F.when((F.col("hit") == 1) & (F.col("is_member") == 0), 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("n_false_positive"),
+        F.round(
+            F.sum(
+                F.when(
+                    (F.col("hit") == 1) & (F.col("is_member") == 0), 1
+                ).otherwise(0)
+            )
+            * 1.0
+            / F.nullif(
+                F.count(F.lit(1)) - F.sum("is_member"), F.lit(0)
+            ),
+            6,
+        ).alias("fpr"),
+    )

@@ -365,6 +365,11 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "events_markov_kstep",
     "anon_ldp_frequency",
     "graph_harmonic_centrality",
+    # round-7 additions (operators/round7d_ops.py)
+    "ts_double_exponential_forecast",
+    "stats_theil_sen_trend",
+    "features_woe_iv",
+    "sketch_bloom_filter",
 )
 
 
@@ -395,6 +400,10 @@ DRIVER_ORDER: tuple[str, ...] = (
     "events_markov_kstep",
     "anon_ldp_frequency",
     "graph_harmonic_centrality",
+    "ts_double_exponential_forecast",
+    "stats_theil_sen_trend",
+    "features_woe_iv",
+    "sketch_bloom_filter",
     # --- 1 driver row(s), last in r1 ---
     "dedup_embedding_cosine",
     "dedup_exact",
