@@ -370,6 +370,11 @@ EXTENSION_ORDER: tuple[str, ...] = (
     "stats_theil_sen_trend",
     "features_woe_iv",
     "sketch_bloom_filter",
+    # round-7 additions (operators/round7e_ops.py)
+    "events_uplift_cuped",
+    "stats_permutation_test",
+    "text_rake_keywords",
+    "multimodal_shot_boundary",
 )
 
 
@@ -404,6 +409,10 @@ DRIVER_ORDER: tuple[str, ...] = (
     "stats_theil_sen_trend",
     "features_woe_iv",
     "sketch_bloom_filter",
+    "events_uplift_cuped",
+    "stats_permutation_test",
+    "text_rake_keywords",
+    "multimodal_shot_boundary",
     # --- 1 driver row(s), last in r1 ---
     "dedup_embedding_cosine",
     "dedup_exact",
