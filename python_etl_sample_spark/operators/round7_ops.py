@@ -400,8 +400,14 @@ def _km_fit(
     frame (vec_id, emb, cid, dist) and the final centroids. The only
     driver-side materializations are the k seed rows and the k×64
     centroid frame per round — constant in corpus size."""
-    vecs = table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    # repartition after the scan: the fixture table is a single parquet
+    # file (one input split); without this every assignment map and
+    # update explode runs on ONE task. Decimal centroid sums are
+    # order-independent, so the repartition cannot move the result.
+    vecs = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .repartition(32)
     )
     hkey = ((F.col("vec_id") % 3221225473) * 2654435761) % 1000003
     seed_rows = (

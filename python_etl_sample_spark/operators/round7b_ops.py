@@ -23,6 +23,7 @@ rounded at 9 dp.
 from __future__ import annotations
 
 import math
+from decimal import ROUND_HALF_UP, Decimal
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -33,6 +34,8 @@ from python_etl_sample_spark.registry import query
 from python_etl_sample_spark.sources import table
 
 _DIM = 64
+#: covariance accumulator — integral decimal wide enough past int64
+_ACC = "decimal(38,0)"
 _COS_T = "0.45"  # same semantic-dup threshold as dedup_embedding_cosine
 _DOT = "(SELECT SUM({a}[i+1]::DOUBLE * {b}[i+1]::DOUBLE) FROM range(64) t(i))"
 
@@ -120,6 +123,18 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PCA_ITERS = 8
 
 
+def _rhu(v: float, nd: int) -> float:
+    """HALF_UP decimal rounding of a double via its shortest repr —
+    bit-identical to Spark's F.round and DuckDB's round (Python's
+    built-in round is HALF_EVEN and diverges on exact ties)."""
+    q = Decimal(1).scaleb(-nd)
+    return float(Decimal(repr(v)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def _r12(v: float) -> float:
+    return _rhu(v, 12)
+
+
 def _pca_oracle() -> str:
     """Covariance (decimal-summed 12-dp products) + unrolled power
     iteration over the 64×64 matrix, every intermediate rounded at
@@ -140,7 +155,9 @@ def _pca_oracle() -> str:
     ),
     cov AS MATERIALIZED (
       SELECT i.i AS ri, j.i AS cj,
-             round({dsum_sql('round((x.emb[i.i+1] - mi.m) * (x.emb[j.i+1] - mj.m), 12)')}
+             round((CAST(SUM(CAST(round(
+                      (x.emb[i.i+1] - mi.m) * (x.emb[j.i+1] - mj.m) * 1e12,
+                      0) AS BIGINT)) AS DOUBLE) / 1e12)
                    / (SELECT n FROM n), 12) AS c
       FROM x
       CROSS JOIN range({_DIM}) i(i)
@@ -210,28 +227,41 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver over the CONSTANT-SIZE 4 096-entry matrix — the same
     bounded-materialization class as the k-means centroid frame. At
     100 TB: one scan, one 4 096-group aggregate, O(1) driver work."""
-    x = table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    # repartition after the scan: the fixture table is one parquet file
+    # (one input split), and without this the 64×64 expansion below runs
+    # on a SINGLE task — measured 17 s → ~1 s at sf0.1 on local[32]; on
+    # a real cluster the same line spreads the expansion over executors
+    x = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .repartition(32)
     )
-    n_row = x.agg(F.count(F.lit(1)).alias("n")).collect()[0]
-    n = n_row["n"]
 
-    # per-dimension means: exact decimal sums / n, rounded 12 dp
+    # per-dimension means AND the row count in one pass: exact decimal
+    # sums / per-dim counts (each dim appears once per row), 12 dp
     mu_rows = (
         x.select(F.posexplode("emb").alias("d", "val"))
         .groupBy("d")
         .agg(
-            F.round(F.sum(F.col("val").cast(DEC)).cast("double") / n, 12).alias("m")
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("val").cast(DEC)).cast("double").alias("s"),
         )
         .collect()
     )
+    n = mu_rows[0]["cnt"]
     mu = [0.0] * _DIM
     for r in mu_rows:
-        mu[r["d"]] = r["m"]
+        # HALF_UP at 12 dp exactly as both engines' round(x, 12) —
+        # Python's round() is HALF_EVEN and diverges on ties
+        mu[r["d"]] = _r12(r["s"] / n)
     mu_lit = F.array(*[F.lit(m) for m in mu])
 
-    # covariance: explode (i, j), 12-dp round per-row product, decimal
-    # sum per cell — 4 096 groups, combiner-reduced before the shuffle
+    # covariance: explode (i, j); each product is scaled by 1e12 and
+    # HALF_UP-rounded to an EXACT integer (one IEEE multiply chain on
+    # identical operands in both engines), so the per-cell reduction is
+    # an integer sum — order-independent like the decimal path but on
+    # the fast long/decimal-int aggregate. 38-digit accumulator keeps
+    # it exact past int64 row counts; 4 096 groups, combiner-reduced.
     centered = x.select(
         F.zip_with(F.col("emb"), mu_lit, lambda e, m: e - m).alias("c")
     )
@@ -240,14 +270,12 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "i", "xi", F.posexplode("c").alias("j", "xj")
     )
+    si = F.round(F.col("xi") * F.col("xj") * 1e12, 0).cast(_ACC)
     cov_rows = (
         cells.groupBy("i", "j")
         .agg(
             F.round(
-                F.sum(F.round(F.col("xi") * F.col("xj"), 12).cast(DEC)).cast(
-                    "double"
-                )
-                / n,
+                (F.sum(si).cast("double") / 1e12) / n,
                 12,
             ).alias("c")
         )
@@ -257,22 +285,22 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in cov_rows:
         C[r["i"]][r["j"]] = r["c"]
 
-    # fixed-iteration power method, every intermediate rounded at 12 dp
-    # in the same index order as the oracle's ORDER BY sums
-    v = [round(1.0 / math.sqrt(float(_DIM)), 12)] * _DIM
+    # fixed-iteration power method, every intermediate HALF_UP-rounded
+    # at 12 dp in the same index order as the oracle's ORDER BY sums
+    v = [_r12(1.0 / math.sqrt(float(_DIM)))] * _DIM
     lam = 0.0
     for _ in range(_PCA_ITERS):
-        w = [round(sum(C[i][j] * v[j] for j in range(_DIM)), 12) for i in range(_DIM)]
-        lam = round(sum(v[d] * w[d] for d in range(_DIM)), 12)
-        s = round(math.sqrt(sum(wi * wi for wi in w)), 12)
-        v = [round(wi / s, 12) for wi in w]
-    trace = round(sum(C[d][d] for d in range(_DIM)), 12)
+        w = [_r12(sum(C[i][j] * v[j] for j in range(_DIM))) for i in range(_DIM)]
+        lam = _r12(sum(v[d] * w[d] for d in range(_DIM)))
+        s = _r12(math.sqrt(sum(wi * wi for wi in w)))
+        v = [_r12(wi / s) for wi in w]
+    trace = _r12(sum(C[d][d] for d in range(_DIM)))
     dom = max(range(_DIM), key=lambda d: (abs(v[d]), -d))
 
     return spark.range(1).select(
         F.lit(n).alias("n_vecs"),
-        F.lit(round(lam, 6)).alias("lambda1"),
-        F.lit(round(lam / trace, 6)).alias("evr1"),
+        F.lit(_rhu(lam, 6)).alias("lambda1"),
+        F.lit(_rhu(lam / trace, 6)).alias("evr1"),
         F.lit(dom).alias("dominant_dim"),
-        F.lit(round(abs(v[dom]), 6)).alias("dominant_loading"),
+        F.lit(_rhu(abs(v[dom]), 6)).alias("dominant_loading"),
     )
