@@ -160,6 +160,18 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels and edges co-partition on node id so each superstep is a
     co-located join; rounds stay bounded (LPA converges in few rounds
     or oscillates — capping rounds IS the algorithm)."""
+    labels = _lpa_fit(spark, sf_dir)
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("node").cast("bigint").alias("min_member"),
+        F.max("node").cast("bigint").alias("max_member"),
+    )
+
+
+def _lpa_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic LPA fit (node, label) after the fixed rounds —
+    shared by graph_label_propagation and the modularity scorer
+    (round7g_ops), so both consume the identical communities."""
     edges = _copurchase_edges(spark, sf_dir)
     sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     sym = sym.select(F.col("u").alias("src"), F.col("v").alias("dst"))
@@ -179,11 +191,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("node", "label")
         )
-    return labels.groupBy(F.col("label").alias("community")).agg(
-        F.count(F.lit(1)).alias("n_members"),
-        F.min("node").cast("bigint").alias("min_member"),
-        F.max("node").cast("bigint").alias("max_member"),
-    )
+    return labels
 
 
 @query(
