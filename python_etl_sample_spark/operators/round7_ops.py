@@ -66,10 +66,10 @@ _BM25_PROBES_SQL = "(VALUES " + ", ".join(
 ) + ") AS p(probe_id, term)"
 
 
-@query(
-    "text_bm25_rank",
-    oracle=f"""
-    WITH tok AS (
+#: WITH-body replaying BM25 scoring through ``scored``
+#: (probe_id, doc_id, n_terms, bm25) — shared by ``text_bm25_rank``
+#: and the reciprocal-rank-fusion oracle in round7k_ops.
+_BM25_CTES = f"""tok AS (
       SELECT doc_id, t.token
       FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS t(token)
       WHERE t.token <> ''
@@ -104,7 +104,13 @@ _BM25_PROBES_SQL = "(VALUES " + ", ".join(
              CAST(COUNT(*) AS BIGINT) AS n_terms,
              {dsum_sql('c')} AS bm25
       FROM contrib GROUP BY probe_id, doc_id
-    )
+    )"""
+
+
+@query(
+    "text_bm25_rank",
+    oracle=f"""
+    WITH {_BM25_CTES}
     SELECT probe_id, doc_id, n_terms, round(bm25, 6) AS bm25, rn FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
                                    ORDER BY bm25 DESC, doc_id) AS rn
