@@ -107,36 +107,11 @@ _BM25_CTES = f"""tok AS (
     )"""
 
 
-@query(
-    "text_bm25_rank",
-    oracle=f"""
-    WITH {_BM25_CTES}
-    SELECT probe_id, doc_id, n_terms, round(bm25, 6) AS bm25, rn FROM (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
-                                   ORDER BY bm25 DESC, doc_id) AS rn
-      FROM scored
-    ) WHERE rn <= {_BM25_TOPK}
-    """,
-)
-def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 ranked retrieval: top-10 documents per probe term set under
-    Okapi BM25 (k1=1.2, b=0.75, Lucene's non-negative idf variant
-    ln(1 + (N−df+0.5)/(df+0.5))) — the standard scorer for
-    contamination / retrieval audits over a training corpus.
-
-    Determinism: tf/df/dl are exact integers; avgdl is one exact
-    int-sum / int-count double division; each term's BM25 contribution
-    is a single identically-parenthesized IEEE double expression in
-    both engines, rounded at 6 dp, and the per-document score is the
-    order-independent decimal sum of those rounded terms
-    (functions/determinism.py). Ties rank by doc_id.
-
-    Scale: tokenization is map-only; tf is one (doc, token) shuffle
-    shared with df (a groupBy over tf's output, combiner-reduced to
-    |vocab| rows); probes and the 1-row corpus stats broadcast; the
-    final top-k is a per-probe rank window over |probes|·|docs|
-    candidate rows — at 100 TB the probe join prunes that to documents
-    actually containing a probe term before anything ranks."""
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BM25 scoring pipeline through the pre-top-k frame
+    (probe_id, doc_id, n_terms, bm25) — the Spark twin of the shared
+    ``_BM25_CTES`` ``scored`` CTE, consumed by ``text_bm25_rank`` and
+    the retrieval-evaluation queries (round7m_ops.ml_ndcg_retrieval)."""
     d = table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id",
@@ -172,7 +147,7 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
-    scored = (
+    return (
         tf.join(F.broadcast(probes), probes.term == tf.token)
         .join(F.broadcast(df_), "token")
         .join(dl, "doc_id")
@@ -184,6 +159,39 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c").cast(DEC)).cast("double").alias("bm25"),
         )
     )
+
+
+@query(
+    "text_bm25_rank",
+    oracle=f"""
+    WITH {_BM25_CTES}
+    SELECT probe_id, doc_id, n_terms, round(bm25, 6) AS bm25, rn FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY bm25 DESC, doc_id) AS rn
+      FROM scored
+    ) WHERE rn <= {_BM25_TOPK}
+    """,
+)
+def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval: top-10 documents per probe term set under
+    Okapi BM25 (k1=1.2, b=0.75, Lucene's non-negative idf variant
+    ln(1 + (N−df+0.5)/(df+0.5))) — the standard scorer for
+    contamination / retrieval audits over a training corpus.
+
+    Determinism: tf/df/dl are exact integers; avgdl is one exact
+    int-sum / int-count double division; each term's BM25 contribution
+    is a single identically-parenthesized IEEE double expression in
+    both engines, rounded at 6 dp, and the per-document score is the
+    order-independent decimal sum of those rounded terms
+    (functions/determinism.py). Ties rank by doc_id.
+
+    Scale: tokenization is map-only; tf is one (doc, token) shuffle
+    shared with df (a groupBy over tf's output, combiner-reduced to
+    |vocab| rows); probes and the 1-row corpus stats broadcast; the
+    final top-k is a per-probe rank window over |probes|·|docs|
+    candidate rows — at 100 TB the probe join prunes that to documents
+    actually containing a probe term before anything ranks."""
+    scored = _bm25_scored(spark, sf_dir)
     w = Window.partitionBy("probe_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
