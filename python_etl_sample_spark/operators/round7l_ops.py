@@ -384,7 +384,7 @@ _ROLL_W = 7
       WINDOW win AS (ORDER BY day
                      ROWS BETWEEN {_ROLL_W - 1} PRECEDING AND CURRENT ROW)
     )
-    SELECT day,
+    SELECT CAST(day AS TIMESTAMP) AS day,
            round(CAST({_ROLL_W} * sxy - sx * sy AS DOUBLE)
                  / CAST({_ROLL_W} * sxx - sx * sx AS DOUBLE) / 100.0, 6)
              AS slope_per_day
@@ -431,7 +431,7 @@ def ts_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kk = F.lit(_ROLL_W)
     return w.filter(F.col("k") == _ROLL_W).select(
-        "day",
+        F.col("day").cast("timestamp_ntz").alias("day"),
         F.round(
             (kk * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
             / (kk * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
