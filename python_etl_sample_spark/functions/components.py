@@ -31,12 +31,24 @@ join + per-round edge checkpoint at near-dup-graph shapes (shallow
 components, edge list ≪ corpus). Star-contract stays available and
 property-tested for parity on randomized graphs.
 
-The round budget comes from ONE upfront scalar (`n_bound`: any upper
-bound on component size — a block-size max, or the distinct-node
-count): hash-min with pointer jumping provably fixpoints within
-⌈log₂ D⌉ + 1 rounds for diameter D < n_bound, so the loop needs no
-convergence polling. At 100 TB rounds shuffle the PAIR list only —
-documents never move.
+Termination (fixed round 8): the convergence poll is the TERMINATOR,
+not an optimization. The ⌈log₂ n_bound⌉ + 1 budget the kernel
+originally stopped at is only the FRIENDLY-layout round count — the
+shortcut doubles the min-id chase distance per round only when each
+label points at a node whose own label is further along the chain,
+which holds when ids decrease monotonically toward the component min
+(near-dup stars, id-ordered chains) but NOT in general: the sf0.1
+spatial hotspot grid (1381 dense cells, snake-shaped components with
+scrambled cell ids) needs 2.5× that budget, and stopping at the budget
+mislabeled 1003 of 1381 nodes. The sound worst-case bound is plain
+hash-min's: diameter + 1 ≤ n_bound rounds (the jump step is monotone —
+lab' = min(prop, prop∘prop) ≤ prop — so it never slows convergence).
+The loop therefore polls label stability at every checkpoint boundary
+and exits on the first stable window (a stable window of a monotone
+update IS the fixpoint, and the fixpoint of symmetric neighbor-min is
+the component minimum), with n_bound + 1 rounds as the never-reached
+safety cap. At 100 TB rounds shuffle the PAIR list only — documents
+never move.
 """
 
 from __future__ import annotations
@@ -65,12 +77,18 @@ def pointer_jump_components(
 
     ``n_bound``: any upper bound on the largest component's node count
     (callers pass a block-size max or a distinct-node count — one
-    scalar action total). The ⌈log₂ n_bound⌉+1 budget is a worst-case
-    DIAMETER bound; real near-dup graphs are shallow stars, so with
-    ``poll_convergence`` the loop also compares labels at each
-    checkpoint boundary (one tiny count action per ``checkpoint_every``
-    rounds, NOT per round) and exits as soon as a window is stable —
-    measured 2-3× fewer rounds than the budget on the fixture graphs.
+    scalar action total). The loop runs until the label frame is
+    STABLE across a checkpoint window (one tiny count action per
+    ``checkpoint_every`` rounds, NOT per round) — a stable window of
+    this monotone min-update is the fixpoint, and the fixpoint equals
+    the per-component minimum. ``n_bound + 1`` rounds is the safety
+    cap (plain hash-min converges in diameter+1 ≤ n_bound rounds and
+    the shortcut never slows it); the ⌈log₂ n_bound⌉+1 figure is only
+    the friendly-id-layout round count, NOT a guarantee — see the
+    module docstring for the grid-graph counterexample.
+    ``poll_convergence=False`` is a legacy benchmark mode that stops
+    at the log₂ budget and may under-converge on adversarial id
+    layouts; no production query uses it.
 
     Round-loop shuffle partitions are sized from the (already
     checkpointed, so cheap-to-count) edge list rather than the session
@@ -97,7 +115,10 @@ def pointer_jump_components(
     # ~1M pair rows per task, floor 4 so skew has room, capped at the
     # session setting (a 100 TB pair list keeps the full width)
     loop_parts = max(4, min(int(old_parts), n_edges // 1_000_000 + 4))
-    rounds = _rounds_for(n_bound)
+    # poll mode: run to the convergence poll's fixpoint, capped by the
+    # sound hash-min bound (diameter+1 ≤ n_bound); legacy no-poll mode
+    # keeps the log₂ budget (approximate on adversarial id layouts)
+    rounds = int(n_bound) + 1 if poll_convergence else _rounds_for(n_bound)
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     try:
         labels = _pointer_jump_rounds(
@@ -166,7 +187,15 @@ def star_contract_components(edges: DataFrame, n_bound: int) -> DataFrame:
     """Alternating large-star/small-star contraction (Kiveris et al.
     2014). Same contract as ``pointer_jump_components``; kept as the
     measured alternative (see module docstring) and exercised by the
-    randomized parity test in tests/test_properties.py."""
+    randomized parity test in tests/test_properties.py.
+
+    Termination (fixed round 8, same class as the pointer-jump fix):
+    the loop runs to a STABLE edge set (one exceptAll-count action per
+    round — at the fixpoint every component is a star on its minimum
+    and both contractions reproduce it verbatim), capped at
+    ``n_bound + 1`` rounds; the previous ⌈log₂ n_bound⌉+1 stop is a
+    friendly-layout round count, not Kiveris' bound (their proof gives
+    O(log² n) rounds), and under-converges on scrambled-id chains."""
     cur = (
         edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
@@ -184,7 +213,9 @@ def star_contract_components(edges: DataFrame, n_bound: int) -> DataFrame:
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
 
-    for _ in range(_rounds_for(n_bound)):
+    for _ in range(int(n_bound) + 1):
+        if cur.isEmpty():
+            break
         sym = _sym(cur)
         # large-star: every neighbor LARGER than u links to u's min
         mins = sym.groupBy("src").agg(
@@ -210,7 +241,14 @@ def star_contract_components(edges: DataFrame, n_bound: int) -> DataFrame:
             .select(F.col("u").alias("src"), F.col("m").alias("dst"))
             .distinct()
         )
-        cur = small.localCheckpoint(eager=True)
+        prev, cur = cur, small.localCheckpoint(eager=True)
+        # stable edge set ⇒ fixpoint (both contractions are functions
+        # of the edge set alone) — one small count action per round
+        if (
+            cur.exceptAll(prev).isEmpty()
+            and prev.exceptAll(cur).isEmpty()
+        ):
+            break
     # at the fixpoint edges form stars centered on component minima
     lab = cur.groupBy(F.col("src").alias("node")).agg(F.min("dst").alias("lab"))
     return all_nodes.join(lab, "node", "left").select(

@@ -47,6 +47,148 @@ _DEC38 = "decimal(38,0)"
 # spatial_hotspot_clusters
 # ---------------------------------------------------------------------------
 
+def _hotspot_fwd_edges(dense: DataFrame) -> DataFrame:
+    """Forward 8-neighbor adjacency over the dense-cell frame as an
+    EQUI-join: explode each dense cell to its four forward-offset
+    neighbor keys — (0,+1), (+1,-1), (+1,0), (+1,+1), exactly the
+    neighbors with a LARGER cell id, since cell = cx·100000 + cy
+    orders lexicographically on (cx, cy) and cy + 1 < 100000 at any
+    achievable grid size (g ≈ √(n/4) stays far below 10⁵ even at
+    sf 100000) — then hash-join the keys back against the dense-cell
+    set.  Produces the identical edge set as the symmetric
+    |Δcx| ≤ 1 ∧ |Δcy| ≤ 1 ∧ src < dst predicate, but plans as a
+    shuffled/broadcast HASH join on the key: O(d) work instead of the
+    O(d²) BroadcastNestedLoopJoin a theta join costs when the
+    dense-cell count d grows with the corpus (the same
+    replicate-into-neighbor-cells shape as ``spatial_knn_grid``,
+    round6f_ops.py)."""
+    nbr = dense.select(
+        F.col("cell").alias("src"),
+        F.explode(
+            F.array(
+                F.col("cell") + 1,  # (dx, dy) = (0, +1)
+                F.col("cell") + 100000 - 1,  # (+1, -1)
+                F.col("cell") + 100000,  # (+1, 0)
+                F.col("cell") + 100000 + 1,  # (+1, +1)
+            )
+        ).alias("dst"),
+    )
+    return nbr.join(dense.select(F.col("cell").alias("dst")), "dst").select(
+        "src", "dst"
+    )
+
+
+#: tile side for the block-local CC solve — a tile holds ≤ _TILE² =
+#: 65 536 cells (≤ ~1.6 MB of union-find state per Arrow group), and
+#: the tile key (cx div S)·4096 + (cy div S) is collision-free up to
+#: g < 4096·_TILE ≈ 10⁶ grid rows (≈ sf 2.6·10⁷ — far past 100 TB)
+_TILE = 256
+
+
+def _hotspot_components(dense: DataFrame, fwd: DataFrame) -> DataFrame:
+    """(cell, cluster) labels for the dense-cell adjacency graph —
+    cluster = the component's minimum cell id, computed with the
+    two-level decomposition production systems use for grid/DBSCAN
+    merges at scale (the same philosophy as
+    ``graph_connected_components``, graph.py): solve each size-bounded
+    spatial TILE locally with an O(n α(n)) union-find inside one Arrow
+    ``applyInPandas`` group, then run the iterative pointer-jump
+    kernel only on the CONTRACTED tile-boundary graph (one node per
+    tile-local sub-component touching a cross-tile edge).
+
+    Why not the kernel over the raw cell graph: hotspot components are
+    snake-shaped (the sf0.1 grid has a 1079-cell component of diameter
+    ≈ 60 whose scrambled cell ids defeat the min-id shortcut — see
+    functions/components.py), so the flat kernel needs ~62 rounds of
+    Spark jobs. Tiling solves everything inside a tile in ONE stage;
+    the residue graph is perimeter-sized (≤ 4·_TILE nodes per tile vs
+    _TILE² cells) and its diameter is measured in TILE units, so the
+    kernel's rounds drop by ~_TILE× on the same worst case. At the
+    test scale factors the grid fits one tile and the kernel is
+    skipped outright.
+
+    Correctness does not depend on tile placement: local labels are
+    minima of tile-local sub-components, the contracted closure merges
+    them across boundary edges, and min(local minima over a component)
+    = the component's global minimum — the exact labels the oracle's
+    recursive CTE produces."""
+    import pandas as pd
+
+    def tile(col: str):  # exact integer arithmetic end to end
+        return F.expr(
+            f"(({col} div 100000) div {_TILE}) * 4096"
+            f" + (({col} % 100000) div {_TILE})"
+        )
+
+    e = fwd.select(
+        "src", "dst", tile("src").alias("t_src"), tile("dst").alias("t_dst")
+    )
+
+    def tile_uf(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(pdf["src"], pdf["dst"]):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        keys = list(parent)
+        return pd.DataFrame(
+            {"node": keys, "lab": [find(k) for k in keys]}
+        )
+
+    intra = e.filter(F.col("t_src") == F.col("t_dst"))
+    loc = intra.groupBy("t_src").applyInPandas(
+        tile_uf, schema="node bigint, lab bigint"
+    )
+    cell2loc = (
+        dense.select("cell")
+        .join(loc.withColumnRenamed("node", "cell"), "cell", "left")
+        .select("cell", F.coalesce(F.col("lab"), F.col("cell")).alias("loc"))
+        .localCheckpoint(eager=True)
+    )
+    cross = e.filter(F.col("t_src") != F.col("t_dst"))
+    bedges = (
+        cross.join(
+            cell2loc.select(
+                F.col("cell").alias("src"), F.col("loc").alias("lsrc")
+            ),
+            "src",
+        )
+        .join(
+            cell2loc.select(
+                F.col("cell").alias("dst"), F.col("loc").alias("ldst")
+            ),
+            "dst",
+        )
+        .filter(F.col("lsrc") != F.col("ldst"))
+        .select(F.col("lsrc").alias("src"), F.col("ldst").alias("dst"))
+    )
+    n_cross = bedges.count()  # perimeter-bounded, one action
+    if n_cross:
+        glab = pointer_jump_components(bedges, n_bound=2 * n_cross)
+        final = (
+            cell2loc.join(
+                glab.withColumnRenamed("node", "loc"), "loc", "left"
+            )
+            .select(
+                "cell",
+                F.coalesce(F.col("lab"), F.col("loc")).alias("cluster"),
+            )
+        )
+    else:
+        final = cell2loc.select(
+            "cell", F.col("loc").alias("cluster")
+        )
+    return final
+
+
 @query(
     "spatial_hotspot_clusters",
     oracle=f"""
@@ -104,11 +246,15 @@ def spatial_hotspot_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one groupBy collapses points to the cell grid (the only
     data-sized shuffle; the g² grid has ~n/4 cells, each a 16-byte
-    row); the dense-cell adjacency join and CC rounds run on the
-    dense-cell frame only; the CC kernel is the same converged
-    min-label pointer jumping the dedup family uses
-    (functions/components.py), replayed exactly by the oracle's
-    recursive closure.
+    row); the dense-cell adjacency is an explode-4-forward-offsets +
+    EQUI-join on the neighbor cell key (``_hotspot_fwd_edges`` — O(d)
+    hash-join work in the dense-cell count d, never the O(d²) nested
+    loop a theta join would plan); components come from the two-level
+    tile decomposition in ``_hotspot_components`` — size-bounded
+    per-tile union-find in one Arrow stage, then the shared
+    pointer-jump kernel (functions/components.py) on the contracted
+    perimeter graph only — replayed exactly by the oracle's recursive
+    closure.
 
     Determinism: g = max(2, ⌊√(n/4)⌋) derives from the exact count
     through one IEEE sqrt (identical on both engines); cell indices
@@ -148,33 +294,9 @@ def spatial_hotspot_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cy",
         "cnt",
     )
-    b = dense.select(
-        F.col("cell").alias("dst"),
-        F.col("cx").alias("bx"),
-        F.col("cy").alias("by"),
-    )
-    fwd = (
-        dense.join(
-            b,
-            (F.abs(F.col("cx") - F.col("bx")) <= 1)
-            & (F.abs(F.col("cy") - F.col("by")) <= 1)
-            & (F.col("cell") < F.col("dst")),
-        )
-        .select(F.col("cell").alias("src"), "dst")
-    )
-    n_dense = dense.count()  # domain-bounded (≤ grid cells), one action
-    if n_dense and not fwd.isEmpty():
-        labels = pointer_jump_components(fwd, n_bound=n_dense)
-    else:
-        labels = dense.sparkSession.createDataFrame(
-            [], "node bigint, lab bigint"
-        )
-    comp = dense.join(
-        labels.withColumnRenamed("node", "cell"), "cell", "left"
-    ).select(
-        "cell",
-        "cnt",
-        F.coalesce(F.col("lab"), F.col("cell")).alias("cluster"),
+    fwd = _hotspot_fwd_edges(dense)
+    comp = dense.join(_hotspot_components(dense, fwd), "cell").select(
+        "cell", "cnt", "cluster"
     )
     return comp.groupBy(F.col("cluster").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("n_cells"),

@@ -95,6 +95,13 @@ def test_cc_kernels_agree_on_random_graphs(spark):
     # chain of 33, a 12-star, and three sparse G(n, m) graphs
     cases.append([(i, i + 1) for i in range(33)])
     cases.append([(50, 50 + i) for i in range(1, 13)])
+    # SCRAMBLED-id chain of 40 — the adversarial layout that defeats
+    # the old ⌈log₂ n⌉+1 round budget (needs 15 rounds, budget gave 7;
+    # round-8 regression for the convergence-poll terminator, the bug
+    # that mislabeled 1003/1381 sf0.1 hotspot grid cells)
+    perm = list(range(40))
+    rng.shuffle(perm)
+    cases.append([(perm[i], perm[i + 1]) for i in range(39)])
     for n, m in ((40, 25), (60, 70), (25, 5)):
         cases.append(
             [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]

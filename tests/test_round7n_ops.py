@@ -108,6 +108,108 @@ def test_hotspot_clusters_merge_adjacent_dense_cells(spark):
     assert got == want
 
 
+def test_hotspot_fwd_plan_is_equi_join(spark):
+    """Round-8 plan pin (closes the VERDICT r7 audit blind spot): the
+    dense-cell adjacency must plan as a HASH equi-join on the exploded
+    neighbor key — never the O(d²) BroadcastNestedLoopJoin the old
+    |Δcx|≤1 ∧ |Δcy|≤1 theta join produced. The query executes its CC
+    stage at construction, so tools/plan_audit.py cannot see this
+    join; this test pins the intermediate frame's physical plan
+    directly."""
+    from python_etl_sample_spark.operators.round7n_ops import (
+        _hotspot_fwd_edges,
+    )
+
+    dense = spark.createDataFrame(
+        [(cx * 100000 + cy, cx, cy, 3) for cx in range(4) for cy in range(4)],
+        "cell bigint, cx bigint, cy bigint, cnt bigint",
+    )
+    fwd = _hotspot_fwd_edges(dense)
+    plan = fwd._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or (
+        "ShuffledHashJoin" in plan
+    )
+
+
+def test_hotspot_fwd_matches_theta_join_semantics(spark):
+    """The explode-4-forward-offsets equi-join produces exactly the
+    8-neighbor forward pairs (|Δcx|≤1, |Δcy|≤1, src<dst) — checked
+    against a brute-force recompute on a grid with borders, gaps, and
+    cy=0 edge cells (where the (+1,-1) offset key must dangle, not
+    wrap onto another real cell)."""
+    from python_etl_sample_spark.operators.round7n_ops import (
+        _hotspot_fwd_edges,
+    )
+
+    cells = [
+        (0, 0), (0, 1), (1, 0), (2, 2), (3, 1), (3, 3), (4, 0), (5, 5),
+    ]
+    dense = spark.createDataFrame(
+        [(cx * 100000 + cy, cx, cy, 2) for cx, cy in cells],
+        "cell bigint, cx bigint, cy bigint, cnt bigint",
+    )
+    got = {
+        (r["src"], r["dst"])
+        for r in _hotspot_fwd_edges(dense).collect()
+    }
+    ids = {cx * 100000 + cy for cx, cy in cells}
+    want = {
+        (a, b)
+        for a in ids
+        for b in ids
+        if a < b
+        and abs(a // 100000 - b // 100000) <= 1
+        and abs(a % 100000 - b % 100000) <= 1
+    }
+    assert got == want
+
+
+def test_hotspot_components_cross_tile_merge(spark):
+    """The two-level tile decomposition must merge components that
+    straddle tile boundaries: a chain crossing cx = 255|256 (tile key
+    changes) and one crossing cy = 255|256 both get single labels
+    equal to the component minimum; an isolated far cell keeps its own
+    id. At the fixture scale factors the whole grid fits one tile, so
+    this synthetic graph is the only coverage of the contracted
+    boundary-graph path."""
+    from python_etl_sample_spark.operators.round7n_ops import (
+        _hotspot_components,
+        _hotspot_fwd_edges,
+    )
+
+    cells = [
+        # horizontal chain crossing the cx tile border
+        (254, 10), (255, 10), (256, 11), (257, 11),
+        # vertical chain crossing the cy tile border
+        (10, 254), (10, 255), (11, 256),
+        # isolated
+        (600, 600),
+    ]
+    dense = spark.createDataFrame(
+        [(cx * 100000 + cy, cx, cy, 2) for cx, cy in cells],
+        "cell bigint, cx bigint, cy bigint, cnt bigint",
+    )
+    fwd = _hotspot_fwd_edges(dense)
+    got = {
+        r["cell"]: r["cluster"]
+        for r in _hotspot_components(dense, fwd).collect()
+    }
+    cid = lambda cx, cy: cx * 100000 + cy  # noqa: E731
+    want = {
+        cid(254, 10): cid(254, 10),
+        cid(255, 10): cid(254, 10),
+        cid(256, 11): cid(254, 10),
+        cid(257, 11): cid(254, 10),
+        cid(10, 254): cid(10, 254),
+        cid(10, 255): cid(10, 254),
+        cid(11, 256): cid(10, 254),
+        cid(600, 600): cid(600, 600),
+    }
+    assert got == want
+
+
 # ---------------------------------------------------------------------------
 # embedding_binary_hamming
 # ---------------------------------------------------------------------------
