@@ -91,6 +91,13 @@ SHARED_INTERMEDIATE = (
     "sim_ann_ivf",
     "dedup_cluster_keeper",
     "basket_brand_pairs_lift",
+    # round 8: memoized k-means fit + BM25 scored frame (cache.py)
+    "cluster_kmeans_lloyd",
+    "dedup_semantic_cluster",
+    "cluster_silhouette",
+    "text_bm25_rank",
+    "ml_ndcg_retrieval",
+    "sim_rrf_fusion",
 )
 
 

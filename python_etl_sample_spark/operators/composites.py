@@ -121,7 +121,7 @@ def join_existence_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH assigned AS (
       SELECT event_type, value,
-             CASE WHEN ((user_id % 100000) * 2654435761) % 100 < 50
+             CASE WHEN ((user_id % 3221225473) * 2654435761) % 100 < 50
                   THEN 'A' ELSE 'B' END AS variant
       FROM events
     ), agg AS (
@@ -155,7 +155,7 @@ def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = ev.select(
         "event_type",
         "value",
-        F.when(((F.col("user_id") % 100000) * 2654435761) % 100 < 50, "A")
+        F.when(((F.col("user_id") % 3221225473) * 2654435761) % 100 < 50, "A")
         .otherwise("B")
         .alias("variant"),
     )

@@ -77,7 +77,9 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     each metric's block is contiguous in the global order and holds
     exactly n rows, making the per-metric rank ``global_rn − metric·n``
     — no second structure, no per-dimension histogram joins. Recency's
-    DESC order is encoded as ``sortval = −recency_days``.
+    DESC order is encoded by using the epoch day of ``last_order``
+    ASC as the sortval (later last order ⇔ smaller recency — identical
+    ordering to recency DESC without materializing the subtraction).
 
     No partitionless window touches a data-sized frame (NTILE over the
     raw customer frame would be a single-task global sort); NTILE

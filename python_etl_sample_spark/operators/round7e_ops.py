@@ -52,7 +52,7 @@ _CUPED_SPLIT = "2024-01-16"
     oracle=f"""
     WITH per_user AS (
       SELECT user_id,
-             CASE WHEN ((user_id % 100000) * 2654435761) % 100 < 50
+             CASE WHEN ((user_id % 3221225473) * 2654435761) % 100 < 50
                   THEN 'A' ELSE 'B' END AS arm,
              SUM(CASE WHEN ts < TIMESTAMP '{_CUPED_SPLIT}'
                       THEN {_VCENTS} ELSE 0 END) AS x,
@@ -121,7 +121,7 @@ def events_uplift_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("y"),
     ).select(
         F.when(
-            ((F.col("user_id") % 100000) * 2654435761) % 100 < 50, "A"
+            ((F.col("user_id") % 3221225473) * 2654435761) % 100 < 50, "A"
         )
         .otherwise("B")
         .alias("arm"),

@@ -160,7 +160,7 @@ def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     z AS (
       SELECT y,
              round(1.0 / (1.0 + exp(-((CAST(cents AS DOUBLE) - (s / n))
-                                      / sqrt((ssq - s * (s / n)) / n)))),
+                                      / sqrt(GREATEST((ssq - s * (s / n)) / n, 0))))),
                    6) AS p
       FROM base CROSS JOIN m
     ),
@@ -211,7 +211,11 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cd * F.col("cents")).cast("double").alias("ssq"),
     )
     mu = F.col("s") / F.col("n")
-    sd = F.sqrt((F.col("ssq") - F.col("s") * mu) / F.col("n"))
+    # GREATEST-guard (ADVICE r7): near-constant series can round the
+    # variance to a tiny negative; DuckDB sqrt raises where Spark NaNs
+    sd = F.sqrt(
+        F.greatest((F.col("ssq") - F.col("s") * mu) / F.col("n"), F.lit(0.0))
+    )
     p = F.round(
         1.0
         / (

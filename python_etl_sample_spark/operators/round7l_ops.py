@@ -309,9 +309,9 @@ def embedding_knn_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
            round((s / n) / 1000000.0, 6) AS mean_gap_sec,
-           round(sqrt((ssq - s * (s / n)) / n) / (s / n), 6) AS cv,
-           round((sqrt((ssq - s * (s / n)) / n) - (s / n))
-                 / (sqrt((ssq - s * (s / n)) / n) + (s / n)), 6)
+           round(sqrt(GREATEST((ssq - s * (s / n)) / n, 0)) / (s / n), 6) AS cv,
+           round((sqrt(GREATEST((ssq - s * (s / n)) / n, 0)) - (s / n))
+                 / (sqrt(GREATEST((ssq - s * (s / n)) / n, 0)) + (s / n)), 6)
              AS burstiness
     FROM m WHERE n >= 2 AND s > 0
     """,
@@ -347,7 +347,11 @@ def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(gd * F.col("gap")).cast("double").alias("ssq"),
     )
     mu = F.col("s") / F.col("n")
-    sig = F.sqrt((F.col("ssq") - F.col("s") * mu) / F.col("n"))
+    # GREATEST-guard (ADVICE r7): near-constant series can round the
+    # variance to a tiny negative; DuckDB sqrt raises where Spark NaNs
+    sig = F.sqrt(
+        F.greatest((F.col("ssq") - F.col("s") * mu) / F.col("n"), F.lit(0.0))
+    )
     return m.filter((F.col("n") >= 2) & (F.col("s") > 0)).select(
         "event_type",
         F.col("n").cast("long").alias("n_gaps"),
