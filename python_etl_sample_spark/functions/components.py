@@ -190,9 +190,11 @@ def star_contract_components(edges: DataFrame, n_bound: int) -> DataFrame:
     randomized parity test in tests/test_properties.py.
 
     Termination (fixed round 8, same class as the pointer-jump fix):
-    the loop runs to a STABLE edge set (one exceptAll-count action per
-    round — at the fixpoint every component is a star on its minimum
-    and both contractions reproduce it verbatim), capped at
+    the loop runs to a STABLE edge set (one fused symmetric-difference
+    action every two rounds — at the fixpoint every component is a
+    star on its minimum and both contractions reproduce it verbatim;
+    adjacent-round equality is exactly f(E)=E since each round is a
+    pure function of the edge set), capped at
     ``n_bound + 1`` rounds; the previous ⌈log₂ n_bound⌉+1 stop is a
     friendly-layout round count, not Kiveris' bound (their proof gives
     O(log² n) rounds), and under-converges on scrambled-id chains."""
@@ -213,8 +215,9 @@ def star_contract_components(edges: DataFrame, n_bound: int) -> DataFrame:
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
 
-    for _ in range(int(n_bound) + 1):
-        if cur.isEmpty():
+    poll_every = 2
+    for i in range(int(n_bound) + 1):
+        if i == 0 and cur.isEmpty():
             break
         sym = _sym(cur)
         # large-star: every neighbor LARGER than u links to u's min
@@ -242,11 +245,15 @@ def star_contract_components(edges: DataFrame, n_bound: int) -> DataFrame:
             .distinct()
         )
         prev, cur = cur, small.localCheckpoint(eager=True)
-        # stable edge set ⇒ fixpoint (both contractions are functions
-        # of the edge set alone) — one small count action per round
-        if (
-            cur.exceptAll(prev).isEmpty()
-            and prev.exceptAll(cur).isEmpty()
+        # stable ADJACENT-round edge set ⇒ fixpoint (both contractions
+        # are pure functions of the edge set alone, so f(E)=E). One
+        # driver action per poll_every rounds (ADVICE r8): both
+        # exceptAll directions fused into a single symmetric-difference
+        # job instead of two isEmpty actions every round. An extra
+        # round past the fixpoint is a no-op contraction, strictly
+        # cheaper than the per-round poll it replaces.
+        if i % poll_every == poll_every - 1 and (
+            cur.exceptAll(prev).union(prev.exceptAll(cur)).isEmpty()
         ):
             break
     # at the fixpoint edges form stars centered on component minima

@@ -62,14 +62,22 @@ def _hotspot_fwd_edges(dense: DataFrame) -> DataFrame:
     dense-cell count d grows with the corpus (the same
     replicate-into-neighbor-cells shape as ``spatial_knn_grid``,
     round6f_ops.py)."""
+    # guard the cy-wraparound edge of the packed key (ADVICE r8): at
+    # cy = 0 the (+1,-1) offset would wrap to (cx, 99999) and at
+    # cy = 99999 the +1 offsets would wrap to (cx+1, 0)/(cx+2, 0) —
+    # unreachable at any achievable grid size, but gated here so a
+    # future caller with a larger grid can never match a spurious key
+    cy = F.col("cell") % 100000
     nbr = dense.select(
         F.col("cell").alias("src"),
         F.explode(
-            F.array(
-                F.col("cell") + 1,  # (dx, dy) = (0, +1)
-                F.col("cell") + 100000 - 1,  # (+1, -1)
-                F.col("cell") + 100000,  # (+1, 0)
-                F.col("cell") + 100000 + 1,  # (+1, +1)
+            F.array_compact(
+                F.array(
+                    F.when(cy < 99999, F.col("cell") + 1),  # (0, +1)
+                    F.when(cy > 0, F.col("cell") + 100000 - 1),  # (+1, -1)
+                    (F.col("cell") + 100000).cast("bigint"),  # (+1, 0)
+                    F.when(cy < 99999, F.col("cell") + 100000 + 1),  # (+1,+1)
+                )
             )
         ).alias("dst"),
     )

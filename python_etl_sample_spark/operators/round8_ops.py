@@ -354,12 +354,12 @@ def sketch_kll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.asc("scope"), F.asc("cents"), F.asc("k")],
         rn="__grn",
     )
-    # bounded-window: the scope-count frame has ≤ 6 rows (five order
-    # priorities + 'ALL' — a constant domain), so the unpartitioned
-    # prefix-sum window is constant-size
     offs = ns.select(
         F.col("scope").alias("oscope"),
         (
+            # bounded-window: the scope-count frame has ≤ 6 rows (five
+            # order priorities + 'ALL' — a constant domain), so the
+            # unpartitioned prefix-sum window is constant-size
             F.sum("n").over(
                 Window.orderBy("scope").rowsBetween(
                     Window.unboundedPreceding, -1
