@@ -1,0 +1,263 @@
+"""Round-9 — the persisted-sketch rollup (VERDICT r8 item 7).
+
+``sketch_kll_partitioned_rollup`` closes the loop the in-memory KLL
+pair (round8_ops.py) opened: round 8 proved the hash-compaction sketch
+merges losslessly WITHIN one job; this query proves the same property
+ACROSS a storage boundary — the shape a 100 TB pipeline actually uses,
+where ingest writes one quantile sketch per table partition and later
+readers roll partitions up without rescanning the base data.
+
+Pipeline under test:
+
+1. shard orders by calendar month (a stand-in for a partitioned
+   table's partition key), pick each shard's own level
+   L_s = min{l : n_s ≤ B·2^l}, and WRITE the shard sketches — kept
+   (cents, key) rows plus the (n_s, level) metadata — to parquet,
+   ``partitionBy`` the shard key, via the staged-write pattern
+   (scratch.py);
+2. READ the sketch files back (the base table is not touched again),
+   derive the global level from the stored shard metadata alone, and
+   MERGE by recompaction: re-filter the stored union with the global
+   level's hash predicate;
+3. compare against the DIRECT global sketch (base table filtered at
+   the global level): p50/p95/p99 estimates side by side plus
+   ``set_diff`` — the symmetric difference of the two kept KEY sets,
+   which the hash-compaction identity pins at exactly 0 (hash ≡ 0
+   mod 2^L_global ⇒ hash ≡ 0 mod 2^L_shard since L_global ≥ L_shard,
+   the level rule being monotone in n).
+
+The DuckDB oracle replays every step from the base table — the stored
+parquet is a pure function of it, so the oracle needs no access to the
+scratch files; the Spark side's round-trip through disk is exactly
+what the hash comparison then certifies.
+
+Determinism: levels, keep predicates, ranks, and rank targets are the
+round-8 sketch's exact integer arithmetic; the key hash is the audited
+full-entropy mix (stays in int64 on the full key domain —
+tests/test_ansi_edges.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from python_etl_sample_spark.operators.round8_ops import (
+    _KLL_HASH,
+    _KLL_QS,
+    _OCENTS,
+)
+from python_etl_sample_spark.registry import query
+from python_etl_sample_spark.scratch import stage_once
+from python_etl_sample_spark.sources import table
+
+#: per-shard sketch budget — small enough that monthly shards sit at
+#: level 0 while the global rollup needs a real recompaction
+_KLL_RB = 512
+
+_YM = "CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)"
+_POW2 = "((1::BIGINT) << {})"
+
+
+def _duck_hash(col: str) -> str:
+    return _KLL_HASH.replace("o_orderkey", col)
+
+
+@query(
+    "sketch_kll_partitioned_rollup",
+    oracle=f"""
+    WITH base AS (
+      SELECT {_YM} AS ym, {_OCENTS} AS cents, o_orderkey AS k
+      FROM orders
+    ),
+    ns AS (SELECT ym, COUNT(*) AS n_s FROM base GROUP BY ym),
+    lvs AS (
+      SELECT ns.ym, ns.n_s, MIN(t.l) AS lev
+      FROM ns CROSS JOIN range(0, 41) t(l)
+      WHERE ns.n_s <= {_KLL_RB} * {_POW2.format("t.l")}
+      GROUP BY ns.ym, ns.n_s
+    ),
+    stored AS (
+      SELECT b.ym, l.n_s, l.lev, b.cents, b.k
+      FROM base b JOIN lvs l ON l.ym = b.ym
+      WHERE ({_duck_hash("b.k")} % {_POW2.format("l.lev")}) = 0
+    ),
+    tot AS (
+      SELECT SUM(n_s) AS n
+      FROM (SELECT DISTINCT ym, n_s FROM stored) u
+    ),
+    glv AS (
+      SELECT MIN(t.l) AS glev, MAX(tot.n) AS n
+      FROM range(0, 41) t(l) CROSS JOIN tot
+      WHERE tot.n <= {_KLL_RB} * {_POW2.format("t.l")}
+    ),
+    merged AS (
+      SELECT s.cents, s.k FROM stored s CROSS JOIN glv
+      WHERE ({_duck_hash("s.k")} % {_POW2.format("glv.glev")}) = 0
+    ),
+    direct AS (
+      SELECT b.cents, b.k FROM base b CROSS JOIN glv
+      WHERE ({_duck_hash("b.k")} % {_POW2.format("glv.glev")}) = 0
+    ),
+    mrank AS (
+      SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, k) AS rn
+      FROM merged
+    ),
+    drank AS (
+      SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, k) AS rn
+      FROM direct
+    ),
+    sd AS (
+      SELECT COUNT(*) AS set_diff
+      FROM merged m FULL JOIN direct d ON m.k = d.k
+      WHERE m.k IS NULL OR d.k IS NULL
+    ),
+    q AS (SELECT UNNEST([{",".join(str(q) for q in _KLL_QS)}]) AS qn),
+    t AS (
+      SELECT q.qn, glv.n, glv.glev, mk.kept, dk.dkept,
+             (mk.kept * q.qn + 99) // 100 AS mt,
+             (dk.dkept * q.qn + 99) // 100 AS dt
+      FROM q CROSS JOIN glv
+      CROSS JOIN (SELECT COUNT(*) AS kept FROM merged) mk
+      CROSS JOIN (SELECT COUNT(*) AS dkept FROM direct) dk
+    )
+    SELECT t.qn / 100.0 AS quantile,
+           CAST(t.n AS BIGINT) AS n_rows,
+           CAST(t.glev AS BIGINT) AS glevel,
+           CAST(t.kept AS BIGINT) AS kept,
+           CAST(mr.cents AS BIGINT) AS est_cents,
+           CAST(dr.cents AS BIGINT) AS direct_est_cents,
+           CAST(sd.set_diff AS BIGINT) AS set_diff
+    FROM t
+    JOIN mrank mr ON mr.rn = t.mt
+    JOIN drank dr ON dr.rn = t.dt
+    CROSS JOIN sd
+    """,
+)
+def sketch_kll_partitioned_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Storage-level quantile-sketch rollup (module docstring): write
+    per-month KLL shard sketches to partitioned parquet, read ONLY the
+    sketch files back, merge by recompacting to the global level, and
+    certify merged ≡ direct (estimates side by side, key-set symmetric
+    difference pinned at 0 in the output row itself).
+
+    Scale: the shard keep-predicates are map-side filters under one
+    shuffle-free write (sketch rows land partition-local); the rollup
+    pass touches ~B rows per shard — at 100 TB that is the ONLY data a
+    quantile query over any shard subset ever reads. The direct-sketch
+    comparison column rescans the base table by construction (it is
+    the claim being certified, dropped in production). Kept frames are
+    budget-bounded, so their rank windows are constant-size.
+    """
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        F.expr(_YM).alias("ym"),
+        F.expr(_OCENTS).alias("cents"),
+        F.col("o_orderkey").alias("k"),
+    )
+    lvl_grid = spark.range(0, 41).withColumnRenamed("id", "l")
+    pow2 = lambda c: F.expr(  # noqa: E731
+        f"shiftleft(CAST(1 AS BIGINT), CAST({c} AS INT))"
+    )
+    hval = (F.col("k") % 3221225473) * 2654435761
+    ns = base.groupBy("ym").agg(F.count(F.lit(1)).alias("n_s"))
+    lvs = (
+        ns.crossJoin(F.broadcast(lvl_grid))
+        .filter(F.col("n_s") <= _KLL_RB * pow2("l"))
+        .groupBy("ym", "n_s")
+        .agg(F.min("l").alias("lev"))
+    )
+    stored_src = (
+        base.join(F.broadcast(lvs), "ym")
+        .filter(hval % pow2("lev") == 0)
+        .select("ym", "n_s", "lev", "cents", "k")
+    )
+    # the storage boundary under test: one sketch file set per shard
+    path = stage_once(
+        "kll_rollup",
+        sf_dir,
+        lambda p: stored_src.write.mode("overwrite")
+        .partitionBy("ym")
+        .parquet(p),
+    )
+    st = spark.read.parquet(path).select(
+        F.col("ym").cast("long").alias("ym"),  # partition col re-infers as int
+        "n_s",
+        "lev",
+        "cents",
+        "k",
+    )
+    # global level from stored shard METADATA alone — no base rescan
+    tot = st.select("ym", "n_s").distinct().agg(F.sum("n_s").alias("n"))
+    glv = (
+        lvl_grid.crossJoin(F.broadcast(tot))
+        .filter(F.col("n") <= _KLL_RB * pow2("l"))
+        .agg(F.min("l").alias("glev"), F.max("n").alias("n"))
+    )
+    merged = (
+        st.crossJoin(F.broadcast(glv))
+        .filter(hval % pow2("glev") == 0)
+        .select("cents", "k")
+    )
+    direct = (
+        base.crossJoin(F.broadcast(glv))
+        .filter(hval % pow2("glev") == 0)
+        .select("cents", "k")
+    )
+    # bounded-window: merged/direct are fully-compacted sketches — the
+    # level rule keeps ≤ ~2·B rows regardless of corpus size, so the
+    # unpartitioned rank windows below are constant-size
+    w = Window.orderBy("cents", "k")
+    mrank = merged.select("cents", F.row_number().over(w).alias("rn"))
+    # bounded-window: same ≤ ~2·B bound for the direct sketch
+    drank = direct.select("cents", F.row_number().over(w).alias("rn"))
+    mk = merged.agg(F.count(F.lit(1)).alias("kept"))
+    dk = direct.agg(F.count(F.lit(1)).alias("dkept"))
+    sd = (
+        merged.select(F.col("k").alias("mk"))
+        .join(
+            direct.select(F.col("k").alias("dk")),
+            F.col("mk") == F.col("dk"),
+            "full",
+        )
+        .filter(F.col("mk").isNull() | F.col("dk").isNull())
+        .agg(F.count(F.lit(1)).alias("set_diff"))
+    )
+    targets = (
+        spark.createDataFrame([(q,) for q in _KLL_QS], "qn int")
+        .crossJoin(F.broadcast(glv))
+        .crossJoin(F.broadcast(mk))
+        .crossJoin(F.broadcast(dk))
+        .select(
+            "qn",
+            "n",
+            "glev",
+            "kept",
+            "dkept",
+            F.expr("(kept * qn + 99) div 100").alias("mt"),
+            F.expr("(dkept * qn + 99) div 100").alias("dt"),
+        )
+    )
+    return (
+        mrank.select(F.col("rn").alias("mt"), F.col("cents").alias("est_cents"))
+        .join(F.broadcast(targets), "mt")
+        .join(
+            drank.select(
+                F.col("rn").alias("dt"),
+                F.col("cents").alias("direct_est_cents"),
+            ),
+            "dt",
+        )
+        .crossJoin(F.broadcast(sd))
+        .select(
+            (F.col("qn") / 100.0).alias("quantile"),
+            F.col("n").cast("long").alias("n_rows"),
+            F.col("glev").cast("long").alias("glevel"),
+            F.col("kept").cast("long").alias("kept"),
+            F.col("est_cents").cast("long").alias("est_cents"),
+            F.col("direct_est_cents").cast("long").alias("direct_est_cents"),
+            F.col("set_diff").cast("long").alias("set_diff"),
+        )
+    )

@@ -463,3 +463,160 @@ def test_exact_total_order_plans_are_range_partitioned(spark):
                 assert not re.search(r"\], \[\], \[(?!__to_pid)", args), (
                     name + " plans a single-task window:\n" + args
                 )
+
+
+# ---------------------------------------------------------------------------
+# construction-time plan capture (VERDICT r8 item 6)
+# ---------------------------------------------------------------------------
+
+import contextlib
+
+
+@contextlib.contextmanager
+def _capture_eager_plans():
+    """Record the physical plan of every DataFrame a driver-side ACTION
+    executes while the block runs. Joins executed during query
+    CONSTRUCTION (k-means fit loops, CC-kernel rounds, IVF quantizer
+    builds, eager checkpoints) never appear in the returned frame's
+    explain output, so tools/plan_audit.py and test_no_cartesian_products
+    are blind to them — this hook closes that audit gap by intercepting
+    the action methods the kernels use."""
+    # patch the CLASSIC implementation class: in PySpark 4 the public
+    # pyspark.sql.DataFrame is the abstract API whose action methods the
+    # classic (non-Connect) subclass overrides, so patching the base
+    # class would never be reached at call time
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    captured: list[tuple[str, str]] = []
+    names = ("collect", "count", "isEmpty", "localCheckpoint", "toPandas")
+    originals = {n: getattr(DataFrame, n) for n in names}
+    # staged WRITES (scratch.py) are construction-time actions too —
+    # capture the written frame's plan via the writer's formats
+    w_names = ("parquet", "csv", "json", "orc", "save")
+    w_originals = {n: getattr(DataFrameWriter, n) for n in w_names}
+
+    def _snap(df, label):
+        try:
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            captured.append((label, plan))
+        except Exception:
+            pass  # never let the audit hook break the kernel itself
+
+    def _wrap(name, fn):
+        def wrapped(self, *a, **kw):
+            _snap(self, name)
+            return fn(self, *a, **kw)
+
+        return wrapped
+
+    def _wrap_writer(name, fn):
+        def wrapped(self, *a, **kw):
+            _snap(self._df, f"write.{name}")
+            return fn(self, *a, **kw)
+
+        return wrapped
+
+    for n, fn in originals.items():
+        setattr(DataFrame, n, _wrap(n, fn))
+    for n, fn in w_originals.items():
+        setattr(DataFrameWriter, n, _wrap_writer(n, fn))
+    try:
+        yield captured
+    finally:
+        for n, fn in originals.items():
+            setattr(DataFrame, n, fn)
+        for n, fn in w_originals.items():
+            setattr(DataFrameWriter, n, fn)
+
+
+def _bnlj_build_subtrees(plan: str) -> list[str]:
+    """Extract the BUILD-side subtree text of every
+    BroadcastNestedLoopJoin in a physical-plan tree string. Children of
+    a node sit 3 columns further right; a node's subtree ends at the
+    first line whose branch marker returns to its column or left."""
+    lines = plan.splitlines()
+
+    def col(ln: str) -> int:
+        return max(ln.rfind("+- "), ln.rfind(":- "))
+
+    out = []
+    for i, ln in enumerate(lines):
+        if "BroadcastNestedLoopJoin" not in ln:
+            continue
+        c = col(ln)
+        child_col = 0 if c < 0 else c + 3
+        children, end = [], len(lines)
+        for j in range(i + 1, len(lines)):
+            cj = col(lines[j])
+            if cj <= c:
+                end = j
+                break
+            if cj == child_col:
+                children.append(j)
+        if len(children) < 2:
+            continue  # single-child wrapper (e.g. AQE stage) — skip
+        bounds = children + [end]
+        k = -2 if "BuildRight" in ln else 0
+        out.append("\n".join(lines[bounds[k]: bounds[k + 1]]))
+    return out
+
+
+#: build-side shapes that stay CONSTANT at any corpus size, so a
+#: nested-loop broadcast over them is a scalar subquery, not a scale
+#: hazard: a global aggregate (1 row), a driver-literal table, a
+#: spark.range constant grid, or a reuse of one of those exchanges
+_BOUNDED_BUILD_MARKERS = (
+    "HashAggregate(keys=[]",
+    "LocalTableScan",
+    "Range (",
+    "ReusedExchange",
+)
+
+
+#: queries that execute Spark jobs while BUILDING their result frame.
+#: Every name here must capture at least one action (else the hook has
+#: gone stale and the pin is vacuous) and no captured plan may contain
+#: a CartesianProduct or a non-scalar BroadcastNestedLoopJoin.
+EAGER_KERNEL_QUERIES = sorted(
+    [
+        "spatial_hotspot_clusters",  # tile union-find + CC residue kernel
+        "dedup_cluster_keeper",  # pointer-jump CC over near-dup pairs
+        "cluster_kmeans_lloyd",  # Lloyd fit loop (collects seeds/centroids)
+        "dedup_semantic_cluster",  # _km_fit consumer
+        "cluster_silhouette",  # _km_fit consumer
+        "embedding_pca_power",  # power iteration over 64x64 covariance
+        "sim_ann_ivf",  # coarse-quantizer build (bounded collect)
+        "sketch_kll_partitioned_rollup",  # staged shard-sketch write
+    ]
+)
+
+
+@pytest.mark.parametrize("name", EAGER_KERNEL_QUERIES)
+def test_eager_kernel_plans_stay_equi_join(spark, name):
+    """Generalizes the hotspot-only pin (test_round7n_ops.py): every
+    intermediate plan an eager kernel executes at construction must be
+    free of CartesianProduct, and any BroadcastNestedLoopJoin it plans
+    must build over a constant-size frame (scalar aggregate, literal
+    table, constant range) — the legitimate scalar-subquery shape —
+    never over a data-sized side. The session memo and scratch staging
+    are cleared first so a previously-run test cannot hide the kernel."""
+    from python_etl_sample_spark import cache, scratch
+
+    cache.release_all()
+    scratch._staged.clear()  # force staged writes to re-run under the hook
+    with _capture_eager_plans() as captured:
+        REGISTRY[name].fn(spark, SF_DIR)
+    assert captured, f"{name} captured no construction-time action"
+    for action, plan in captured:
+        assert "CartesianProduct" not in plan, (
+            f"{name}: construction-time {action} plans a CartesianProduct:\n"
+            + plan
+        )
+        for build in _bnlj_build_subtrees(plan):
+            assert any(m in build for m in _BOUNDED_BUILD_MARKERS), (
+                f"{name}: construction-time {action} plans a "
+                f"BroadcastNestedLoopJoin over a data-sized build side:\n"
+                + build
+            )

@@ -1,54 +1,194 @@
 """Regenerate ``DRIVER_ORDER`` for the next driver round.
 
 The driver's ``CORRECTNESS_r{N}.json`` records at most 50 entries per
-round, taken in ``queries()`` order.  To maximize evidence coverage the
-rotation puts the least-evidenced queries first:
+round, taken in ``queries()`` order.  To maximize evidence VALUE the
+rotation front-loads queries in staleness-IN-KIND order (VERDICT r8
+item 2) — not just count/recency, because a query whose semantics or
+oracle changed after its last driver row has evidence that is stale in
+kind even if recent in round number:
 
-1. never driver-recorded (no row in any committed ``CORRECTNESS_r*.json``),
-   in registry order — new code is the least-evidenced code;
-2. everything else by (number of driver rows ascending, round of most
-   recent row ascending, name) so re-recording slots go to the stalest
-   evidence first.
+1. never driver-recorded (no row in any committed
+   ``CORRECTNESS_r*.json``), in registry order — new code is the
+   least-evidenced code;
+2. oracle-upgraded — the query's most recent driver row is rows-only
+   (``hash_match`` null) but the registry now carries an oracle, so a
+   hash row is available but never recorded (a small, precisely
+   targeted set, so it precedes the broad file-granularity bucket 3);
+3. changed since last driver row — the query's defining source file
+   has a git commit (or uncommitted working-tree edit) NEWER than the
+   newest artifact that carries a row for the query, so whatever the
+   driver hashed is not what the repo now runs; ordered by file edit
+   recency DESCENDING (stalest row as tiebreak) so the changes the
+   rotation has never had a chance to respond to take the 50-cap
+   slots ahead of old churn that merely post-dates an ancient row;
+4. everything else by (number of driver rows ascending, round of most
+   recent row ascending, name) so plain re-recording slots go to the
+   stalest evidence first.
 
-Prints a ready-to-paste Python tuple body.  Run from anywhere:
+Granularity note for bucket 2: change detection is per FILE (a file
+edit flags every query it defines).  That over-approximates — editing
+one query re-records its file siblings — but over-recording is free
+and under-recording is the round-8 gap this policy closes.
 
-    python tools/gen_driver_order.py
+Prints a ready-to-paste Python tuple body; ``--write`` splices it into
+``python_etl_sample_spark/registry.py`` in place.  Run from anywhere:
+
+    python tools/gen_driver_order.py [--write]
 """
 from __future__ import annotations
 
 import glob
+import inspect
 import json
 import os
+import re
+import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def main() -> None:
-    from python_etl_sample_spark.registry import canonical_names
+def _git_epoch(path: str) -> int:
+    """Last-commit unix time for ``path``; uncommitted working-tree
+    edits count as 'changed right now'."""
+    rel = os.path.relpath(path, REPO)
+    dirty = subprocess.run(
+        ["git", "status", "--porcelain", "--", rel],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+    ).stdout.strip()
+    if dirty:
+        return int(time.time())
+    out = subprocess.run(
+        ["git", "log", "-1", "--format=%ct", "--", rel],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+    ).stdout.strip()
+    return int(out) if out else 0
 
-    rows: dict[str, list[int]] = {}
+
+def compute_order() -> tuple[list[tuple[str, str]], dict[str, int]]:
+    """Returns ([(name, bucket_label)], {bucket_label: count})."""
+    from python_etl_sample_spark.registry import (
+        REGISTRY,
+        canonical_names,
+        load_all_operators,
+    )
+
+    load_all_operators()
+
+    # per-query driver history: rounds seen + latest row's hash_match
+    rounds: dict[str, list[int]] = {}
+    latest_row: dict[str, tuple[int, dict]] = {}
+    art_epoch: dict[int, int] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r0*.json"))):
         rnd = int(os.path.basename(path)[len("CORRECTNESS_r"):-len(".json")])
-        for name in json.load(open(path)):
-            rows.setdefault(name, []).append(rnd)
+        art_epoch[rnd] = _git_epoch(path)
+        for name, row in json.load(open(path)).items():
+            rounds.setdefault(name, []).append(rnd)
+            if name not in latest_row or rnd > latest_row[name][0]:
+                latest_row[name] = (rnd, row)
+
+    file_epoch: dict[str, int] = {}
+
+    def _src_epoch(name: str) -> int:
+        f = inspect.getsourcefile(REGISTRY[name].fn) or ""
+        if f not in file_epoch:
+            file_epoch[f] = _git_epoch(f) if f else 0
+        return file_epoch[f]
 
     names = list(canonical_names())
-    never = [n for n in names if n not in rows]
-    seen = [n for n in names if n in rows]
-    seen.sort(key=lambda n: (len(rows[n]), max(rows[n]), n))
+    never = [n for n in names if n not in rounds]
+    # upgraded first and SMALL: the last driver row is rows-only but an
+    # oracle exists now, so a hash row is available but never recorded —
+    # by-design no-oracle queries never match (they have no oracle)
+    upgraded = [
+        n
+        for n in names
+        if n in rounds
+        and latest_row[n][1].get("hash_match") is None
+        and REGISTRY[n].oracle is not None
+    ]
+    changed = [
+        n
+        for n in names
+        if n in rounds
+        and n not in upgraded
+        and _src_epoch(n) > art_epoch[latest_row[n][0]]
+    ]
+    # freshest edits first: a change the rotation has never had a
+    # chance to respond to outranks old churn whose file merely
+    # post-dates an ancient row; ties broken by stalest row first
+    changed.sort(key=lambda n: (-_src_epoch(n), latest_row[n][0], n))
+    head = set(never) | set(changed) | set(upgraded)
+    rest = [n for n in names if n in rounds and n not in head]
+    rest.sort(key=lambda n: (len(rounds[n]), max(rounds[n]), n))
 
-    print(f"# never driver-recorded ({len(never)}) — next round's first slots")
-    for n in never:
-        print(f'    "{n}",')
+    out: list[tuple[str, str]] = []
+    out += [(n, f"never driver-recorded ({len(never)})") for n in never]
+    out += [
+        (n, f"oracle added after last (rows-only) driver row ({len(upgraded)})")
+        for n in upgraded
+    ]
+    out += [
+        (n, f"changed since last driver row ({len(changed)})")
+        for n in changed
+    ]
     last_key = None
-    for n in seen:
-        key = (len(rows[n]), max(rows[n]))
-        if key != last_key:
-            print(f"    # --- {key[0]} driver row(s), last in r{key[1]} ---")
-            last_key = key
-        print(f'    "{n}",')
+    for n in rest:
+        key = (len(rounds[n]), max(rounds[n]))
+        out.append((n, f"{key[0]} driver row(s), last in r{key[1]}"))
+        last_key = key
+    counts = {
+        "never": len(never),
+        "changed": len(changed),
+        "upgraded": len(upgraded),
+        "rest": len(rest),
+    }
+    return out, counts
+
+
+def render_body(order: list[tuple[str, str]]) -> str:
+    lines: list[str] = []
+    last_label = None
+    for name, label in order:
+        if label != last_label:
+            lines.append(f"    # --- {label} ---")
+            last_label = label
+        lines.append(f'    "{name}",')
+    return "\n".join(lines)
+
+
+def write_registry(body: str) -> None:
+    path = os.path.join(REPO, "python_etl_sample_spark", "registry.py")
+    src = open(path).read()
+    new, n = re.subn(
+        r"(DRIVER_ORDER: tuple\[str, \.\.\.\] = \(\n).*?(\n\)\n)",
+        lambda m: m.group(1) + body + m.group(2),
+        src,
+        count=1,
+        flags=re.DOTALL,
+    )
+    assert n == 1, "DRIVER_ORDER tuple not found in registry.py"
+    open(path, "w").write(new)
+
+
+def main() -> None:
+    order, counts = compute_order()
+    body = render_body(order)
+    if "--write" in sys.argv:
+        write_registry(body)
+        print(
+            f"registry.py DRIVER_ORDER rewritten: {counts['never']} never / "
+            f"{counts['changed']} changed / {counts['upgraded']} upgraded / "
+            f"{counts['rest']} by (rows, recency)"
+        )
+    else:
+        print(body)
 
 
 if __name__ == "__main__":
