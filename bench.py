@@ -77,6 +77,9 @@ STAGED_READS = (
     "etl_zorder_clustering",
     "etl_incremental_rollup_merge",
     "etl_compact_small_files",
+    # stages the per-shard sketch parquet once; the timed pass measures
+    # the rollup read+merge — the pass a 100 TB consumer actually runs
+    "sketch_kll_partitioned_rollup",
 )
 
 SHARED_INTERMEDIATE = (
