@@ -248,21 +248,38 @@ def text_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     both = inter.join(sa, "doc_a").join(sb, "doc_b")
-    d1 = both.select(
-        F.col("doc_a").alias("contained_doc"),
-        F.col("doc_b").alias("container_doc"),
-        "n_inter",
-        F.col("na").alias("n_contained"),
-        F.round(F.col("n_inter") * 1.0 / F.col("na"), 6).alias("containment"),
+    # one explode fans each undirected row into its two directed
+    # containments in a single pass — the previous d1.unionAll(d2)
+    # evaluated the intersection+size joins twice per run
+    return (
+        both.select(
+            "n_inter",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("cd"),
+                        F.col("doc_b").alias("cr"),
+                        F.col("na").alias("nc"),
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("cd"),
+                        F.col("doc_a").alias("cr"),
+                        F.col("nb").alias("nc"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select(
+            F.col("p.cd").alias("contained_doc"),
+            F.col("p.cr").alias("container_doc"),
+            "n_inter",
+            F.col("p.nc").alias("n_contained"),
+            F.round(F.col("n_inter") * 1.0 / F.col("p.nc"), 6).alias(
+                "containment"
+            ),
+        )
+        .filter(F.col("containment") >= float(_CONT_T))
     )
-    d2 = both.select(
-        F.col("doc_b").alias("contained_doc"),
-        F.col("doc_a").alias("container_doc"),
-        "n_inter",
-        F.col("nb").alias("n_contained"),
-        F.round(F.col("n_inter") * 1.0 / F.col("nb"), 6).alias("containment"),
-    )
-    return d1.unionAll(d2).filter(F.col("containment") >= float(_CONT_T))
 
 
 # ---------------------------------------------------------------------------
