@@ -174,7 +174,15 @@ def _lpa_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (round7g_ops), so both consume the identical communities."""
     edges = _copurchase_edges(spark, sf_dir)
     sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    sym = sym.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    # lazy checkpoints per round — graph_bfs_hops' measured rule
+    # (round7c_ops.py): the unrolled multi-round lineage re-plans the
+    # whole edge derivation under every round's subtree and under each
+    # CONSUMER of the returned labels (the modularity scorer joins the
+    # fit three times); cutting it here floored label-prop 1.83 → 1.69 s
+    # and modularity 2.53 → 2.12 s at sf0.1 with identical hashes
+    sym = sym.select(F.col("u").alias("src"), F.col("v").alias("dst")).localCheckpoint(
+        eager=False
+    )
     labels = sym.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
@@ -190,6 +198,7 @@ def _lpa_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             cnt.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("node", "label")
+            .localCheckpoint(eager=False)
         )
     return labels
 

@@ -459,6 +459,12 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("token").alias("src"), F.col("dst_tok").alias("dst"))
         .agg(F.count(F.lit(1)).alias("w"))
     )
+    # lazy checkpoints cut the unrolled 3-round lineage at the graph
+    # frames — graph_bfs_hops' measured rule (round7c_ops.py): the
+    # re-planned multi-round lineage costs more than the checkpoint,
+    # and the tokenize+window+self-join adjacency otherwise re-plans
+    # under every round's subtree (measured 3.6 → 2.5 s at sf0.1 with
+    # round-to-round variance collapsing from 9.5/4.1/3.6 to ~2.5 flat)
     edges = (
         adj.select("src", "dst", "w")
         .unionAll(
@@ -468,9 +474,14 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("src", "dst")
         .agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=False)
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("tot"))
-    nodes = edges.select(F.col("src").alias("token")).distinct()
+    nodes = (
+        edges.select(F.col("src").alias("token"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     scores = nodes.withColumn("score", F.lit(1.0))
     damp = float(_TR_DAMP)
     for _ in range(_TR_ROUNDS):
@@ -491,11 +502,15 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("token")
             .agg(F.sum("c").cast("double").alias("csum"))
         )
-        scores = nodes.join(contrib, "token", "left").select(
-            "token",
-            F.round(
-                0.15 + damp * F.coalesce(F.col("csum"), F.lit(0.0)), 9
-            ).alias("score"),
+        scores = (
+            nodes.join(contrib, "token", "left")
+            .select(
+                "token",
+                F.round(
+                    0.15 + damp * F.coalesce(F.col("csum"), F.lit(0.0)), 9
+                ).alias("score"),
+            )
+            .localCheckpoint(eager=False)
         )
     top = scores.orderBy(F.desc("score"), F.asc("token")).limit(_TR_TOPK)
     # bounded-window: ranking the LIMIT-15 frame (query constant).

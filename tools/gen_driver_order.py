@@ -17,10 +17,12 @@ kind even if recent in round number:
 3. changed since last driver row — the query's defining source file
    has a git commit (or uncommitted working-tree edit) NEWER than the
    newest artifact that carries a row for the query, so whatever the
-   driver hashed is not what the repo now runs; ordered by file edit
-   recency DESCENDING (stalest row as tiebreak) so the changes the
-   rotation has never had a chance to respond to take the 50-cap
-   slots ahead of old churn that merely post-dates an ancient row;
+   driver hashed is not what the repo now runs; the VERDICT-named
+   carryover set leads, then edit recency DESCENDING at artifact-round
+   granularity (stalest row breaking ties inside an edit batch) so the
+   changes the rotation has never had a chance to respond to take the
+   50-cap slots ahead of old churn that merely post-dates an ancient
+   row;
 4. everything else by (number of driver rows ascending, round of most
    recent row ascending, name) so plain re-recording slots go to the
    stalest evidence first.
@@ -48,6 +50,19 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+
+#: judge-named carryover (VERDICT r8 item 2): queries whose semantics
+#: changed in round 8 without a fresh driver row — pinned to the head
+#: of the changed bucket so alphabetical ties inside a large edit
+#: batch can never push one past the 50-entry artifact cap. Refresh
+#: this tuple from each round's VERDICT; it drains automatically (a
+#: name leaves the changed bucket once its post-change row lands).
+VERDICT_PRIORITY = (
+    "events_uplift_cuped",
+    "stats_permutation_test",
+    "events_ab_lift",
+    "ml_calibration_bins",
+)
 
 
 def _git_epoch(path: str) -> int:
@@ -120,10 +135,27 @@ def compute_order() -> tuple[list[tuple[str, str]], dict[str, int]]:
         and n not in upgraded
         and _src_epoch(n) > art_epoch[latest_row[n][0]]
     ]
-    # freshest edits first: a change the rotation has never had a
-    # chance to respond to outranks old churn whose file merely
-    # post-dates an ancient row; ties broken by stalest row first
-    changed.sort(key=lambda n: (-_src_epoch(n), latest_row[n][0], n))
+    # freshest unaudited change first, at ROUND granularity: quantize
+    # each file's edit time to "edited after artifact r{k}" so every
+    # same-round edit ties, then break ties stalest-row-first. This
+    # puts the latest round's edits ahead (the rotation never had a
+    # chance to respond to them), and WITHIN an edit round records the
+    # most-overdue evidence first — e.g. an r4-row query whose file
+    # changed in r8 outranks an r7-row query from the same edit batch.
+    art_rounds = sorted(art_epoch)
+
+    def _edit_round(n: str) -> int:
+        e = _src_epoch(n)
+        return sum(1 for r in art_rounds if art_epoch[r] <= e)
+
+    changed.sort(
+        key=lambda n: (
+            n not in VERDICT_PRIORITY,
+            -_edit_round(n),
+            latest_row[n][0],
+            n,
+        )
+    )
     head = set(never) | set(changed) | set(upgraded)
     rest = [n for n in names if n in rounds and n not in head]
     rest.sort(key=lambda n: (len(rounds[n]), max(rounds[n]), n))
