@@ -620,3 +620,33 @@ def test_eager_kernel_plans_stay_equi_join(spark, name):
                 f"BroadcastNestedLoopJoin over a data-sized build side:\n"
                 + build
             )
+
+
+def test_bnlj_build_subtree_parser_flags_data_sized_builds(spark):
+    """Self-test of the parser behind the eager-kernel pin: it must
+    (a) FLAG a BroadcastNestedLoopJoin whose build side is a data-sized
+    scan and (b) PASS the scalar-aggregate broadcast shape — otherwise
+    test_eager_kernel_plans_stay_equi_join could rot into a vacuous
+    always-pass without anything noticing."""
+    from pyspark.sql import functions as F
+
+    big1 = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    big2 = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    bad = big1.crossJoin(F.broadcast(big2))
+    subs = _bnlj_build_subtrees(
+        bad._jdf.queryExecution().executedPlan().toString()
+    )
+    assert len(subs) == 1, "data-sized BNLJ build not extracted"
+    assert not any(m in subs[0] for m in _BOUNDED_BUILD_MARKERS), (
+        "data-sized build side wrongly classified as bounded:\n" + subs[0]
+    )
+    ok = big1.crossJoin(
+        F.broadcast(big2.agg(F.count(F.lit(1)).alias("n")))
+    )
+    subs2 = _bnlj_build_subtrees(
+        ok._jdf.queryExecution().executedPlan().toString()
+    )
+    assert subs2, "scalar-broadcast BNLJ build not extracted"
+    assert all(
+        any(m in s for m in _BOUNDED_BUILD_MARKERS) for s in subs2
+    ), "scalar aggregate build side wrongly flagged"
