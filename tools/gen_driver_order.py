@@ -58,10 +58,17 @@ sys.path.insert(0, REPO)
 #: this tuple from each round's VERDICT; it drains automatically (a
 #: name leaves the changed bucket once its post-change row lands).
 VERDICT_PRIORITY = (
-    "events_uplift_cuped",
-    "stats_permutation_test",
-    "events_ab_lift",
-    "ml_calibration_bins",
+    # r9 verdict items 2-4: perf-touched queries whose code changes in
+    # round 10 (consensus memo routing, theil-sen probe, ≥2 s floor
+    # adjudications) plus the KLL rollup whose shard-metadata
+    # derivation changed (r9 ADVICE item 1)
+    "dedup_consensus",
+    "stats_theil_sen_trend",
+    "sketch_kll_merge",
+    "data_profile",
+    "agg_percentile_cont",
+    "graph_bfs_hops",
+    "sketch_kll_partitioned_rollup",
 )
 
 
@@ -156,6 +163,21 @@ def compute_order() -> tuple[list[tuple[str, str]], dict[str, int]]:
             n,
         )
     )
+    # staleness signal for the pin list itself (r9 ADVICE item 2): a
+    # pinned name outside the changed bucket is either drained (its
+    # post-change row landed — delete it) or misspelled; say which.
+    for pin in VERDICT_PRIORITY:
+        if pin not in changed:
+            why = "not a registered query" if pin not in names else (
+                "drained — its post-change driver row landed"
+                if pin in rounds
+                else "never driver-recorded (sits in bucket 1)"
+            )
+            print(
+                f"WARNING: VERDICT_PRIORITY name {pin!r} is not in the "
+                f"changed bucket ({why})",
+                file=sys.stderr,
+            )
     head = set(never) | set(changed) | set(upgraded)
     rest = [n for n in names if n in rounds and n not in head]
     rest.sort(key=lambda n: (len(rounds[n]), max(rounds[n]), n))
@@ -170,11 +192,9 @@ def compute_order() -> tuple[list[tuple[str, str]], dict[str, int]]:
         (n, f"changed since last driver row ({len(changed)})")
         for n in changed
     ]
-    last_key = None
     for n in rest:
         key = (len(rounds[n]), max(rounds[n]))
         out.append((n, f"{key[0]} driver row(s), last in r{key[1]}"))
-        last_key = key
     counts = {
         "never": len(never),
         "changed": len(changed),
