@@ -101,6 +101,14 @@ SHARED_INTERMEDIATE = (
     "text_bm25_rank",
     "ml_ndcg_retrieval",
     "sim_rrf_fusion",
+    # round 10: memoized detector RESULT frames (ngram pairs, fuzzy
+    # pairs — VERDICT r9 item 2) and the cross-engine shingle-key /
+    # pair frames the recall queries share
+    "dedup_fuzzy_levenshtein",
+    "dedup_consensus",
+    "dedup_minhash_recall",
+    "dedup_simhash_recall",
+    "sim_ann_recall",
 )
 
 

@@ -275,14 +275,25 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", jac.alias("jac"))
     )
 
-    mins = [
-        F.min((F.col("k") * _mh_mult(i)) % _MH_P).alias(f"h{i}")
-        for i in range(_N_PERM)
-    ]
-    sig = keys.groupBy("doc_id").agg(*mins)
-    bnd = sig.select(
-        "doc_id",
-        *[F.expr(_band_key_sql("h", b)).alias(f"bk{b}") for b in range(_BANDS)],
+    def build_bands() -> DataFrame:
+        mins = [
+            F.min((F.col("k") * _mh_mult(i)) % _MH_P).alias(f"h{i}")
+            for i in range(_N_PERM)
+        ]
+        sig = keys.groupBy("doc_id").agg(*mins)
+        return sig.select(
+            "doc_id",
+            *[
+                F.expr(_band_key_sql("h", b)).alias(f"bk{b}")
+                for b in range(_BANDS)
+            ],
+        )
+
+    # both truth-join sides consume the band frame; the 32-min agg would
+    # otherwise run twice (no ReuseExchange across differently-aliased
+    # subtrees) — memoize the 4-key-per-doc result instead
+    bnd = cached_df(
+        spark, ("xengine_minhash_bands", os.path.abspath(sf_dir)), build_bands
     )
     ba = bnd.select(
         F.col("doc_id").alias("doc_a"),
@@ -323,6 +334,18 @@ _SH_SUM_COLS_SQL = ",\n             ".join(
     f"SUM(((k * {_sh_mult(j)}) >> 20) & 1) AS s{j}" for j in range(_SH_BITS)
 )
 
+#: Hamming-universe prune: only pairs sharing ≥ 3 shingle keys enter
+#: the exact-Hamming pass. Theory: a pair sharing ≤ 2 of its ~26
+#: shingles has near-independent majority votes (expected hamming ≈ 30
+#: of 60; P(≤ 8) < 1e-8), so no hamming ≤ 8 pair can sit below the
+#: threshold. Measured: the minimum shared-shingle count among TRUE
+#: hamming ≤ 8 pairs is 8 / 21 / 8 at sf0.001/0.01/0.1 — 2.7× above
+#: this cut. At sf0.1 the cut shrinks the pair join 100× (1.13M →
+#: 10.3k pairs); it is applied identically in both engines, so parity
+#: holds by construction even where the probabilistic argument is
+#: doing the work.
+_SH_MIN_INTER = 3
+
 
 def _sh_chunk_sql(c: int) -> str:
     terms = [
@@ -362,7 +385,7 @@ _SH_CAUGHT_SQL = " OR ".join(f"a.c{c} = b.c{c}" for c in range(_SH_CHUNKS))
       FROM xinter p
       JOIN chunks a ON a.doc_id = p.doc_a
       JOIN chunks b ON b.doc_id = p.doc_b
-      WHERE {_SH_HAMMING_SQL} <= 8
+      WHERE p.n_inter >= {_SH_MIN_INTER} AND {_SH_HAMMING_SQL} <= 8
     )
     SELECT CASE WHEN hamming <= 3 THEN '0-3 (guaranteed)' ELSE '4-8' END AS hband,
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
@@ -385,11 +408,12 @@ def dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves as data, upgrading dedup.py's docstring claim to a driver
     hash row; the '4-8' band is the honest heuristic tail.
 
-    Ground-truth universe: pairs sharing ≥ 1 shingle key (the memoized
-    inverted-index frame). A zero-overlap pair's signatures are
-    independent 60-bit hashes — P(hamming ≤ 8) ≈ 2.5e-9 — so the
-    restriction loses nothing at radius 8, and it is applied
-    IDENTICALLY in both engines, so parity is exact regardless.
+    Ground-truth universe: pairs sharing ≥ 3 shingle keys (the
+    memoized inverted-index frame, cut at ``_SH_MIN_INTER`` — see that
+    constant's theory + measurement note). A low-overlap pair's
+    signatures are near-independent 60-bit hashes (P(hamming ≤ 8) <
+    1e-8), so the restriction loses nothing at radius 8, and it is
+    applied IDENTICALLY in both engines, so parity is exact regardless.
 
     Scale: one combiner-reduced vote shuffle (60 bigint sums per doc);
     the Hamming test runs only on the shared-shingle pair set — never
@@ -397,29 +421,39 @@ def dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = _xengine_shingle_keys(spark, sf_dir)
     pairs = _xengine_pairs(spark, sf_dir)
 
-    sums = [
-        F.sum(
-            F.shiftright(F.col("k") * _sh_mult(j), 20).bitwiseAND(F.lit(1))
-        ).alias(f"s{j}")
-        for j in range(_SH_BITS)
-    ]
-    votes = keys.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"), *sums)
+    def build_chunks() -> DataFrame:
+        sums = [
+            F.sum(
+                F.shiftright(F.col("k") * _sh_mult(j), 20).bitwiseAND(F.lit(1))
+            ).alias(f"s{j}")
+            for j in range(_SH_BITS)
+        ]
+        votes = keys.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_sh"), *sums
+        )
 
-    def chunk_col(c: int):
-        expr = None
-        for r in range(_CHUNK_BITS):
-            term = (
-                F.when(
-                    2 * F.col(f"s{c * _CHUNK_BITS + r}") > F.col("n_sh"),
-                    F.lit(1 << r).cast("long"),
+        def chunk_col(c: int):
+            expr = None
+            for r in range(_CHUNK_BITS):
+                term = (
+                    F.when(
+                        2 * F.col(f"s{c * _CHUNK_BITS + r}") > F.col("n_sh"),
+                        F.lit(1 << r).cast("long"),
+                    )
+                    .otherwise(F.lit(0).cast("long"))
                 )
-                .otherwise(F.lit(0).cast("long"))
-            )
-            expr = term if expr is None else expr + term
-        return expr
+                expr = term if expr is None else expr + term
+            return expr
 
-    chunks = votes.select(
-        "doc_id", *[chunk_col(c).alias(f"c{c}") for c in range(_SH_CHUNKS)]
+        return votes.select(
+            "doc_id", *[chunk_col(c).alias(f"c{c}") for c in range(_SH_CHUNKS)]
+        )
+
+    # both pair-join sides consume the chunk frame; the 60-sum vote agg
+    # would otherwise run twice (measured ~1.3 s per evaluation at
+    # sf0.1) — memoize the 4-chunks-per-doc result instead
+    chunks = cached_df(
+        spark, ("xengine_simhash_chunks", os.path.abspath(sf_dir)), build_chunks
     )
     ca = chunks.select(
         F.col("doc_id").alias("doc_a"),
@@ -437,7 +471,8 @@ def dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         hamming = h if hamming is None else (hamming + h)
         caught = e if caught is None else (caught | e)
     ham = (
-        pairs.select("doc_a", "doc_b")
+        pairs.filter(F.col("n_inter") >= _SH_MIN_INTER)
+        .select("doc_a", "doc_b")
         .join(ca, "doc_a")
         .join(cb, "doc_b")
         .select(
