@@ -82,6 +82,25 @@ def attach_global_order(
     else:
         d = df.repartitionByRange(*order_exprs)
     d = d.withColumn(_PID, F.spark_partition_id())
+    # CORRECTNESS BARRIER (round 10). The local-rank branch and the
+    # partition-totals branch below both re-derive this frame; range
+    # boundaries come from per-evaluation sampling, so the two branches
+    # are only consistent if they share ONE materialization. That
+    # sharing used to ride on ReuseExchange — an OPTIMIZATION — and
+    # round 10 caught it failing: when the caller's frame carries a
+    # column only one branch needs, column pruning makes the two range
+    # exchanges canonically different, reuse silently stops, and the
+    # composed rank off(pid_B) + lrn(pid_A) mixes two boundary sets
+    # (measured: duplicate global ranks and a wrong Theil–Sen median;
+    # pinned by tests/test_total_order.py::test_rank_survives_pruned
+    # _passenger_columns). A lazy localCheckpoint pins one evaluation:
+    # both branches read the same frozen (rows, pid) partitions, so
+    # correctness no longer depends on the optimizer. Cost: one
+    # data-sized executor-local materialization of the frame the
+    # kernel was already shuffling — the block write replaces the
+    # second exchange evaluation, and the ContextCleaner reclaims it
+    # with the RDD.
+    d = d.localCheckpoint(eager=False)
     w = Window.partitionBy(_PID).orderBy(*order_exprs)
     wrun = w.rowsBetween(Window.unboundedPreceding, 0)
     d = d.withColumn(_LRN, F.row_number().over(w))

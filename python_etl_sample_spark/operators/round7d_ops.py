@@ -5,9 +5,9 @@ a verifiable Bloom sketch:
   smoothing of daily revenue via the repo's banded-EWMA reformulation
   (exact 2^k integer weights, no float recursion).
 - ``stats_theil_sen_trend``: the Theil–Sen robust slope — exact median
-  of all pairwise daily-revenue slopes, ranked by the total-order
-  kernel (the robust complement to stats_mann_kendall_trend's sign
-  test).
+  of all pairwise daily-revenue slopes, packed-array pair generation +
+  the total-order kernel (the robust complement to
+  stats_mann_kendall_trend's sign test).
 - ``features_woe_iv``: weight-of-evidence / information-value scoring
   of market segments against an urgency target — the credit-scoring
   feature screen.
@@ -197,34 +197,58 @@ def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     to ~29% outliers where OLS breaks, and the magnitude complement to
     stats_mann_kendall_trend's sign-only test.
 
-    The slope set is CALENDAR-bounded (days², ~3M pairs at any corpus
-    scale — a constant, not a data-sized frame), but 3M rows through a
-    single-task median window is still wasteful, so the median rank
-    comes from the range-partitioned total-order kernel
-    (functions/total_order.py) under the unique (slope, i, j) order;
-    the two middle ranks average (even m) or coincide (odd m). Slopes
-    are single IEEE divisions of identical operands in both engines —
-    bit-identical, so ordering needs no rounding; only the final
-    median is rounded (6 dp).
+    The slope set is CALENDAR-bounded but NOT small: the fixture spans
+    ~2 400 days, so days²/2 ≈ 2.9M slopes at every sf (VERDICT r9
+    item 3 estimated 435 — that is the day count at sf0.001, not the
+    pair count; the round-10 probe measured the real frame). At that
+    size a bounded-window median is a 2.9M-row single-task sort —
+    probed 3.4 s, WORSE than the kernel's 2.85 s floor — so the rank
+    stays on the range-partitioned total-order kernel
+    (functions/total_order.py); the two middle ranks average (even m)
+    or coincide (odd m).
 
-    Scale: one groupBy(day) over orders; everything after runs on the
-    calendar-bounded frame."""
+    What round 10 did improve is the slope CONSTRUCTION: the daily
+    series packs into one sorted array (array_sort on struct(day, rev)
+    = ORDER BY day; n_days joins back from the 1-row packed frame), and the pair set
+    is a double posexplode fanned across 32 tasks by an explicit
+    block-id repartition (i mod 32 — explicit, so AQE's byte-based
+    coalescing cannot fold the compute-heavy explode onto one task).
+    That replaces the previous seq-vs-seq broadcast range join and its
+    three daily-subtree re-evaluations: measured floor 2.85 → 1.9 s.
+    Slopes are single IEEE divisions of identical operands in both
+    engines — bit-identical, so ordering needs no rounding; only the
+    final median is rounded (6 dp)."""
     o = table(spark, sf_dir, "orders")
     daily = (
         o.groupBy(F.to_date("o_orderdate").alias("day"))
         .agg((F.sum(F.expr(_CENTS)).cast("double") / 100.0).alias("rev"))
     )
-    # bounded-window: calendar-bounded daily frame (see docstring)
-    w = Window.orderBy("day")
-    seq = daily.select("day", "rev").withColumn("rn", F.row_number().over(w))
-    a = seq.select(F.col("rn").alias("i"), F.col("rev").alias("vi"))
-    b = seq.select(F.col("rn").alias("j"), F.col("rev").alias("vj"))
-    # broadcast range join over the calendar-bounded frame (never a
-    # CartesianProduct: the j > i condition rides the join)
-    slopes = a.join(F.broadcast(b), F.col("j") > F.col("i")).select(
+    packed = daily.agg(
+        F.array_sort(F.collect_list(F.struct("day", "rev"))).alias("a")
+    )
+    nblk = 32
+    base = packed.select(
+        F.size("a").alias("n_days"),
+        F.explode(F.sequence(F.lit(0), F.lit(nblk - 1))).alias("blk"),
+        "a",
+    )
+    lhs = (
+        base.repartition(nblk, "blk")
+        .select("n_days", "blk", "a", F.posexplode("a").alias("i", "si"))
+        .filter(F.col("i") % nblk == F.col("blk"))
+    )
+    pairs = lhs.select(
+        "i", "si", F.posexplode("a").alias("j", "sj")
+    ).filter(F.col("j") > F.col("i"))
+    # the kernel checkpoints this frame — keep it to the 20 bytes/row
+    # the rank actually orders on (n_days rides the 1-row packed frame
+    # and joins back at the end)
+    slopes = pairs.select(
         "i",
         "j",
-        ((F.col("vj") - F.col("vi")) / (F.col("j") - F.col("i"))).alias("slope"),
+        (
+            (F.col("sj.rev") - F.col("si.rev")) / (F.col("j") - F.col("i"))
+        ).alias("slope"),
     )
     ranked = attach_global_order(
         slopes,
@@ -232,9 +256,9 @@ def stats_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         rn="r",
         total_count="m",
     )
-    n_days = seq.agg(F.count(F.lit(1)).alias("n_days"))
     lo = F.floor((F.col("m") + 1) / 2)
     hi = F.floor((F.col("m") + 2) / 2)
+    n_days = packed.select(F.size("a").cast("long").alias("n_days"))
     return (
         ranked.filter((F.col("r") == lo) | (F.col("r") == hi))
         .agg(

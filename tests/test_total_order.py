@@ -81,3 +81,37 @@ def test_ntile_from_rank_matches_spark_ntile(spark, n, k):
         ).collect()
     }
     assert got == want
+
+
+def test_rank_survives_pruned_passenger_columns(spark):
+    """Round-10 regression pin: a passenger column consumed by only ONE
+    of the kernel's two internal branches used to defeat ReuseExchange
+    (column pruning made the two range exchanges canonically different),
+    so local ranks and offsets composed across two independently-sampled
+    boundary sets — duplicate global ranks, wrong order (caught via a
+    wrong Theil–Sen median). The kernel now pins one materialization;
+    this input reproduces the old failure shape: a wide-ish frame built
+    from an exploded array with a passenger column the offsets branch
+    never needs."""
+    from pyspark.sql import functions as F
+
+    n = 5000
+    base = spark.range(1).select(
+        F.lit(12345).alias("passenger"),
+        F.sequence(F.lit(0), F.lit(n - 1)).alias("a"),
+    )
+    df = base.select(
+        "passenger", F.explode("a").alias("k")
+    ).select(
+        "passenger",
+        "k",
+        ((F.col("k") * 2654435761) % 1000003).cast("double").alias("v"),
+    )
+    got = attach_global_order(df, [F.asc("v"), F.asc("k")], rn="rn", total_count="m")
+    w = Window.orderBy("v", "k")
+    want = df.select("k", F.row_number().over(w).alias("rn"))
+    g = {r["k"]: r["rn"] for r in got.select("k", "rn").collect()}
+    e = {r["k"]: r["rn"] for r in want.collect()}
+    assert g == e
+    ms = got.select("m").distinct().collect()
+    assert len(ms) == 1 and ms[0]["m"] == n
