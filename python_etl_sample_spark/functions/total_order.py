@@ -93,14 +93,18 @@ def attach_global_order(
     # composed rank off(pid_B) + lrn(pid_A) mixes two boundary sets
     # (measured: duplicate global ranks and a wrong Theil–Sen median;
     # pinned by tests/test_total_order.py::test_rank_survives_pruned
-    # _passenger_columns). A lazy localCheckpoint pins one evaluation:
-    # both branches read the same frozen (rows, pid) partitions, so
-    # correctness no longer depends on the optimizer. Cost: one
-    # data-sized executor-local materialization of the frame the
-    # kernel was already shuffling — the block write replaces the
-    # second exchange evaluation, and the ContextCleaner reclaims it
-    # with the RDD.
-    d = d.localCheckpoint(eager=False)
+    # _passenger_columns). persist() pins one evaluation: both branches
+    # scan the SAME InMemoryRelation instance, whose buffers (and the
+    # range exchange under them) materialize exactly once, so
+    # correctness no longer depends on the optimizer. persist — not
+    # localCheckpoint — because a checkpoint truncates lineage and
+    # blinds the explain-based plan audits (PLANS.md,
+    # tests/test_plans.py) to everything under the kernel, while the
+    # cached relation keeps its child plan printable. The
+    # ContextCleaner reclaims the blocks with the RDD. Cost: one
+    # data-sized materialization of the frame the kernel was already
+    # shuffling — it replaces the second exchange evaluation.
+    d = d.persist()
     w = Window.partitionBy(_PID).orderBy(*order_exprs)
     wrun = w.rowsBetween(Window.unboundedPreceding, 0)
     d = d.withColumn(_LRN, F.row_number().over(w))

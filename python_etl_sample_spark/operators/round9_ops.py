@@ -83,8 +83,7 @@ def _duck_hash(col: str) -> str:
       WHERE ({_duck_hash("b.k")} % {_POW2.format("l.lev")}) = 0
     ),
     tot AS (
-      SELECT SUM(n_s) AS n
-      FROM (SELECT DISTINCT ym, n_s FROM stored) u
+      SELECT SUM(n_s) AS n FROM lvs
     ),
     glv AS (
       SELECT MIN(t.l) AS glev, MAX(tot.n) AS n
@@ -180,23 +179,31 @@ def sketch_kll_partitioned_rollup(
     # query's sf0.1 cost was open/commit overhead on ~84 dirs × 32
     # task-fragments before this; a 100 TB ingest wants shard-local
     # sketch files regardless)
-    path = stage_once(
-        "kll_rollup",
-        sf_dir,
-        lambda p: stored_src.repartition("ym")
-        .write.mode("overwrite")
-        .partitionBy("ym")
-        .parquet(p),
-    )
-    st = spark.read.parquet(path).select(
+    def _write_shards(p: str) -> None:
+        stored_src.repartition("ym").write.mode("overwrite").partitionBy(
+            "ym"
+        ).parquet(f"{p}/data")
+        # shard metadata persisted UNCONDITIONALLY as its own tiny frame
+        # (r9 ADVICE item 1): a shard whose keep-set is empty still
+        # contributes its n_s to the global level derivation — deriving
+        # n from metadata riding on kept DATA rows silently undercounts
+        # whenever a shard keeps 0 rows (can't happen at these budgets,
+        # but the invariant was load-bearing and implicit)
+        lvs.select("ym", "n_s", "lev").write.mode("overwrite").parquet(
+            f"{p}/meta"
+        )
+
+    path = stage_once("kll_rollup", sf_dir, _write_shards)
+    st = spark.read.parquet(f"{path}/data").select(
         F.col("ym").cast("long").alias("ym"),  # partition col re-infers as int
         "n_s",
         "lev",
         "cents",
         "k",
     )
-    # global level from stored shard METADATA alone — no base rescan
-    tot = st.select("ym", "n_s").distinct().agg(F.sum("n_s").alias("n"))
+    # global level from the stored shard METADATA file alone — no base
+    # rescan, and no dependency on every shard keeping ≥ 1 data row
+    tot = spark.read.parquet(f"{path}/meta").agg(F.sum("n_s").alias("n"))
     glv = (
         lvl_grid.crossJoin(F.broadcast(tot))
         .filter(F.col("n") <= _KLL_RB * pow2("l"))

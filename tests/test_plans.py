@@ -490,7 +490,21 @@ def _capture_eager_plans():
     from pyspark.sql.readwriter import DataFrameWriter
 
     captured: list[tuple[str, str]] = []
-    names = ("collect", "count", "isEmpty", "localCheckpoint", "toPandas")
+    # r9 ADVICE item 3: first/take/head/toLocalIterator added so a
+    # kernel that materializes through any of them can't slip past the
+    # cartesian audit (head delegates to take in the classic impl, but
+    # patching both is free and robust to that changing)
+    names = (
+        "collect",
+        "count",
+        "isEmpty",
+        "localCheckpoint",
+        "toPandas",
+        "first",
+        "take",
+        "head",
+        "toLocalIterator",
+    )
     originals = {n: getattr(DataFrame, n) for n in names}
     # staged WRITES (scratch.py) are construction-time actions too —
     # capture the written frame's plan via the writer's formats

@@ -110,8 +110,19 @@ def test_kll_rollup_sketch_files_are_shard_partitioned(spark):
     path = scratch_path("kll_rollup", SF_DIR)
     shards = sorted(
         os.path.basename(d)
-        for d in glob.glob(os.path.join(path, "ym=*"))
+        for d in glob.glob(os.path.join(path, "data", "ym=*"))
         if os.path.isdir(d)
     )
     expected = sorted({f"ym={ym}" for ym, _, _ in _orders(SF_DIR)})
     assert shards == expected
+    # r9 ADVICE item 1: shard metadata is persisted unconditionally as
+    # its own frame — one (ym, n_s, lev) row per shard regardless of
+    # whether the shard kept any data rows
+    meta = spark.read.parquet(os.path.join(path, "meta"))
+    meta_rows = {r["ym"]: (r["n_s"], r["lev"]) for r in meta.collect()}
+    from collections import Counter
+
+    true_ns = Counter(ym for ym, _, _ in _orders(SF_DIR))
+    assert set(meta_rows) == set(true_ns)
+    for ym, n_s in true_ns.items():
+        assert meta_rows[ym][0] == n_s

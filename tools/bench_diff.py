@@ -56,6 +56,16 @@ def main(argv: list[str]) -> int:
     new, old = load_queries(new_path), load_queries(old_path)
 
     if table:
+        # header caveat (VERDICT r9 item 6): driver tails are one run
+        # each — per-query ratios here swing ±50% with ambient load and
+        # must not be read as regressions on their own
+        print(
+            "> Driver bench tails are SINGLE-RUN timings; per-query "
+            "ratios are noise-dominated below ~1 s. Adjudicate "
+            "regressions with the multi-run floors in BENCH_local.json "
+            "(tools/floor_probe.py), not this table."
+        )
+        print()
         shared = sorted(k for k in new if k in old and old[k] > 0)
         geo = 1.0
         print("| query | old s | new s | ratio |")
