@@ -118,3 +118,31 @@ def test_sim_ann_recall_deterministic(spark):
     a = sorted(map(tuple, fn(spark, SF_DIR).collect()))
     b = sorted(map(tuple, fn(spark, SF_DIR).collect()))
     assert a == b
+
+
+def test_hash_family_overflow_margins_and_distinctness():
+    """The recall queries' cross-engine arithmetic must stay inside
+    int64 on the FULL key domain in BOTH engines (the repo-wide
+    multiplicative-hash audit, tests/test_ansi_edges.py), and the
+    multiplier families must be distinct permutations."""
+    from python_etl_sample_spark.operators.round10_ops import (
+        _MH_P,
+        _N_PERM,
+        _SH_BITS,
+        _XP,
+        _mh_mult,
+        _sh_mult,
+    )
+
+    mh = [_mh_mult(i) for i in range(_N_PERM)]
+    sh = [_sh_mult(j) for j in range(_SH_BITS)]
+    # k < 2^31 (poly mod 2^31-1); every product must fit signed int64
+    assert (_XP - 1) * max(mh) < 2**63
+    assert (_XP - 1) * max(sh) < 2**63
+    # band fold: acc < 2^31, fold step acc*1048573 + m with m < 2^20
+    assert (_XP - 1) * 1048573 + 2**20 < 2**63
+    # char polynomial: acc*31 + max ASCII code
+    assert (_XP - 1) * 31 + 127 < 2**63
+    # permutation validity: multipliers distinct mod their value space
+    assert len({m % _MH_P for m in mh}) == _N_PERM
+    assert len(set(sh)) == _SH_BITS
