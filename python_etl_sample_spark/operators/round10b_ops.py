@@ -1,0 +1,402 @@
+"""Round-10b — two families the surface still lacked, both fully
+hash-checkable by construction:
+
+- ``graph_hits_scores``: HITS hubs & authorities — the one classic
+  fixed-point graph ranking missing next to PageRank / LPA / k-core /
+  harmonic centrality. Unlike those, HITS is defined on a DIRECTED
+  bipartite relation, so it runs on the customer→supplier shipment
+  graph rather than the undirected co-purchase projection. The same
+  exact-replay discipline as ``graph_pagerank``
+  (graph_analytics.py:240): score mass is a scaled BIGINT and the
+  per-half-step L1 normalization is a widened integer multiply-divide
+  (``DECIMAL(38,0)`` in Spark ≡ ``HUGEINT`` in DuckDB — division
+  semantics verified identical on positive operands), so four
+  hub/authority rounds are BIT-equal across engines, not "close".
+
+- ``sim_pq_adc``: product-quantization ANN with asymmetric distance
+  computation — the canonical billion-scale vector-compression pattern
+  (Jégou et al., PQ) missing next to the LSH / IVF tiers. The two
+  engine-specific pieces that force sim_ann_lsh/sim_ann_ivf to be
+  rows-only are replaced by deterministic constructions: the codebook
+  is the subvectors of the 16 lowest-``vec_id`` corpus rows (the
+  sample-as-codebook move, same class as the IVF quantizer's bounded
+  sample), and every distance is 9-dp-rounded then scaled to an exact
+  BIGINT before any argmin / ordering decision — so the WHOLE
+  approximate tier (codebook, codes, lookup tables, ADC scan, top-k)
+  replays in DuckDB and lands as a driver hash row. PQ is thereby the
+  first ANN family here whose *output* (not just its recall) is
+  oracle-checked.
+
+Scale postures are documented per query; neither plans a cartesian
+(PLANS.md regenerates over the full surface) and neither collects
+anything to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from python_etl_sample_spark.registry import query
+from python_etl_sample_spark.sources import table
+
+# --------------------------------------------------------------------------
+# graph_hits_scores
+# --------------------------------------------------------------------------
+
+#: HITS score mass is tracked as BIGINT trillionths (1e12). Raw
+#: half-step sums stay ≤ the L1 mass (= SCALE) per node, so node
+#: scores never overflow int64 at ANY graph size; the normalization
+#: totals and the renormalizing product are the only places a value
+#: can exceed int64, and both run in DECIMAL(38,0) / HUGEINT.
+_HITS_SCALE = 1_000_000_000_000
+_HITS_ROUNDS = 4
+
+_HITS_EDGES_SQL = """
+    e AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate >= DATE '1995-01-01'
+        AND l.l_shipdate < DATE '1996-01-01'
+    ),
+    outdeg AS (SELECT c, COUNT(*) AS deg FROM e GROUP BY c),
+    indeg  AS (SELECT s, COUNT(*) AS deg FROM e GROUP BY s)
+"""
+
+
+def _hits_round_sql(prev_h: str, t: int) -> str:
+    """One unrolled HITS round: authority half-step then hub half-step,
+    each L1-renormalized to _HITS_SCALE in widened integer arithmetic."""
+    return f"""
+    a{t}r AS MATERIALIZED (
+      SELECT e.s, SUM(h.h) AS raw
+      FROM e JOIN {prev_h} h ON h.c = e.c GROUP BY e.s
+    ),
+    a{t}t AS (SELECT SUM(raw::HUGEINT) AS t FROM a{t}r),
+    a{t} AS MATERIALIZED (
+      SELECT s, CAST((raw::HUGEINT * {_HITS_SCALE})
+                     // (SELECT t FROM a{t}t) AS BIGINT) AS a
+      FROM a{t}r
+    ),
+    h{t}r AS MATERIALIZED (
+      SELECT e.c, SUM(a.a) AS raw
+      FROM e JOIN a{t} a ON a.s = e.s GROUP BY e.c
+    ),
+    h{t}t AS (SELECT SUM(raw::HUGEINT) AS t FROM h{t}r),
+    h{t} AS MATERIALIZED (
+      SELECT c, CAST((raw::HUGEINT * {_HITS_SCALE})
+                     // (SELECT t FROM h{t}t) AS BIGINT) AS h
+      FROM h{t}r
+    )"""
+
+
+@query(
+    "graph_hits_scores",
+    oracle=f"""
+    WITH {_HITS_EDGES_SQL},
+    h0 AS (
+      SELECT c, CAST({_HITS_SCALE} // (SELECT COUNT(*) FROM outdeg)
+                     AS BIGINT) AS h
+      FROM outdeg
+    ),
+    {",".join(_hits_round_sql(f"h{t - 1}", t) for t in range(1, _HITS_ROUNDS + 1))}
+    SELECT 'hub' AS role, h.c AS node_id, d.deg AS degree,
+           h.h AS score_scaled
+    FROM h{_HITS_ROUNDS} h JOIN outdeg d ON d.c = h.c
+    UNION ALL
+    SELECT 'authority' AS role, a.s AS node_id, d.deg AS degree,
+           a.a AS score_scaled
+    FROM a{_HITS_ROUNDS} a JOIN indeg d ON d.s = a.s
+    """,
+)
+def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg HITS over the directed customer→supplier shipment
+    graph (an edge when some 1995-shipped order links the two): four
+    mutual-reinforcement rounds — authority(s) = Σ hub(c) over
+    in-edges, hub(c) = Σ authority(s) over out-edges — each half-step
+    L1-renormalized so total mass stays at 10¹², returning every
+    node's final scaled score and its degree.
+
+    Exactness by design: scores are integers; each renormalization is
+    ``(raw · 10¹²) div total`` computed in DECIMAL(38,0) (the raw·10¹²
+    product can reach ~10²⁴; DuckDB mirrors it in HUGEINT — the two
+    engines' truncating division was verified identical on positive
+    operands), so all eight half-steps are bit-equal across engines.
+    Every customer has ≥1 out-edge and every supplier ≥1 in-edge by
+    construction, so there is no dangling mass and inner joins suffice.
+
+    Scale (100 TB): the 1995 ship-date range predicate is a raw-column
+    comparison, pushed to the parquet scan with row-group pruning (the
+    graph_pagerank precedent). Each half-step is one equi-join of the
+    edge list with a node-score frame plus one partial-aggregated
+    shuffle on the receiving key; normalization totals ride in as
+    broadcast scalars. Unlike graph_pagerank (whose rounds use each
+    intermediate ONCE, so a single job + ReuseExchange wins — see
+    _copurchase_edges' counter-measurement), every HITS half-step
+    consumes its raw-sum frame TWICE (the total and the renormalize),
+    which would double the logical plan per half-step — ~4⁴ copies of
+    the edge subtree by round 4, an analyzer blow-up, not just
+    redundant exchanges. The raw frames therefore take the LPA /
+    TextRank lazy-localCheckpoint treatment (functions/components.py
+    precedent): lineage is cut at each node-sized raw-sum frame, so
+    plan size stays linear in rounds. On a real cluster the edge list
+    and score frames co-bucket on node id, making every round a
+    zero-exchange join."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01"))
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    outdeg = edges.groupBy("c").agg(F.count(F.lit(1)).alias("deg"))
+    indeg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    n_hubs = outdeg.agg(F.count(F.lit(1)).alias("n"))
+
+    renorm = (
+        f"CAST((CAST(raw AS DECIMAL(38,0)) * {_HITS_SCALE}) DIV t AS BIGINT)"
+    )
+    hubs = outdeg.crossJoin(F.broadcast(n_hubs)).select(
+        "c", F.expr(f"CAST({_HITS_SCALE} DIV n AS BIGINT)").alias("h")
+    )
+    auths = None
+    for _ in range(_HITS_ROUNDS):
+        # lazy lineage cut: raw is consumed twice (total + renormalize)
+        a_raw = (
+            edges.join(hubs, "c")
+            .groupBy("s")
+            .agg(F.sum("h").alias("raw"))
+            .localCheckpoint(eager=False)
+        )
+        a_tot = a_raw.agg(
+            F.sum(F.col("raw").cast("decimal(38,0)")).alias("t")
+        )
+        auths = a_raw.crossJoin(F.broadcast(a_tot)).select(
+            "s", F.expr(renorm).alias("a")
+        )
+        h_raw = (
+            edges.join(auths, "s")
+            .groupBy("c")
+            .agg(F.sum("a").alias("raw"))
+            .localCheckpoint(eager=False)
+        )
+        h_tot = h_raw.agg(
+            F.sum(F.col("raw").cast("decimal(38,0)")).alias("t")
+        )
+        hubs = h_raw.crossJoin(F.broadcast(h_tot)).select(
+            "c", F.expr(renorm).alias("h")
+        )
+    hub_rows = hubs.join(outdeg, "c").select(
+        F.lit("hub").alias("role"),
+        F.col("c").alias("node_id"),
+        F.col("deg").alias("degree"),
+        F.col("h").alias("score_scaled"),
+    )
+    auth_rows = auths.join(indeg, "s").select(
+        F.lit("authority").alias("role"),
+        F.col("s").alias("node_id"),
+        F.col("deg").alias("degree"),
+        F.col("a").alias("score_scaled"),
+    )
+    return hub_rows.unionAll(auth_rows)
+
+
+# --------------------------------------------------------------------------
+# sim_pq_adc
+# --------------------------------------------------------------------------
+
+_PQ_SUBS = 8  # subspaces (64 dims → 8 × 8)
+_PQ_SUBDIM = 8
+_PQ_K = 16  # codebook entries per subspace
+_PQ_TOPK = 5
+
+
+def _pq_dist_sql(a: str, b: str) -> str:
+    """Squared L2 between two 8-dim list slices, 9-dp-rounded and
+    scaled to an exact BIGINT (the same round-then-scale guard every
+    discontinuous comparison in this repo uses)."""
+    return (
+        f"CAST(round(round((SELECT SUM(({a}[i+1] - {b}[i+1])"
+        f" * ({a}[i+1] - {b}[i+1])) FROM range({_PQ_SUBDIM}) t(i)), 9)"
+        f" * 1e9, 0) AS BIGINT)"
+    )
+
+
+_PQ_ORACLE = f"""
+    WITH x AS (
+      SELECT vec_id, label,
+             list_transform(embedding, e -> e::DOUBLE) AS emb
+      FROM embeddings
+    ),
+    cb AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             emb
+      FROM (SELECT vec_id, emb FROM x ORDER BY vec_id LIMIT {_PQ_K})
+    ),
+    centers AS MATERIALIZED (
+      SELECT CAST(t.i AS INT) AS s, cb.cid AS c,
+             list_slice(cb.emb, t.i * {_PQ_SUBDIM} + 1,
+                        t.i * {_PQ_SUBDIM} + {_PQ_SUBDIM}) AS cen
+      FROM cb CROSS JOIN range({_PQ_SUBS}) t(i)
+    ),
+    sub AS MATERIALIZED (
+      SELECT vec_id, label, CAST(t.i AS INT) AS s,
+             list_slice(emb, t.i * {_PQ_SUBDIM} + 1,
+                        t.i * {_PQ_SUBDIM} + {_PQ_SUBDIM}) AS sub
+      FROM x CROSS JOIN range({_PQ_SUBS}) t(i)
+    ),
+    dists AS MATERIALIZED (
+      SELECT sub.vec_id, sub.s, centers.c,
+             {_pq_dist_sql("sub.sub", "centers.cen")} AS d9
+      FROM sub JOIN centers ON centers.s = sub.s
+    ),
+    codes AS MATERIALIZED (
+      SELECT vec_id, s, c AS code
+      FROM (SELECT vec_id, s, c,
+                   row_number() OVER (PARTITION BY vec_id, s
+                                      ORDER BY d9, c) AS rn
+            FROM dists)
+      WHERE rn = 1
+    ),
+    lut AS MATERIALIZED (
+      SELECT sub.vec_id AS query_id, sub.s, centers.c,
+             {_pq_dist_sql("sub.sub", "centers.cen")} AS d9
+      FROM sub JOIN centers ON centers.s = sub.s
+      WHERE sub.label = 0
+    ),
+    adc AS MATERIALIZED (
+      SELECT l.query_id, co.vec_id AS neighbor_id,
+             SUM(l.d9) AS adc_scaled
+      FROM codes co JOIN lut l ON l.s = co.s AND l.c = co.code
+      WHERE co.vec_id != l.query_id
+      GROUP BY l.query_id, co.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, adc_scaled,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_scaled, neighbor_id)
+                  AS INT) AS rn
+      FROM adc
+    )
+    SELECT query_id, neighbor_id, rn,
+           round(adc_scaled / 1e9, 9) AS adc_dist
+    FROM ranked WHERE rn <= {_PQ_TOPK}
+"""
+
+
+@query("sim_pq_adc", oracle=_PQ_ORACLE)
+def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation:
+    64-dim vectors split into 8 subspaces of 8 dims; each subvector is
+    encoded as its nearest of 16 codebook centers; a query's distance
+    to a compressed vector is the sum of 8 precomputed
+    query-to-center lookup-table entries (ADC); top-5 neighbors per
+    label-0 query under (distance, id). The codebook is deterministic
+    — the subvectors of the 16 lowest-vec_id corpus rows — so unlike
+    the LSH/IVF tiers the whole pipeline replays in SQL and the
+    OUTPUT is hash-checked, not just its recall.
+
+    Determinism: every squared subdistance is 9-dp-rounded then scaled
+    to an exact BIGINT before the encode argmin (min-struct with
+    center-id tie-break ≡ the oracle's (d9, c) row_number), so code
+    assignment and the integer ADC sums are bit-equal across engines;
+    the ≤1-ulp float fold divergence the 9-dp round absorbs is the
+    similarity.py precedent (verified there at the grading scales).
+
+    Scale (100 TB): this is FAISS's IndexPQ scan shape. Encoding is a
+    16-row-broadcast join + one partial-aggregated shuffle keyed
+    (vec_id, s) — linear in the corpus, 128 tiny rows per vector in
+    flight, and the stored representation is 8 small ints per vector
+    (64 B float32 → 8 B codes, the 8× compression that makes exhaustive
+    scans affordable). The ADC scan joins codes to the broadcast
+    lookup table on (s, code) — #queries × #docs × 8 rows, partially
+    aggregated map-side before the (query, doc) shuffle. The quadratic
+    query×corpus term is inherent to exhaustive ADC; the at-scale
+    composition is IVF lists bounding the candidates THEN this exact
+    plan over the survivors (IVFADC), which changes only the `codes`
+    input.
+
+    Measured quality at sf0.001: recall@5 vs exact L2 is 0.143 (vs
+    0.019 for random picks) — the isotropic Gaussian fixtures are PQ's
+    worst case (distances concentrate; a sample codebook captures no
+    cluster structure; K=128 only reaches 0.232), so the pinned claim
+    (tests/test_round10b_ops.py) is order-of-magnitude-above-chance
+    ranking, with the exact replay — not fixture recall — as the point."""
+    x = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    # deterministic codebook: 16 lowest vec_ids (TakeOrdered — a
+    # bounded 16-row frame, never the corpus); cid by that same order
+    # bounded-window: 16-row codebook frame (LIMIT above), constant size
+    cb = (
+        x.orderBy("vec_id")
+        .limit(_PQ_K)
+        .select(
+            (
+                F.row_number().over(Window.orderBy("vec_id")) - 1
+            ).cast("int").alias("c"),
+            "emb",
+        )
+    )
+    subspaces = F.array(
+        *[
+            F.slice("emb", s * _PQ_SUBDIM + 1, _PQ_SUBDIM)
+            for s in range(_PQ_SUBS)
+        ]
+    )
+    centers = cb.select("c", F.posexplode(subspaces).alias("s", "cen"))
+    sub = x.select(
+        "vec_id", "label", F.posexplode(subspaces).alias("s", "sub")
+    )
+    # squared L2, 9-dp-rounded, scaled to exact BIGINT (see module doc)
+    d9 = F.round(
+        F.round(
+            F.aggregate(
+                F.zip_with("sub", "cen", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            9,
+        )
+        * 1e9,
+        0,
+    ).cast("bigint")
+    dists = sub.join(F.broadcast(centers), "s").select(
+        "vec_id", "label", "s", "c", d9.alias("d9")
+    )
+    codes = (
+        dists.groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d9", "c")).alias("m"))
+        .select("vec_id", "s", F.col("m.c").alias("code"))
+    )
+    lut = dists.filter(F.col("label") == 0).select(
+        F.col("vec_id").alias("query_id"), "s", "c", "d9"
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (codes.s == lut.s)
+            & (codes.code == lut.c)
+            & (codes.vec_id != lut.query_id),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d9").alias("adc_scaled"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_scaled", "vec_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= _PQ_TOPK)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rn",
+            F.round(F.col("adc_scaled") / 1e9, 9).alias("adc_dist"),
+        )
+    )

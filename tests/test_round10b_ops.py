@@ -1,0 +1,100 @@
+"""Round-10b invariants (operators/round10b_ops.py): HITS and PQ-ADC.
+
+Oracle parity (the driver gate) proves both engines compute the same
+thing; these tests pin that the thing computed has the algorithms'
+defining properties — HITS conserves its normalized mass and tracks
+degree, PQ's asymmetric distances actually rank by true distance.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from python_etl_sample_spark.operators.round10b_ops import (
+    _HITS_SCALE,
+    _PQ_TOPK,
+    graph_hits_scores,
+    sim_pq_adc,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_hits_mass_conservation_and_roles(spark):
+    """Each L1 renormalization floors per node, so total mass for each
+    role is _HITS_SCALE minus at most one unit per node — any larger
+    loss (or any negative score) means the widened integer arithmetic
+    broke."""
+    pdf = graph_hits_scores(spark, SF_DIR).toPandas()
+    assert set(pdf.role.unique()) == {"hub", "authority"}
+    assert (pdf.score_scaled >= 0).all()
+    assert (pdf.degree >= 1).all()
+    for role in ("hub", "authority"):
+        part = pdf[pdf.role == role]
+        loss = _HITS_SCALE - int(part.score_scaled.sum())
+        assert 0 <= loss <= len(part), (role, loss)
+        # node ids unique within a role
+        assert part.node_id.is_unique
+
+
+def test_hits_authority_tracks_indegree(spark):
+    """On the shipment graph, authority mass concentrates on
+    well-connected suppliers — the mutual-reinforcement fixed point
+    must correlate strongly with in-degree (0.96 measured; pinned
+    loosely)."""
+    pdf = graph_hits_scores(spark, SF_DIR).toPandas()
+    auth = pdf[pdf.role == "authority"]
+    assert auth.degree.corr(auth.score_scaled) > 0.5
+
+
+def test_hits_deterministic(spark):
+    a = sorted(map(tuple, graph_hits_scores(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, graph_hits_scores(spark, SF_DIR).collect()))
+    assert a == b
+
+
+def test_pq_adc_shape_and_ordering(spark):
+    """Every label-0 query gets exactly _PQ_TOPK neighbors (the ADC
+    scan covers the whole corpus), ranks are 1..k, distances are
+    non-negative and non-decreasing in rank, and no query is its own
+    neighbor."""
+    pdf = sim_pq_adc(spark, SF_DIR).toPandas()
+    assert (pdf.adc_dist >= 0).all()
+    assert (pdf.query_id != pdf.neighbor_id).all()
+    for _, g in pdf.groupby("query_id"):
+        g = g.sort_values("rn")
+        assert list(g.rn) == list(range(1, _PQ_TOPK + 1))
+        assert (g.adc_dist.diff().dropna() >= 0).all()
+
+
+def test_pq_adc_ranks_by_true_distance(spark):
+    """ADC recall@5 against brute-force exact L2 top-5. Isotropic
+    Gaussian fixtures are PQ's worst case (distances concentrate, a
+    16-entry sample codebook captures no cluster structure) — measured
+    0.143 at sf0.001, vs 0.0189 expected for 5 random picks of 263
+    candidates — so the pin is that ADC beats chance by an order of
+    magnitude, not that it rivals clustered-data recall."""
+    import duckdb
+
+    pdf = sim_pq_adc(spark, SF_DIR).toPandas()
+    emb = duckdb.sql(
+        f"SELECT vec_id, embedding, label FROM "
+        f"read_parquet('{SF_DIR}/embeddings.parquet') ORDER BY vec_id"
+    ).df()
+    X = np.array([np.asarray(e, dtype=np.float64) for e in emb.embedding])
+    ids = emb.vec_id.values
+    hit = tot = 0
+    for qid, g in pdf.groupby("query_id"):
+        qi = int(np.where(ids == qid)[0][0])
+        d = ((X - X[qi]) ** 2).sum(1)
+        d[qi] = np.inf
+        exact = set(ids[np.lexsort((ids, d))[:_PQ_TOPK]])
+        hit += len(exact & set(g.neighbor_id))
+        tot += _PQ_TOPK
+    assert hit / tot >= 0.10
+
+
+def test_pq_adc_deterministic(spark):
+    a = sorted(map(tuple, sim_pq_adc(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, sim_pq_adc(spark, SF_DIR).collect()))
+    assert a == b
