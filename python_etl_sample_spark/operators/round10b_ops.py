@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from python_etl_sample_spark.cache import cached_df
 from python_etl_sample_spark.registry import query
 from python_etl_sample_spark.sources import table
 
@@ -65,22 +66,18 @@ _HITS_EDGES_SQL = """
 
 
 def _hits_round_sql(prev_h: str, t: int) -> str:
-    """One unrolled HITS round: authority half-step then hub half-step,
-    each L1-renormalized to _HITS_SCALE in widened integer arithmetic."""
+    """One unrolled HITS round: unnormalized authority half-step (its
+    sums are bounded by the hub L1 mass, so they stay in int64 at any
+    graph size), then the hub half-step L1-renormalized to _HITS_SCALE
+    in widened integer arithmetic."""
     return f"""
     a{t}r AS MATERIALIZED (
       SELECT e.s, SUM(h.h) AS raw
       FROM e JOIN {prev_h} h ON h.c = e.c GROUP BY e.s
     ),
-    a{t}t AS (SELECT SUM(raw::HUGEINT) AS t FROM a{t}r),
-    a{t} AS MATERIALIZED (
-      SELECT s, CAST((raw::HUGEINT * {_HITS_SCALE})
-                     // (SELECT t FROM a{t}t) AS BIGINT) AS a
-      FROM a{t}r
-    ),
     h{t}r AS MATERIALIZED (
-      SELECT e.c, SUM(a.a) AS raw
-      FROM e JOIN a{t} a ON a.s = e.s GROUP BY e.c
+      SELECT e.c, SUM(a.raw) AS raw
+      FROM e JOIN a{t}r a ON a.s = e.s GROUP BY e.c
     ),
     h{t}t AS (SELECT SUM(raw::HUGEINT) AS t FROM h{t}r),
     h{t} AS MATERIALIZED (
@@ -99,29 +96,38 @@ def _hits_round_sql(prev_h: str, t: int) -> str:
                      AS BIGINT) AS h
       FROM outdeg
     ),
-    {",".join(_hits_round_sql(f"h{t - 1}", t) for t in range(1, _HITS_ROUNDS + 1))}
+    {",".join(_hits_round_sql(f"h{t - 1}", t) for t in range(1, _HITS_ROUNDS + 1))},
+    aft AS (SELECT SUM(raw::HUGEINT) AS t FROM a{_HITS_ROUNDS}r),
+    af AS (
+      SELECT s, CAST((raw::HUGEINT * {_HITS_SCALE})
+                     // (SELECT t FROM aft) AS BIGINT) AS a
+      FROM a{_HITS_ROUNDS}r
+    )
     SELECT 'hub' AS role, h.c AS node_id, d.deg AS degree,
            h.h AS score_scaled
     FROM h{_HITS_ROUNDS} h JOIN outdeg d ON d.c = h.c
     UNION ALL
     SELECT 'authority' AS role, a.s AS node_id, d.deg AS degree,
            a.a AS score_scaled
-    FROM a{_HITS_ROUNDS} a JOIN indeg d ON d.s = a.s
+    FROM af a JOIN indeg d ON d.s = a.s
     """,
 )
 def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kleinberg HITS over the directed customer→supplier shipment
     graph (an edge when some 1995-shipped order links the two): four
     mutual-reinforcement rounds — authority(s) = Σ hub(c) over
-    in-edges, hub(c) = Σ authority(s) over out-edges — each half-step
-    L1-renormalized so total mass stays at 10¹², returning every
-    node's final scaled score and its degree.
+    in-edges, hub(c) = Σ authority(s) over out-edges — with the hub
+    side L1-renormalized each round and the authority side
+    renormalized once at output (normalization frequency is a free
+    choice in HITS; this one is also the overflow-optimal one, see the
+    loop comment), returning every node's final scaled score (mass
+    10¹² per role) and its degree.
 
     Exactness by design: scores are integers; each renormalization is
     ``(raw · 10¹²) div total`` computed in DECIMAL(38,0) (the raw·10¹²
     product can reach ~10²⁴; DuckDB mirrors it in HUGEINT — the two
     engines' truncating division was verified identical on positive
-    operands), so all eight half-steps are bit-equal across engines.
+    operands), so every half-step is bit-equal across engines.
     Every customer has ≥1 out-edge and every supplier ≥1 in-edge by
     construction, so there is no dangling mass and inner joins suffice.
 
@@ -142,20 +148,31 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan size stays linear in rounds. On a real cluster the edge list
     and score frames co-bucket on node id, making every round a
     zero-exchange join."""
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .filter(
-            (F.col("l_shipdate") >= F.lit("1995-01-01"))
-            & (F.col("l_shipdate") < F.lit("1996-01-01"))
+    def _edges() -> DataFrame:
+        li = (
+            table(spark, sf_dir, "lineitem")
+            .filter(
+                (F.col("l_shipdate") >= F.lit("1995-01-01"))
+                & (F.col("l_shipdate") < F.lit("1996-01-01"))
+            )
+            .select("l_orderkey", "l_suppkey")
         )
-        .select("l_orderkey", "l_suppkey")
-    )
-    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    edges = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
+        orders = table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .select(
+                F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+            )
+            .distinct()
+        )
+
+    # the lineage cuts below make each half-step a separate
+    # materialization, so the edge list is consumed across JOBS (9×) —
+    # exactly the CC-kernel case where persisting the derived graph is
+    # the measured-right call (vs graph_pagerank's single-job fan-out)
+    edges = cached_df(spark, ("hits_edges", sf_dir), _edges)
     outdeg = edges.groupBy("c").agg(F.count(F.lit(1)).alias("deg"))
     indeg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
     n_hubs = outdeg.agg(F.count(F.lit(1)).alias("n"))
@@ -166,25 +183,31 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     hubs = outdeg.crossJoin(F.broadcast(n_hubs)).select(
         "c", F.expr(f"CAST({_HITS_SCALE} DIV n AS BIGINT)").alias("h")
     )
-    auths = None
-    for _ in range(_HITS_ROUNDS):
-        # lazy lineage cut: raw is consumed twice (total + renormalize)
+    a_raw = None
+    for rnd in range(_HITS_ROUNDS):
+        # The authority half-step stays UNNORMALIZED: after the hub
+        # renorm, Σ_c h(c) ≤ SCALE, so a_raw(s) ≤ SCALE fits int64 at
+        # ANY graph size — no per-a renormalization is needed for
+        # overflow, which halves the lineage cuts and the broadcast
+        # query-stage barriers (each broadcast total is its own AQE
+        # stage — the dominant cost of this loop shape; the
+        # normalize-both-half-steps variant measured 3.9 s at sf0.1,
+        # two fewer-cut variants 4.8/6.2 s — ReuseExchange does not
+        # dedupe the twice-referenced subtrees here because the
+        # branches prune different columns, the same failure mode the
+        # total-order kernel's persist barrier exists for).
         a_raw = (
-            edges.join(hubs, "c")
-            .groupBy("s")
-            .agg(F.sum("h").alias("raw"))
-            .localCheckpoint(eager=False)
+            edges.join(hubs, "c").groupBy("s").agg(F.sum("h").alias("raw"))
         )
-        a_tot = a_raw.agg(
-            F.sum(F.col("raw").cast("decimal(38,0)")).alias("t")
-        )
-        auths = a_raw.crossJoin(F.broadcast(a_tot)).select(
-            "s", F.expr(renorm).alias("a")
-        )
+        if rnd == _HITS_ROUNDS - 1:
+            # final round: a_raw feeds h_raw AND the output renorm
+            a_raw = a_raw.localCheckpoint(eager=False)
+        # h_raw(c) ≤ outdeg(c)·SCALE — int64-safe to out-degree ~9·10⁶;
+        # the total and the renorm product run widened regardless
         h_raw = (
-            edges.join(auths, "s")
+            edges.join(a_raw, "s")
             .groupBy("c")
-            .agg(F.sum("a").alias("raw"))
+            .agg(F.sum("raw").alias("raw"))
             .localCheckpoint(eager=False)
         )
         h_tot = h_raw.agg(
@@ -193,6 +216,10 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         hubs = h_raw.crossJoin(F.broadcast(h_tot)).select(
             "c", F.expr(renorm).alias("h")
         )
+    a_tot = a_raw.agg(F.sum(F.col("raw").cast("decimal(38,0)")).alias("t"))
+    auths = a_raw.crossJoin(F.broadcast(a_tot)).select(
+        "s", F.expr(renorm).alias("a")
+    )
     hub_rows = hubs.join(outdeg, "c").select(
         F.lit("hub").alias("role"),
         F.col("c").alias("node_id"),
