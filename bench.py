@@ -109,6 +109,11 @@ SHARED_INTERMEDIATE = (
     "dedup_minhash_recall",
     "dedup_simhash_recall",
     "sim_ann_recall",
+    # round 10b: the PQ distance frame (codes + query LUTs) is a
+    # cached_df memo shared by the exhaustive and IVF-bounded scans —
+    # timed numbers measure each scan's own ranking pass
+    "sim_pq_adc",
+    "sim_pq_ivf_adc",
 )
 
 
