@@ -33,6 +33,12 @@ hash-checkable by construction:
   ADC scan ranks the survivors. FAISS's IndexIVFPQ, the standard
   billion-scale ANN layout, hash-checked end to end.
 
+- ``text_bpe_train_merges``: the BPE *training* inner loop as a corpus
+  operator — weighted max-pair selection and leftmost-greedy merges
+  over the word-frequency table, pinned against a pure-Python Sennrich
+  replay in tests and replayed set-wise in SQL (gaps-and-islands
+  parity for the greedy apply).
+
 Scale postures are documented per query; none plans a cartesian
 (PLANS.md regenerates over the full surface) and none collects
 anything data-sized to the driver.
@@ -603,4 +609,198 @@ def sim_pq_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
             F.round(F.col("adc_scaled") / 1e9, 9).alias("adc_dist"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# text_bpe_train_merges — the BPE training inner loop
+# --------------------------------------------------------------------------
+
+_BPE_ROUNDS = 4
+_BPE_EOW = "</w>"
+
+
+def _bpe_round_sql(prev: str, t: int) -> str:
+    """One unrolled BPE round: weighted pair counts → the best merge
+    (count desc, pair asc) → leftmost-greedy non-overlapping apply via
+    the gaps-and-islands parity trick (inside a run of consecutive
+    matching positions, merges land on even offsets — exactly the
+    sequential greedy scan, expressed set-wise)."""
+    return f"""
+    e{t} AS MATERIALIZED (
+      SELECT w.word, w.freq, CAST(u.i AS INT) AS pos,
+             w.syms[u.i + 1] AS sym, w.syms[u.i + 2] AS nxt
+      FROM {prev} w, unnest(generate_series(0, len(w.syms) - 1)) u(i)
+    ),
+    p{t} AS (
+      SELECT sym AS l, nxt AS r, SUM(freq) AS cnt
+      FROM e{t} WHERE nxt IS NOT NULL GROUP BY sym, nxt
+    ),
+    b{t} AS MATERIALIZED (
+      SELECT l, r, cnt FROM p{t} ORDER BY cnt DESC, l, r LIMIT 1
+    ),
+    isl{t} AS (
+      SELECT word, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS grp
+      FROM e{t}
+      WHERE sym = (SELECT l FROM b{t}) AND nxt = (SELECT r FROM b{t})
+    ),
+    mrg{t} AS MATERIALIZED (
+      SELECT word, pos FROM (
+        SELECT word, pos,
+               pos - MIN(pos) OVER (PARTITION BY word, grp) AS off
+        FROM isl{t}
+      ) WHERE off % 2 = 0
+    ),
+    w{t} AS MATERIALIZED (
+      SELECT e.word, MIN(e.freq) AS freq,
+             array_agg(CASE WHEN m1.pos IS NOT NULL THEN e.sym || e.nxt
+                            ELSE e.sym END ORDER BY e.pos)
+               FILTER (WHERE m0.pos IS NULL) AS syms
+      FROM e{t} e
+      LEFT JOIN mrg{t} m1 ON m1.word = e.word AND m1.pos = e.pos
+      LEFT JOIN mrg{t} m0 ON m0.word = e.word AND m0.pos = e.pos - 1
+      GROUP BY e.word
+    )"""
+
+
+_BPE_ORACLE = f"""
+    WITH w0 AS MATERIALIZED (
+      SELECT t.w AS word, COUNT(*) AS freq,
+             list_append(
+               list_transform(generate_series(1, len(t.w)),
+                              i -> t.w[i]),
+               '{_BPE_EOW}') AS syms
+      FROM documents,
+           unnest(regexp_extract_all(lower(text), '[a-z]+')) t(w)
+      GROUP BY t.w
+    ),
+    {",".join(_bpe_round_sql(f"w{t - 1}", t) for t in range(1, _BPE_ROUNDS + 1))}
+    {" UNION ALL ".join(
+        f"SELECT {t} AS round, l AS left_sym, r AS right_sym,"
+        f" l || r AS merged_token, CAST(cnt AS BIGINT) AS pair_count FROM b{t}"
+        for t in range(1, _BPE_ROUNDS + 1)
+    )}
+"""
+
+
+@query("text_bpe_train_merges", oracle=_BPE_ORACLE)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE **training** inner loop (Sennrich et al.) as a corpus
+    operator: 4 rounds of (weighted adjacent-pair counts over the
+    word-frequency table → highest-count pair, ties broken (left,
+    right) byte-order → leftmost-greedy non-overlapping merge applied
+    to every word's symbol sequence), returning the learned merge
+    table (round, pair, merged token, weighted count). This is the
+    piece the tokenizer-counting queries (text_token_bpe_count)
+    consume ready-made; here the engine LEARNS it.
+
+    The classic scale reduction does the heavy lifting: BPE trains on
+    the DISTINCT-word frequency table, not the corpus — one tokenize +
+    groupBy collapses 100 TB of text to a vocab-sized frame, and every
+    round's pair count is weighted by word frequency (integer sums, so
+    the argmax and the hash are exact; symbols are ASCII [a-z</w>]+
+    runs, so Spark's UTF8_BINARY and DuckDB's memcmp order the
+    tie-break identically).
+
+    Per round: one partial-aggregated shuffle for the pair counts, a
+    1-row TakeOrdered best-pair frame broadcast into the merge-apply
+    (declarative — no driver value drives the loop), and the apply
+    itself is a per-row aggregate fold (no shuffle): scan each word's
+    symbols once, emitting the merged pair and skipping its right
+    element — the exact greedy semantics the oracle reproduces
+    set-wise with the gaps-and-islands parity trick. Symbol frames are
+    lazily checkpointed per round (each feeds both the next count and
+    the apply — the round-loop lineage rule this module's HITS
+    documents); the best frames are checkpointed too so the output
+    union does not re-run the pair aggregations. Assumes the corpus
+    cannot exhaust all pairs within the fixed rounds (needs ≥ 8+ merges
+    to collapse the longest fixture word; guarded by vocabulary shape,
+    not data luck)."""
+    d = table(spark, sf_dir, "documents")
+    w0 = (
+        d.select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "word",
+            "freq",
+            F.concat(
+                F.expr(
+                    "transform(sequence(1, length(word)),"
+                    " i -> substring(word, i, 1))"
+                ),
+                F.array(F.lit(_BPE_EOW)),
+            ).alias("syms"),
+        )
+    )
+    words = w0.localCheckpoint(eager=False)
+    bests = []
+    for t in range(1, _BPE_ROUNDS + 1):
+        pairs = (
+            words.select(
+                "freq",
+                F.posexplode(F.expr("slice(syms, 1, size(syms) - 1)")).alias(
+                    "pos", "l"
+                ),
+                F.col("syms"),
+            )
+            .select(
+                "freq",
+                "l",
+                F.expr("element_at(syms, pos + 2)").alias("r"),
+            )
+            .groupBy("l", "r")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = (
+            pairs.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        bests.append(best.select(F.lit(t).alias("round"), "l", "r", "cnt"))
+        # leftmost-greedy single-pass merge: fold over positions with a
+        # (accumulated symbols, skip-next) state — the sequential scan
+        # the islands parity in the oracle reproduces set-wise
+        applied = words.crossJoin(
+            F.broadcast(best.select(F.col("l").alias("bl"), F.col("r").alias("br")))
+        ).select(
+            "word",
+            "freq",
+            F.expr(
+                """
+                aggregate(
+                  sequence(0, size(syms) - 1),
+                  struct(CAST(array() AS ARRAY<STRING>) AS acc,
+                         false AS skip),
+                  (st, i) -> CASE
+                    WHEN st.skip THEN struct(st.acc AS acc, false AS skip)
+                    WHEN i < size(syms) - 1
+                         AND element_at(syms, i + 1) = bl
+                         AND element_at(syms, i + 2) = br
+                      THEN struct(concat(st.acc, array(bl || br)) AS acc,
+                                  true AS skip)
+                    ELSE struct(concat(st.acc,
+                                       array(element_at(syms, i + 1))) AS acc,
+                                false AS skip)
+                  END,
+                  st -> st.acc
+                )
+                """
+            ).alias("syms"),
+        )
+        words = applied.localCheckpoint(eager=False)
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionAll(b)
+    return out.select(
+        "round",
+        F.col("l").alias("left_sym"),
+        F.col("r").alias("right_sym"),
+        F.concat("l", "r").alias("merged_token"),
+        F.col("cnt").alias("pair_count"),
     )

@@ -133,3 +133,65 @@ def test_ivfadc_ranks_consecutive(spark):
         assert list(g.rn) == list(range(1, len(g) + 1))
         assert len(g) <= _PQ_TOPK
         assert (g.adc_dist.diff().dropna() >= 0).all()
+
+
+def test_bpe_merges_match_pure_python_replay(spark):
+    """Gold-standard pin: the learned merge table must equal a direct
+    Python implementation of the Sennrich BPE training loop (max-count
+    pair with (left, right) tie-break; leftmost-greedy non-overlapping
+    apply) over the same word-frequency table."""
+    import duckdb
+
+    from python_etl_sample_spark.operators.round10b_ops import (
+        _BPE_EOW,
+        _BPE_ROUNDS,
+        text_bpe_train_merges,
+    )
+
+    wf = dict(
+        duckdb.sql(
+            f"SELECT t.w, COUNT(*) FROM "
+            f"read_parquet('{SF_DIR}/documents.parquet'), "
+            f"unnest(regexp_extract_all(lower(text), '[a-z]+')) t(w) "
+            f"GROUP BY t.w"
+        ).fetchall()
+    )
+    syms = {w: list(w) + [_BPE_EOW] for w in wf}
+    expected = []
+    for t in range(1, _BPE_ROUNDS + 1):
+        stats: dict = {}
+        for w, f in wf.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                stats[(s[i], s[i + 1])] = stats.get((s[i], s[i + 1]), 0) + f
+        (l, r), c = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((t, l, r, l + r, c))
+        for w in wf:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    got = sorted(map(tuple, text_bpe_train_merges(spark, SF_DIR).collect()))
+    assert got == sorted(expected)
+
+
+def test_bpe_pair_counts_non_increasing(spark):
+    """Greedy max-count selection means each round's winning count can
+    never exceed the previous round's (old pairs only lose occurrences;
+    pairs created by a merge inherit at most the merged pair's count)."""
+    from python_etl_sample_spark.operators.round10b_ops import (
+        text_bpe_train_merges,
+    )
+
+    pdf = (
+        text_bpe_train_merges(spark, SF_DIR)
+        .toPandas()
+        .sort_values("round")
+    )
+    assert (pdf.pair_count.diff().dropna() <= 0).all()
+    assert pdf["round"].tolist() == [1, 2, 3, 4]
