@@ -114,6 +114,10 @@ SHARED_INTERMEDIATE = (
     # timed numbers measure each scan's own ranking pass
     "sim_pq_adc",
     "sim_pq_ivf_adc",
+    # round 10b: the 4-round BPE training pipeline (cached_value) is
+    # shared by the merge-table and encoder queries
+    "text_bpe_train_merges",
+    "text_bpe_encode",
 )
 
 

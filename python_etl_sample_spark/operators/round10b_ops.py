@@ -717,6 +717,36 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot exhaust all pairs within the fixed rounds (needs ≥ 8+ merges
     to collapse the longest fixture word; guarded by vocabulary shape,
     not data luck)."""
+    bests, _ = _bpe_pipeline(spark, sf_dir)
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionAll(b)
+    return out.select(
+        "round",
+        F.col("l").alias("left_sym"),
+        F.col("r").alias("right_sym"),
+        F.concat("l", "r").alias("merged_token"),
+        F.col("cnt").alias("pair_count"),
+    )
+
+
+def _bpe_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[DataFrame], DataFrame]:
+    """Run the 4-round BPE training pipeline once per (session,
+    sf_dir); return ([per-round best frames], final symbol table).
+    Memoized (the _km_fit precedent): the merge-table query and the
+    encoder consume the identical deterministic pipeline."""
+    from python_etl_sample_spark.cache import cached_value
+
+    return cached_value(
+        spark, ("bpe_pipeline", sf_dir), lambda: _bpe_build(spark, sf_dir)
+    )
+
+
+def _bpe_build(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[DataFrame], DataFrame]:
     d = table(spark, sf_dir, "documents")
     w0 = (
         d.select(
@@ -794,13 +824,64 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("syms"),
         )
         words = applied.localCheckpoint(eager=False)
-    out = bests[0]
-    for b in bests[1:]:
-        out = out.unionAll(b)
-    return out.select(
-        "round",
-        F.col("l").alias("left_sym"),
-        F.col("r").alias("right_sym"),
-        F.concat("l", "r").alias("merged_token"),
-        F.col("cnt").alias("pair_count"),
+    return bests, words
+
+
+_BPE_ENCODE_ORACLE = f"""
+    WITH w0 AS MATERIALIZED (
+      SELECT t.w AS word, COUNT(*) AS freq,
+             list_append(
+               list_transform(generate_series(1, len(t.w)),
+                              i -> t.w[i]),
+               '{_BPE_EOW}') AS syms
+      FROM documents,
+           unnest(regexp_extract_all(lower(text), '[a-z]+')) t(w)
+      GROUP BY t.w
+    ),
+    {",".join(_bpe_round_sql(f"w{t - 1}", t) for t in range(1, _BPE_ROUNDS + 1))},
+    toks AS (
+      SELECT u.tok AS token, SUM(w.freq) AS wcount
+      FROM w{_BPE_ROUNDS} w, unnest(w.syms) u(tok)
+      GROUP BY u.tok
+    ),
+    ranked AS (
+      SELECT token, CAST(wcount AS BIGINT) AS weighted_count,
+             CAST(row_number() OVER (ORDER BY wcount DESC, token)
+                  AS INT) AS rn
+      FROM toks
+    )
+    SELECT token, weighted_count, rn FROM ranked WHERE rn <= 20
+"""
+
+
+@query("text_bpe_encode", oracle=_BPE_ENCODE_ORACLE)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus under the vocabulary the engine just learned:
+    apply text_bpe_train_merges' 4 merges to every word's symbol
+    sequence and return the top-20 tokens by corpus-weighted count
+    (count desc, token byte-order) — the train→encode round trip of a
+    BPE tokenizer, both halves computed by the engine and both
+    hash-checked.
+
+    Shares the memoized training pipeline with the merge-table query
+    (_bpe_pipeline — the _km_fit memo precedent), so in a shared
+    session the 4 rounds run once; standalone, a cache miss re-runs
+    the fit. The encode step itself is one explode + one
+    partial-aggregated shuffle over the vocab-sized symbol table —
+    at 100 TB the corpus never reappears after the initial word
+    count."""
+    _, words = _bpe_pipeline(spark, sf_dir)
+    toks = (
+        words.select("freq", F.explode("syms").alias("token"))
+        .groupBy("token")
+        .agg(F.sum("freq").alias("weighted_count"))
+    )
+    # bounded-window: the token alphabet is DOMAIN-bounded at any
+    # corpus size — ≤26 chars + '</w>' + one merged token per round
+    # (≤31 rows total), so the global rank never sees data-sized input
+    w = Window.orderBy(F.desc("weighted_count"), F.asc("token"))
+    return (
+        toks.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 20)
+        .select("token", "weighted_count", "rn")
     )

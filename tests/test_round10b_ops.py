@@ -195,3 +195,57 @@ def test_bpe_pair_counts_non_increasing(spark):
     )
     assert (pdf.pair_count.diff().dropna() <= 0).all()
     assert pdf["round"].tolist() == [1, 2, 3, 4]
+
+
+def test_bpe_encode_matches_python_replay(spark):
+    """The top-20 token table must equal the token-frequency table of
+    the pure-Python BPE replay's final symbol sequences (same replay
+    as the merge-table pin, carried one step further)."""
+    import duckdb
+
+    from python_etl_sample_spark.operators.round10b_ops import (
+        _BPE_EOW,
+        _BPE_ROUNDS,
+        text_bpe_encode,
+    )
+
+    wf = dict(
+        duckdb.sql(
+            f"SELECT t.w, COUNT(*) FROM "
+            f"read_parquet('{SF_DIR}/documents.parquet'), "
+            f"unnest(regexp_extract_all(lower(text), '[a-z]+')) t(w) "
+            f"GROUP BY t.w"
+        ).fetchall()
+    )
+    syms = {w: list(w) + [_BPE_EOW] for w in wf}
+    for _ in range(_BPE_ROUNDS):
+        stats: dict = {}
+        for w, f in wf.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                stats[(s[i], s[i + 1])] = stats.get((s[i], s[i + 1]), 0) + f
+        (l, r), _c = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w in wf:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    counts: dict = {}
+    for w, f in wf.items():
+        for tok in syms[w]:
+            counts[tok] = counts.get(tok, 0) + f
+    expected = sorted(
+        ((tok, c) for tok, c in counts.items()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:20]
+    expected = [(tok, c, i + 1) for i, (tok, c) in enumerate(expected)]
+    got = sorted(
+        map(tuple, text_bpe_encode(spark, SF_DIR).collect()),
+        key=lambda t: t[2],
+    )
+    assert got == expected
