@@ -118,6 +118,9 @@ SHARED_INTERMEDIATE = (
     # shared by the merge-table and encoder queries
     "text_bpe_train_merges",
     "text_bpe_encode",
+    # round 10c: the banding sweep folds all four geometries from the
+    # memoized 32-min signature frame (shared with dedup_minhash_recall)
+    "dedup_minhash_param_sweep",
 )
 
 

@@ -186,6 +186,27 @@ def _xengine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cached_df(spark, ("xengine_pairs", os.path.abspath(sf_dir)), build)
 
 
+def _xengine_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 32-permutation min-signature (doc_id, h0..h31) over the
+    cross-engine multiplicative family — ONE combiner-reduced shuffle of
+    32 minima per doc. Session-memoized: ``dedup_minhash_recall``'s band
+    frame and ``dedup_minhash_param_sweep``'s (round10c_ops) four banding
+    geometries all fold band keys from this same frame, so the signature
+    agg runs once per session regardless of how many geometries read it."""
+
+    def build() -> DataFrame:
+        keys = _xengine_shingle_keys(spark, sf_dir)
+        mins = [
+            F.min((F.col("k") * _mh_mult(i)) % _MH_P).alias(f"h{i}")
+            for i in range(_N_PERM)
+        ]
+        return keys.groupBy("doc_id").agg(*mins)
+
+    return cached_df(
+        spark, ("xengine_minhash_sig", os.path.abspath(sf_dir)), build
+    )
+
+
 # --------------------------------------------------------------------------
 # dedup_minhash_recall
 # --------------------------------------------------------------------------
@@ -276,11 +297,7 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def build_bands() -> DataFrame:
-        mins = [
-            F.min((F.col("k") * _mh_mult(i)) % _MH_P).alias(f"h{i}")
-            for i in range(_N_PERM)
-        ]
-        sig = keys.groupBy("doc_id").agg(*mins)
+        sig = _xengine_minhash_sig(spark, sf_dir)
         return sig.select(
             "doc_id",
             *[
