@@ -121,6 +121,9 @@ SHARED_INTERMEDIATE = (
     # round 10c: the banding sweep folds all four geometries from the
     # memoized 32-min signature frame (shared with dedup_minhash_recall)
     "dedup_minhash_param_sweep",
+    # round 10d: the funnel's near-dup stage reads the memoized
+    # cross-engine shingle/pair frames (its truth set)
+    "pipeline_dedup_funnel",
 )
 
 
