@@ -1,4 +1,4 @@
-"""Round-10d — two composition queries that finish tiers other
+"""Round-10d — composition queries that finish tiers other
 families opened:
 
 - ``pipeline_dedup_funnel`` — the end-to-end retention funnel every
@@ -9,6 +9,11 @@ families opened:
   corpus_quality_gate_report's gates) each report their OWN stage;
   this composes them in sequence, which is the number that decides a
   training run's token budget.
+- ``ts_holt_winters_forecast`` — additive Holt-Winters in its
+  decomposition form: weekly seasonal indices (ts_seasonal_decompose's
+  exact-decimal construction) + Brown double smoothing of the
+  deseasonalized series (ts_double_exponential_forecast's banded
+  integer-weight joins) + re-seasonalized one-step forecast.
 - ``ml_brier_decomposition`` — the Murphy decomposition of the Brier
   score (reliability − resolution + uncertainty) over the same
   deterministic logistic score and 10 bins as ``ml_calibration_bins``,
@@ -26,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from python_etl_sample_spark.functions.determinism import dsum_sql
 from python_etl_sample_spark.operators.round7j_ops import (
     _DEC38,
     _SCENTS,
@@ -377,4 +383,196 @@ def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("brier") - F.col("reliability") + F.col("resolution") - unc,
             6,
         ).alias("within_bin_residual"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ts_holt_winters_forecast
+# --------------------------------------------------------------------------
+
+_HW_WIN = 20  # Brown smoothing window (as ts_double_exponential_forecast)
+_HW_TAIL = 5  # report the last 5 days
+
+
+def _hw_ewma_sql(src: str, cur: str, val: str, out: str, carry: str = "") -> str:
+    """One banded integer-weight EWMA pass (α = 1/2), textually the
+    ts_double_exponential_forecast construction over column ``val``;
+    ``carry`` threads earlier smoothing outputs through the group-by."""
+    cols = "cur.rn, cur.day, cur.sidx_next" + (f", cur.{carry}" if carry else "")
+    return f"""
+    {cur} AS (
+      SELECT {cols},
+             round({dsum_sql(f'CAST(power(2, {_HW_WIN - 1} - (cur.rn - past.rn)) AS BIGINT) * past.{val}')}
+                   / CAST(SUM(CAST(power(2, {_HW_WIN - 1} - (cur.rn - past.rn)) AS BIGINT)) AS DOUBLE),
+                   6) AS {out}
+      FROM {src} cur JOIN {src} past
+        ON past.rn BETWEEN cur.rn - {_HW_WIN - 1} AND cur.rn
+      GROUP BY {cols}
+    )"""
+
+
+@query(
+    "ts_holt_winters_forecast",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS rev
+      FROM orders GROUP BY 1
+    ),
+    t AS (
+      SELECT day, rev,
+             SUM(rev) OVER w AS tsum, COUNT(*) OVER w AS cnt
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    seas AS (
+      SELECT day % 7 AS dow,
+             ROUND(CAST(SUM(7 * rev - tsum) AS DOUBLE) / (7.0 * COUNT(*)), 6)
+               AS sidx
+      FROM t WHERE cnt = 7 GROUP BY 1
+    ),
+    des AS (
+      SELECT d.day,
+             ROW_NUMBER() OVER (ORDER BY d.day) AS rn,
+             round(CAST(d.rev AS DOUBLE) - s.sidx, 6) AS des,
+             s2.sidx AS sidx_next
+      FROM daily d
+      JOIN seas s ON s.dow = d.day % 7
+      JOIN seas s2 ON s2.dow = (d.day + 1) % 7
+    ),
+    d0 AS (SELECT rn, day, sidx_next, des FROM des),
+    {_hw_ewma_sql("d0", "e1", "des", "s1")},
+    {_hw_ewma_sql("e1", "e2", "s1", "s2", carry="s1")},
+    n AS (SELECT MAX(rn) AS mx FROM des)
+    SELECT day, sidx_next AS seasonal_next,
+           round(2 * s1 - s2, 6) AS level,
+           round(s1 - s2, 6) AS trend,
+           round((2 * s1 - s2) + (s1 - s2) + sidx_next, 6) AS forecast_next
+    FROM e2
+    WHERE rn > (SELECT mx FROM n) - {_HW_TAIL}
+      AND rn >= 2 * {_HW_WIN}
+    """,
+)
+def ts_holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters forecast of daily revenue, assembled the
+    classical-decomposition way: (1) weekly seasonal indices from the
+    exact-decimal detrended means (ts_seasonal_decompose's
+    construction, global series), (2) Brown double exponential
+    smoothing (α = 1/2) of the DESEASONALIZED series via the
+    integer-weight banded joins of ts_double_exponential_forecast,
+    (3) one-step forecast = level + trend + next day's seasonal index.
+    This is the decomposition-form Holt-Winters (fit seasonality once,
+    smooth the remainder) rather than the jointly-recursive form —
+    the joint recursion's interleaved seasonal updates are inherently
+    sequential, while this form is entirely banded joins and
+    window-free aggregates, i.e. it scales.
+
+    Determinism: seasonal indices are exact-decimal detrended sums with
+    one 6-dp-rounded division; the deseasonalized value rounds at 6 dp
+    so both EWMA passes consume identical inputs; weights are exact
+    integers 2^(19−k); each smoothing output rounds at 6 dp before the
+    next stage (the _DE convention). Warm-up rows (rn < 2·window) are
+    suppressed, as are edge days without a full ±3 trend window
+    (excluded from the seasonal fit only, as in the decompose query).
+
+    Scale: the daily frame is CALENDAR-bounded, so the ±3 trend window
+    and the two 20-band joins cost ≤ a constant multiple of days
+    regardless of corpus size; the raw-order work is one map-side
+    combined groupBy(day).
+    # bounded-window: the trend MA and ROW_NUMBER run over the daily
+    # frame — calendar-bounded (~2.4k rows at ANY corpus scale), the
+    # ts_double_exponential_forecast justification."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr(
+            "unix_timestamp(cast(o_orderdate as timestamp)) div 86400"
+        ).alias("day")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias("rev"))
+    # bounded-window: daily frame is calendar-bounded (~2.4k rows at
+    # any corpus scale) — ts_double_exponential_forecast's justification
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    t = daily.select(
+        "day",
+        "rev",
+        F.sum("rev").over(w7).alias("tsum"),
+        F.count(F.lit(1)).over(w7).alias("cnt"),
+    ).filter(F.col("cnt") == 7)
+    seas = t.groupBy((F.col("day") % 7).alias("dow")).agg(
+        F.round(
+            F.sum(F.lit(7) * F.col("rev") - F.col("tsum")).cast("double")
+            / (F.lit(7.0) * F.count(F.lit(1))),
+            6,
+        ).alias("sidx")
+    )
+    # bounded-window: same calendar-bounded daily frame
+    wrn = Window.orderBy("day")
+    des = (
+        daily.join(F.broadcast(seas), F.col("dow") == F.col("day") % 7)
+        .select(
+            "day",
+            F.round(F.col("rev").cast("double") - F.col("sidx"), 6).alias(
+                "des"
+            ),
+        )
+        .join(
+            F.broadcast(seas.select(F.col("dow").alias("dow2"),
+                                    F.col("sidx").alias("sidx_next"))),
+            F.col("dow2") == (F.col("day") + 1) % 7,
+        )
+        .select("day", "des", "sidx_next")
+        .withColumn("rn", F.row_number().over(wrn))
+    )
+
+    def ewma(df: DataFrame, val: str, out: str) -> DataFrame:
+        cur, past = df.alias("cur"), df.alias("past")
+        wgt = F.pow(
+            F.lit(2.0),
+            F.lit(_HW_WIN - 1) - (F.col("cur.rn") - F.col("past.rn")),
+        ).cast("long")
+        # broadcast range join over the calendar-bounded frame (the
+        # ts_double_exponential_forecast note: BroadcastNestedLoopJoin,
+        # never a CartesianProduct; a data-sized series would add a
+        # block equi-key)
+        return (
+            cur.join(
+                F.broadcast(past),
+                (F.col("past.rn") >= F.col("cur.rn") - (_HW_WIN - 1))
+                & (F.col("past.rn") <= F.col("cur.rn")),
+            )
+            .groupBy(*[F.col(f"cur.{c}").alias(c) for c in df.columns])
+            .agg(
+                F.round(
+                    F.sum(
+                        (wgt * F.col(f"past.{val}")).cast("decimal(28,6)")
+                    ).cast("double")
+                    / F.sum(wgt).cast("double"),
+                    6,
+                ).alias(out)
+            )
+        )
+
+    e1 = ewma(des.select("rn", "day", "sidx_next", "des"), "des", "s1").select(
+        "rn", "day", "sidx_next", "s1"
+    )
+    e2 = ewma(e1, "s1", "s2")
+    mx = des.agg(F.max("rn").alias("mx"))
+    level = 2 * F.col("s1") - F.col("s2")
+    trend = F.col("s1") - F.col("s2")
+    return (
+        e2.crossJoin(F.broadcast(mx))
+        .filter(
+            (F.col("rn") > F.col("mx") - _HW_TAIL)
+            & (F.col("rn") >= 2 * _HW_WIN)
+        )
+        .select(
+            "day",
+            F.col("sidx_next").alias("seasonal_next"),
+            F.round(level, 6).alias("level"),
+            F.round(trend, 6).alias("trend"),
+            F.round(level + trend + F.col("sidx_next"), 6).alias(
+                "forecast_next"
+            ),
+        )
     )

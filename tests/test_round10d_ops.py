@@ -122,3 +122,71 @@ def test_brier_decomposition_murphy_bounds(spark):
     )
     # and it is genuinely small: the bins are narrow (width 0.1)
     assert abs(row["within_bin_residual"]) < 0.01
+
+
+def test_holt_winters_matches_pure_python_replay(spark):
+    """Replay the whole decomposition-form pipeline (±3 MA seasonal
+    fit, deseasonalize, two truncated integer-weight EWMAs, re-
+    seasonalized forecast) in plain Python; values must agree to the
+    query's 6-dp rounding (tolerance covers float-sum association)."""
+    from collections import defaultdict
+    from datetime import date, datetime
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        f"{SF_DIR}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    ).to_pylist()
+    per_day = defaultdict(float)
+    for rec in tbl:
+        d = rec["o_orderdate"]
+        if isinstance(d, datetime):
+            d = d.date()
+        day = (d - date(1970, 1, 1)).days
+        per_day[day] += float(rec["o_totalprice"])
+    days = sorted(per_day)
+    rev = [per_day[d] for d in days]
+
+    # seasonal fit: mean detrended value per (day mod 7), full windows
+    det = defaultdict(list)
+    for i in range(3, len(days) - 3):
+        # full window requires 7 CONSECUTIVE frame rows, matching the
+        # ROWS-window (positions, not calendar days)
+        tsum = sum(rev[i - 3 : i + 4])
+        det[days[i] % 7].append(7 * rev[i] - tsum)
+    sidx = {k: round(sum(v) / (7.0 * len(v)), 6) for k, v in det.items()}
+
+    des = [round(rev[i] - sidx[days[i] % 7], 6) for i in range(len(days))]
+
+    def ewma(xs):
+        out = []
+        for i in range(len(xs)):
+            lo = max(0, i - 19)
+            ws = [2 ** (19 - (i - j)) for j in range(lo, i + 1)]
+            out.append(
+                round(
+                    sum(w * x for w, x in zip(ws, xs[lo : i + 1]))
+                    / float(sum(ws)),
+                    6,
+                )
+            )
+        return out
+
+    s1 = ewma(des)
+    s2 = ewma(s1)
+
+    rows = {
+        r["day"]: r
+        for r in REGISTRY["ts_holt_winters_forecast"].fn(spark, SF_DIR).collect()
+    }
+    assert len(rows) == 5
+    for day, r in rows.items():
+        i = days.index(day)
+        assert i >= 39  # rn >= 2*window
+        lvl = round(2 * s1[i] - s2[i], 6)
+        trd = round(s1[i] - s2[i], 6)
+        nxt = sidx[(day + 1) % 7]
+        assert abs(r["level"] - lvl) < 1e-4
+        assert abs(r["trend"] - trd) < 1e-4
+        assert abs(r["seasonal_next"] - nxt) < 1e-4
+        assert abs(r["forecast_next"] - (lvl + trd + nxt)) < 2e-4
