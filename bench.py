@@ -124,6 +124,9 @@ SHARED_INTERMEDIATE = (
     # round 10d: the funnel's near-dup stage reads the memoized
     # cross-engine shingle/pair frames (its truth set)
     "pipeline_dedup_funnel",
+    # round 10e: the nprobe sweep reads the memoized PQ distance frame
+    # and Lloyd fit (its exhaustive ground truth + quantizer)
+    "sim_ivf_nprobe_sweep",
 )
 
 
