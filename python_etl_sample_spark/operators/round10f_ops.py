@@ -139,3 +139,169 @@ def corpus_apportion_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("alloc"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ml_auc_delong_ci
+# --------------------------------------------------------------------------
+
+_SCENTS = "CAST(round(o_totalprice * 100) AS BIGINT)"
+_YPOS = "CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END"
+
+
+@query(
+    "ml_auc_delong_ci",
+    oracle=f"""
+    WITH base AS (
+      SELECT {_SCENTS} AS score, {_YPOS} AS y FROM orders
+    ),
+    h AS (
+      SELECT score, COUNT(*) AS cnt, SUM(y) AS pos,
+             COUNT(*) - SUM(y) AS neg
+      FROM base GROUP BY score
+    ),
+    r AS (
+      SELECT cnt, pos, neg,
+             SUM(cnt) OVER w AS cumcnt,
+             SUM(pos) OVER w AS cumpos
+      FROM h
+      WINDOW w AS (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    tot AS (
+      SELECT CAST(SUM(pos) AS BIGINT) AS n1,
+             CAST(SUM(neg) AS BIGINT) AS n0
+      FROM h
+    ),
+    pl AS (
+      SELECT r.pos, r.neg,
+             2 * (r.cumcnt - r.cumpos - r.neg) + r.neg AS p2,
+             2 * (t.n1 - r.cumpos) + r.pos AS q2,
+             t.n1, t.n0
+      FROM r CROSS JOIN tot t
+    ),
+    a AS (
+      SELECT CAST(SUM(CAST(pos AS DECIMAL(38,0)) * p2) AS DOUBLE)
+               / (CAST(2 AS DOUBLE) * n0 * n1) AS araw,
+             n1, n0
+      FROM pl GROUP BY n1, n0
+    ),
+    v AS (
+      SELECT a.n1, a.n0, a.araw,
+             CAST(SUM(CAST(round((p2 / (2.0 * pl.n0) - a.araw)
+                                 * (p2 / (2.0 * pl.n0) - a.araw), 12)
+                           AS DECIMAL(28,14)) * pl.pos) AS DOUBLE) AS s10,
+             CAST(SUM(CAST(round((q2 / (2.0 * pl.n1) - a.araw)
+                                 * (q2 / (2.0 * pl.n1) - a.araw), 12)
+                           AS DECIMAL(28,14)) * pl.neg) AS DOUBLE) AS s01
+      FROM pl CROSS JOIN a
+      GROUP BY a.n1, a.n0, a.araw
+    )
+    SELECT n1 AS n_pos, n0 AS n_neg,
+           round(araw, 6) AS auc,
+           round(sqrt(s10 / ((n1 - 1.0) * n1) + s01 / ((n0 - 1.0) * n0)), 6)
+             AS se_delong,
+           round(GREATEST(round(araw, 6)
+                 - 1.96 * round(sqrt(s10 / ((n1 - 1.0) * n1)
+                                     + s01 / ((n0 - 1.0) * n0)), 6), 0.0), 6)
+             AS ci95_lo,
+           round(LEAST(round(araw, 6)
+                 + 1.96 * round(sqrt(s10 / ((n1 - 1.0) * n1)
+                                     + s01 / ((n0 - 1.0) * n0)), 6), 1.0), 6)
+             AS ci95_hi
+    FROM v
+    """,
+)
+def ml_auc_delong_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeLong standard error and 95% CI for the exact ROC-AUC —
+    the uncertainty ml_roc_auc's point estimate needs before two
+    models can be compared: SE² = var(V10)/n1 + var(V01)/n0 over the
+    placement values (V10_i = fraction of negatives each positive
+    outranks, ties at ½; V01_j symmetric), the standard nonparametric
+    AUC inference (DeLong et al. 1988, the sklearn/pROC route).
+
+    Everything runs on the score HISTOGRAM: placements collapse to one
+    expression per distinct score — doubled-placement numerators
+    p2 = 2·neg_below + neg_ties and q2 = 2·pos_above + pos_ties are
+    EXACT INTEGERS from the kernel's cumulative counts, weighted by
+    the tie counts — so the whole computation is O(distinct values)
+    regardless of row count (ml_roc_auc's scale shape; the AUC itself
+    is reproduced from Σ pos·p2 / (2·n0·n1), algebraically equal to
+    the Mann-Whitney identity).
+
+    Determinism: placement deviations square through a 12-dp round
+    into decimal(28,14) weighted sums (mirrored); AUC, SE and the
+    clamped CI bounds round at 6 dp, with the CI computed FROM the
+    6-dp-rounded AUC and SE so every reported digit replays."""
+    o = table(spark, sf_dir, "orders")
+    base = o.select(F.expr(_SCENTS).alias("score"), F.expr(_YPOS).alias("y"))
+    h = base.groupBy("score").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("y").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("neg"),
+    )
+    from python_etl_sample_spark.functions.total_order import (
+        attach_global_order,
+    )
+
+    r = attach_global_order(
+        h,
+        [F.asc("score")],
+        cumsums=[("cnt", "cumcnt"), ("pos", "cumpos")],
+    )
+    tot = h.agg(
+        F.sum("pos").cast("long").alias("n1"),
+        F.sum("neg").cast("long").alias("n0"),
+    )
+    pl = r.crossJoin(F.broadcast(tot)).select(
+        "pos",
+        "neg",
+        (2 * (F.col("cumcnt") - F.col("cumpos") - F.col("neg")) + F.col("neg"))
+        .alias("p2"),
+        (2 * (F.col("n1") - F.col("cumpos")) + F.col("pos")).alias("q2"),
+        "n1",
+        "n0",
+    )
+    a = pl.groupBy("n1", "n0").agg(
+        (
+            F.sum(F.col("pos").cast("decimal(38,0)") * F.col("p2")).cast(
+                "double"
+            )
+            / (F.lit(2.0) * F.col("n0") * F.col("n1"))
+        ).alias("araw")
+    )
+    v10 = F.col("p2") / (F.lit(2.0) * F.col("n0"))
+    v01 = F.col("q2") / (F.lit(2.0) * F.col("n1"))
+    dev10 = F.round((v10 - F.col("araw")) * (v10 - F.col("araw")), 12)
+    dev01 = F.round((v01 - F.col("araw")) * (v01 - F.col("araw")), 12)
+    v = (
+        pl.crossJoin(F.broadcast(a.select("araw")))
+        .groupBy()
+        .agg(
+            F.first("n1").alias("n1"),
+            F.first("n0").alias("n0"),
+            F.first("araw").alias("araw"),
+            F.sum(dev10.cast("decimal(28,14)") * F.col("pos"))
+            .cast("double")
+            .alias("s10"),
+            F.sum(dev01.cast("decimal(28,14)") * F.col("neg"))
+            .cast("double")
+            .alias("s01"),
+        )
+    )
+    se = F.round(
+        F.sqrt(
+            F.col("s10") / ((F.col("n1") - 1.0) * F.col("n1"))
+            + F.col("s01") / ((F.col("n0") - 1.0) * F.col("n0"))
+        ),
+        6,
+    )
+    auc6 = F.round(F.col("araw"), 6)
+    return v.select(
+        F.col("n1").alias("n_pos"),
+        F.col("n0").alias("n_neg"),
+        auc6.alias("auc"),
+        se.alias("se_delong"),
+        F.round(F.greatest(auc6 - 1.96 * se, F.lit(0.0)), 6).alias("ci95_lo"),
+        F.round(F.least(auc6 + 1.96 * se, F.lit(1.0)), 6).alias("ci95_hi"),
+    )
