@@ -32,14 +32,15 @@ import sys
 import time
 
 WARM_PYTHON = (
+    # (round 11: sim_ann_ivf and dedup_near_minhash left this list —
+    # their cross-engine rewrites are pure JVM; their memos warm via
+    # SHARED_INTERMEDIATE)
     "sim_cosine_topk",  # mapInPandas + packed-grid memo
-    "sim_ann_ivf",  # pandas_udf + applyInPandas + centroid memo
     "udf_scalar_pandas",  # scalar pandas_udf
     "udaf_grouped_agg",  # grouped-agg pandas_udf
     "udtf_apply_in_pandas",  # applyInPandas
     "udtf_python_lateral",  # Python UDTF
     "multimodal_decode",  # mapInPandas over binary payloads
-    "dedup_near_minhash",  # shingle-hash memo
     "stream_demo_stateful",  # applyInPandasWithState
 )
 
@@ -162,6 +163,20 @@ def main() -> int:
     for name in SHARED_INTERMEDIATE:
         qs[name](spark, sf_dir).count()
 
+    # ambient-load sentinel (VERDICT r10 item 4): time one fixed
+    # trivial query immediately before and after the timed pass. A
+    # contended box slows BOTH sentinels roughly uniformly (r10's
+    # driver tail showed a ~1.42× uniform drift on untouched trivial
+    # queries), so a slow run is machine-attributable from inside the
+    # artifact: sentinel ≫ its historical floor (~0.05-0.15 s warm)
+    # means ambient load, not code regression.
+    def _sentinel() -> float:
+        t0 = time.perf_counter()
+        qs["scan_projected"](spark, sf_dir).count()
+        return round(time.perf_counter() - t0, 4)
+
+    sentinel_start = _sentinel()
+
     timings: dict[str, float] = {}
     skipped: list[str] = []
     for name in sorted(qs):
@@ -175,6 +190,8 @@ def main() -> int:
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 4)
         assert n >= 0, name
+
+    sentinel_end = _sentinel()
 
     total = round(sum(timings.values()), 4)
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
@@ -190,6 +207,9 @@ def main() -> int:
                 "skipped_streaming": skipped,
                 "staged_reads": sorted(set(STAGED_READS) & set(timings)),
                 "shared_intermediate": sorted(set(SHARED_INTERMEDIATE) & set(timings)),
+                "sentinel_query": "scan_projected",
+                "sentinel_start_sec": sentinel_start,
+                "sentinel_end_sec": sentinel_end,
             }
         )
     )
@@ -204,6 +224,8 @@ def main() -> int:
                 "unit": "sec",
                 "n_queries": len(timings),
                 "sf": sf_val,
+                "sentinel_start_sec": sentinel_start,
+                "sentinel_end_sec": sentinel_end,
             }
         )
     )

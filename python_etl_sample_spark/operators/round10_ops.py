@@ -42,14 +42,9 @@ bit-for-bit at the comparison (similarity.py module docstring).
 
 from __future__ import annotations
 
-import os
-
-import numpy as np
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from python_etl_sample_spark.cache import cached_df
 from python_etl_sample_spark.operators.round7_ops import (
     _km_centroid_literal,
     _km_ctes,
@@ -61,162 +56,50 @@ from python_etl_sample_spark.registry import query
 from python_etl_sample_spark.sources import table
 
 # --------------------------------------------------------------------------
-# cross-engine shingle keys and hash families
+# cross-engine shingle keys and hash families — round 11 moved the
+# shared family/frame/SQL definitions to functions/xengine.py so the
+# DETECTORS (dedup.py, similarity.py) consume the identical memoized
+# frames; re-exported here for the existing importers
+# (round10c/d_ops, tests/test_round10_ops).
 # --------------------------------------------------------------------------
 
-#: char-polynomial modulus (2³¹−1): keys stay < 2³¹ so every
-#: multiplicative-hash product below fits int64 with room to spare.
-_XP = 2147483647
-#: minhash value space (prime near 2²⁰)
-_MH_P = 1048573
-#: multiplicative-family bases/steps. Audits (worst case products):
-#:   minhash: (2³¹−2) · (2654435761 + 31·30402457) ≈ 7.73e18 < 2⁶³
-#:   simhash: (2³¹−2) · (2654435761 + 59·15485863) ≈ 7.66e18 < 2⁶³
-_MH_A0, _MH_STEP = 2654435761, 30402457
-_SH_A0, _SH_STEP = 2654435761, 15485863
-
-_N_PERM, _BANDS, _ROWS = 32, 4, 8  # minhash: 4 bands × 8 rows (as dedup.py)
-_SH_BITS, _SH_CHUNKS, _CHUNK_BITS = 60, 4, 15  # simhash: 4 chunks × 15 bits
-
-
-def _mh_mult(i: int) -> int:
-    return _MH_A0 + i * _MH_STEP
-
-
-def _sh_mult(j: int) -> int:
-    return _SH_A0 + j * _SH_STEP
-
-
-def _band_key_sql(prefix: str, b: int) -> str:
-    """Fold 8 per-row minima into one band key — the same nested
-    ``(acc·1048573 + m) mod (2³¹−1)`` text runs in Spark (F.expr) and
-    DuckDB, so the band identity is engine-independent. acc < 2³¹ keeps
-    ``acc·1048573`` < 2.3e15: no overflow anywhere on the fold."""
-    expr = "CAST(0 AS BIGINT)"
-    for r in range(_ROWS):
-        expr = f"(({expr}) * 1048573 + {prefix}{b * _ROWS + r}) % 2147483647"
-    return expr
-
-
-#: oracle CTE block: word-3-gram shingles → polynomial keys → per-doc
-#: set sizes and pairwise intersections. The same shape as dedup.py's
-#: _NGRAM_CTES but over the cross-engine POLYNOMIAL key (vs raw strings)
-#: so the Spark side can share one hashed-key frame across both recall
-#: queries; DISTINCT after keying mirrors Spark's set semantics under
-#: (deterministic, identical-in-both-engines) polynomial collisions.
-_X_CTES = """
-    xtoks AS (
-      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents
-    ), xsh AS (
-      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
-      FROM xtoks, UNNEST(generate_series(1, len(t)-2)) AS u(i)
-      WHERE len(t) >= 3
-    ), xk AS (
-      SELECT DISTINCT doc_id,
-             list_reduce(
-               list_prepend(CAST(0 AS BIGINT),
-                 list_transform(generate_series(1, length(sh)),
-                                i -> CAST(ascii(sh[i]) AS BIGINT))),
-               (acc, c) -> (acc * 31 + c) % 2147483647) AS k
-      FROM xsh
-    ), xsizes AS (
-      SELECT doc_id, COUNT(*) AS n FROM xk GROUP BY doc_id
-    ), xinter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-      FROM xk a JOIN xk b ON a.k = b.k AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )"""
-
-
-def _xengine_shingle_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, k): k = char-polynomial of the word 3-gram,
-    computed in the same map task that explodes the shingle (the string
-    never reaches a shuffle — same at-scale shape as dedup.py's
-    ``_shingle_hashes``, with the polynomial replacing xxhash64 so the
-    oracle can replay it). Session-memoized: both recall queries below
-    consume the identical frame."""
-
-    def build() -> DataFrame:
-        d = table(spark, sf_dir, "documents")
-        toks = d.select(
-            "doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("toks")
-        )
-        sh = (
-            toks.filter(F.size("toks") >= 3)
-            .select(
-                "doc_id",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(0, size(toks)-3),"
-                        " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
-                    )
-                ).alias("sh"),
-            )
-        )
-        key = F.expr(
-            "aggregate(transform(sequence(1, length(sh)),"
-            " i -> CAST(ascii(substring(sh, i, 1)) AS BIGINT)),"
-            " CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % 2147483647)"
-        )
-        return sh.select("doc_id", key.alias("k")).distinct()
-
-    return cached_df(
-        spark, ("xengine_shingle_keys", os.path.abspath(sf_dir)), build
-    )
-
-
-def _xengine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_a, doc_b, n_inter): every doc pair sharing ≥ 1 shingle key,
-    via the inverted-index equi join (shuffles 8-byte keys, fan-out
-    bounded by shingle document frequency — dedup_ngram_jaccard's scale
-    posture). Session-memoized: the minhash recall consumes it as the
-    Jaccard numerator, the simhash recall as the pair universe."""
-
-    def build() -> DataFrame:
-        keys = _xengine_shingle_keys(spark, sf_dir)
-        ta = keys.select(F.col("doc_id").alias("doc_a"), "k")
-        tb = keys.select(F.col("doc_id").alias("doc_b"), "k")
-        return (
-            ta.join(tb, "k")
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count(F.lit(1)).alias("n_inter"))
-        )
-
-    return cached_df(spark, ("xengine_pairs", os.path.abspath(sf_dir)), build)
-
-
-def _xengine_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc 32-permutation min-signature (doc_id, h0..h31) over the
-    cross-engine multiplicative family — ONE combiner-reduced shuffle of
-    32 minima per doc. Session-memoized: ``dedup_minhash_recall``'s band
-    frame and ``dedup_minhash_param_sweep``'s (round10c_ops) four banding
-    geometries all fold band keys from this same frame, so the signature
-    agg runs once per session regardless of how many geometries read it."""
-
-    def build() -> DataFrame:
-        keys = _xengine_shingle_keys(spark, sf_dir)
-        mins = [
-            F.min((F.col("k") * _mh_mult(i)) % _MH_P).alias(f"h{i}")
-            for i in range(_N_PERM)
-        ]
-        return keys.groupBy("doc_id").agg(*mins)
-
-    return cached_df(
-        spark, ("xengine_minhash_sig", os.path.abspath(sf_dir)), build
-    )
+from python_etl_sample_spark.functions.xengine import (  # noqa: F401
+    _BANDS,
+    _CHUNK_BITS,
+    _MH_BK_COLS_SQL,
+    _MH_P,
+    _MH_SIG_COLS_SQL,
+    _N_PERM,
+    _ROWS,
+    _SH_BITS,
+    _SH_CHUNKS,
+    _SH_SUM_COLS_SQL,
+    _X_CTES,
+    _XP,
+    _band_key_sql,
+    _d2_sql,
+    _lsh_dot_sql,
+    _LSH_BUCKET_LEN,
+    _LSH_PROJ,
+    _LSH_RADIUS,
+    _LSH_TABLES,
+    _mh_mult,
+    _sh_chunk_sql,
+    _SH_CHUNK_COLS_SQL,
+    _sh_mult,
+    _xengine_minhash_sig,
+    _xengine_pairs,
+    _xengine_shingle_keys,
+    lsh_bucket_col,
+    xengine_minhash_bands,
+    xengine_simhash_chunks,
+)
 
 
 # --------------------------------------------------------------------------
 # dedup_minhash_recall
 # --------------------------------------------------------------------------
 
-_MH_SIG_COLS_SQL = ",\n             ".join(
-    f"MIN((k * {_mh_mult(i)}) % {_MH_P}) AS h{i}" for i in range(_N_PERM)
-)
-_MH_BK_COLS_SQL = ",\n             ".join(
-    f"{_band_key_sql('h', b)} AS bk{b}" for b in range(_BANDS)
-)
 _MH_CAUGHT_SQL = " OR ".join(f"a.bk{b} = b.bk{b}" for b in range(_BANDS))
 _JBAND_SQL = """CASE
       WHEN jac < 0.90 THEN '0.80-0.90'
@@ -296,22 +179,10 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", jac.alias("jac"))
     )
 
-    def build_bands() -> DataFrame:
-        sig = _xengine_minhash_sig(spark, sf_dir)
-        return sig.select(
-            "doc_id",
-            *[
-                F.expr(_band_key_sql("h", b)).alias(f"bk{b}")
-                for b in range(_BANDS)
-            ],
-        )
-
-    # both truth-join sides consume the band frame; the 32-min agg would
-    # otherwise run twice (no ReuseExchange across differently-aliased
-    # subtrees) — memoize the 4-key-per-doc result instead
-    bnd = cached_df(
-        spark, ("xengine_minhash_bands", os.path.abspath(sf_dir)), build_bands
-    )
+    # both truth-join sides consume the shared memoized band frame
+    # (functions/xengine.py) — also read by the dedup_near_minhash
+    # detector itself since round 11
+    bnd = xengine_minhash_bands(spark, sf_dir)
     ba = bnd.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"bk{b}").alias(f"abk{b}") for b in range(_BANDS)],
@@ -347,10 +218,6 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup_simhash_recall
 # --------------------------------------------------------------------------
 
-_SH_SUM_COLS_SQL = ",\n             ".join(
-    f"SUM(((k * {_sh_mult(j)}) >> 20) & 1) AS s{j}" for j in range(_SH_BITS)
-)
-
 #: Hamming-universe prune: only pairs sharing ≥ 3 shingle keys enter
 #: the exact-Hamming pass. Theory: a pair sharing ≤ 2 of its ~26
 #: shingles has near-independent majority votes (expected hamming ≈ 30
@@ -364,18 +231,6 @@ _SH_SUM_COLS_SQL = ",\n             ".join(
 _SH_MIN_INTER = 3
 
 
-def _sh_chunk_sql(c: int) -> str:
-    terms = [
-        f"(CASE WHEN 2 * s{c * _CHUNK_BITS + r} > n_sh"
-        f" THEN CAST({1 << r} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-        for r in range(_CHUNK_BITS)
-    ]
-    return " + ".join(terms)
-
-
-_SH_CHUNK_COLS_SQL = ",\n             ".join(
-    f"{_sh_chunk_sql(c)} AS c{c}" for c in range(_SH_CHUNKS)
-)
 _SH_HAMMING_SQL = " + ".join(
     f"bit_count(xor(a.c{c}, b.c{c}))" for c in range(_SH_CHUNKS)
 )
@@ -435,43 +290,13 @@ def dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one combiner-reduced vote shuffle (60 bigint sums per doc);
     the Hamming test runs only on the shared-shingle pair set — never
     the O(n²) pair space."""
-    keys = _xengine_shingle_keys(spark, sf_dir)
     pairs = _xengine_pairs(spark, sf_dir)
 
-    def build_chunks() -> DataFrame:
-        sums = [
-            F.sum(
-                F.shiftright(F.col("k") * _sh_mult(j), 20).bitwiseAND(F.lit(1))
-            ).alias(f"s{j}")
-            for j in range(_SH_BITS)
-        ]
-        votes = keys.groupBy("doc_id").agg(
-            F.count(F.lit(1)).alias("n_sh"), *sums
-        )
-
-        def chunk_col(c: int):
-            expr = None
-            for r in range(_CHUNK_BITS):
-                term = (
-                    F.when(
-                        2 * F.col(f"s{c * _CHUNK_BITS + r}") > F.col("n_sh"),
-                        F.lit(1 << r).cast("long"),
-                    )
-                    .otherwise(F.lit(0).cast("long"))
-                )
-                expr = term if expr is None else expr + term
-            return expr
-
-        return votes.select(
-            "doc_id", *[chunk_col(c).alias(f"c{c}") for c in range(_SH_CHUNKS)]
-        )
-
-    # both pair-join sides consume the chunk frame; the 60-sum vote agg
-    # would otherwise run twice (measured ~1.3 s per evaluation at
-    # sf0.1) — memoize the 4-chunks-per-doc result instead
-    chunks = cached_df(
-        spark, ("xengine_simhash_chunks", os.path.abspath(sf_dir)), build_chunks
-    )
+    # both pair-join sides consume the shared memoized chunk frame
+    # (functions/xengine.py) — also read by the dedup_simhash detector
+    # itself since round 11 (the 60-sum vote agg costs ~1.3 s per
+    # evaluation at sf0.1)
+    chunks = xengine_simhash_chunks(spark, sf_dir)
     ca = chunks.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"c{c}").alias(f"ac{c}") for c in range(_SH_CHUNKS)],
@@ -512,29 +337,10 @@ def dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sim_ann_recall
 # --------------------------------------------------------------------------
 
-#: sim_ann_lsh's deployed parameters (similarity.py:292) and its exact
-#: projection matrix — the same seed-pinned generator call, embedded as
-#: double literals on BOTH sides (repr() round-trips float64 exactly,
-#: and DuckDB parses decimal text to the nearest double).
-_LSH_TABLES, _LSH_BUCKET_LEN, _LSH_RADIUS = 2, 1.0, 1.2
-_LSH_PROJ = np.random.default_rng(7).standard_normal((_LSH_TABLES, 64))
+# sim_ann_lsh's deployed parameters and projection matrix now live in
+# functions/xengine.py (shared with the detector); re-exported above.
 
 _ANN_K = 5  # ground truth: sim_knn_per_query's exact top-5
-
-
-def _lsh_dot_sql(vec: str, t: int) -> str:
-    lits = ", ".join(repr(float(x)) for x in _LSH_PROJ[t])
-    return (
-        f"(SELECT SUM({vec}[i+1]::DOUBLE * g.v[i+1]) "
-        f"FROM (SELECT [{lits}]::DOUBLE[] AS v) g, range(64) t(i))"
-    )
-
-
-def _d2_sql(a: str, b: str) -> str:
-    return (
-        f"(SELECT SUM(({a}[i+1]::DOUBLE - {b}[i+1]::DOUBLE)"
-        f" * ({a}[i+1]::DOUBLE - {b}[i+1]::DOUBLE)) FROM range(64) t(i))"
-    )
 
 
 _KNN_DOT = "(SELECT SUM(q.embedding[i+1]::DOUBLE * c.embedding[i+1]::DOUBLE) FROM range(64) t(i))"
@@ -640,17 +446,10 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     vec = F.col("embedding").cast("array<double>")
 
-    def lsh_bucket(t: int):
-        proj = F.array(*[F.lit(float(x)) for x in _LSH_PROJ[t]])
-        dot = F.aggregate(
-            F.zip_with(vec, proj, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        return F.floor(F.round(dot, 9) / F.lit(_LSH_BUCKET_LEN))
-
     lshb = e.select(
-        "vec_id", lsh_bucket(0).alias("b0"), lsh_bucket(1).alias("b1")
+        "vec_id",
+        lsh_bucket_col(vec, 0).alias("b0"),
+        lsh_bucket_col(vec, 1).alias("b1"),
     )
 
     assigned, cents = _km_fit(spark, sf_dir)

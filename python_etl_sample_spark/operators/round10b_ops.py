@@ -46,6 +46,8 @@ anything data-sized to the driver.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -191,7 +193,7 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialization, so the edge list is consumed across JOBS (9×) —
     # exactly the CC-kernel case where persisting the derived graph is
     # the measured-right call (vs graph_pagerank's single-job fan-out)
-    edges = cached_df(spark, ("hits_edges", sf_dir), _edges)
+    edges = cached_df(spark, ("hits_edges", os.path.abspath(sf_dir)), _edges)
     outdeg = edges.groupBy("c").agg(F.count(F.lit(1)).alias("deg"))
     indeg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
     n_hubs = outdeg.agg(F.count(F.lit(1)).alias("n"))
@@ -398,7 +400,7 @@ def _pq_dists(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "label", "s", "c", d9.alias("d9")
         )
 
-    return cached_df(spark, ("pq_dists", sf_dir), build)
+    return cached_df(spark, ("pq_dists", os.path.abspath(sf_dir)), build)
 
 
 def _pq_codes_lut(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -440,7 +442,7 @@ def _pq_adc_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("d9").alias("adc_scaled"))
         )
 
-    return cached_df(spark, ("pq_adc_frame", sf_dir), build)
+    return cached_df(spark, ("pq_adc_frame", os.path.abspath(sf_dir)), build)
 
 
 @query("sim_pq_adc", oracle=_PQ_ORACLE)
@@ -755,7 +757,9 @@ def _bpe_pipeline(
     from python_etl_sample_spark.cache import cached_value
 
     return cached_value(
-        spark, ("bpe_pipeline", sf_dir), lambda: _bpe_build(spark, sf_dir)
+        spark,
+        ("bpe_pipeline", os.path.abspath(sf_dir)),
+        lambda: _bpe_build(spark, sf_dir),
     )
 
 

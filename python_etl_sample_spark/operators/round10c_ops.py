@@ -114,7 +114,7 @@ def _ppr_iter_sql(prev: str, cur: str) -> str:
 def graph_personalized_pagerank(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Personalized PageRank from the {_PPR_SEEDS} highest-degree parts
+    """Personalized PageRank from the 10 highest-degree parts
     (graph_bfs_hops' seed rule) over the co-purchase graph: teleport
     mass returns to the SEED SET each round instead of spreading
     uniformly, so the stationary mass ranks parts by proximity to the
@@ -343,7 +343,7 @@ _BP_MIN_DF = 4
 )
 def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate-span coverage: a word trigram occurring in ≥
-    {_BP_MIN_DF} distinct documents is 'boilerplate' (the cross-document
+    4 distinct documents is 'boilerplate' (the cross-document
     repeated-content signal CCNet/C4 remove at line granularity —
     re-expressed at n-gram granularity for corpora without line
     structure); per language, report how many token POSITIONS sit

@@ -71,7 +71,7 @@ _BUDGET = 10_000  # documents to draw next epoch
     """,
 )
 def corpus_apportion_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hamilton (largest-remainder) apportionment of a {_BUDGET}-doc
+    """Hamilton (largest-remainder) apportionment of a 10000-doc
     epoch budget across (lang, source) domains under the square-root
     temperature weights of corpus_temperature_mix: each domain draws
     ⌊budget·w⌋ documents, and the budget − Σ⌊·⌋ leftover goes to the
@@ -188,12 +188,14 @@ _YPOS = "CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END"
     ),
     v AS (
       SELECT a.n1, a.n0, a.araw,
-             CAST(SUM(CAST(round((p2 / (2.0 * pl.n0) - a.araw)
-                                 * (p2 / (2.0 * pl.n0) - a.araw), 12)
-                           AS DECIMAL(28,14)) * pl.pos) AS DOUBLE) AS s10,
-             CAST(SUM(CAST(round((q2 / (2.0 * pl.n1) - a.araw)
-                                 * (q2 / (2.0 * pl.n1) - a.araw), 12)
-                           AS DECIMAL(28,14)) * pl.neg) AS DOUBLE) AS s01
+             CAST(SUM(CAST(round(round((p2 / (2.0 * pl.n0) - a.araw)
+                                       * (p2 / (2.0 * pl.n0) - a.araw), 12)
+                                 * pl.pos, 9)
+                           AS DECIMAL(28,12))) AS DOUBLE) AS s10,
+             CAST(SUM(CAST(round(round((q2 / (2.0 * pl.n1) - a.araw)
+                                       * (q2 / (2.0 * pl.n1) - a.araw), 12)
+                                 * pl.neg, 9)
+                           AS DECIMAL(28,12))) AS DOUBLE) AS s01
       FROM pl CROSS JOIN a
       GROUP BY a.n1, a.n0, a.araw
     )
@@ -229,10 +231,14 @@ def ml_auc_delong_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     is reproduced from Σ pos·p2 / (2·n0·n1), algebraically equal to
     the Mann-Whitney identity).
 
-    Determinism: placement deviations square through a 12-dp round
-    into decimal(28,14) weighted sums (mirrored); AUC, SE and the
-    clamped CI bounds round at 6 dp, with the CI computed FROM the
-    6-dp-rounded AUC and SE so every reported digit replays."""
+    Determinism: placement deviations square through a 12-dp round;
+    the WEIGHTED term dev·count is computed in double and rounded at
+    9 dp BEFORE the decimal(28,12) cast (the ml_brier pattern — a
+    decimal·bigint product would hit Spark's precision cap and degrade
+    to decimal(38,6), r10 ADVICE), so the summands are bit-identical
+    in both engines and the decimal sum is order-independent; AUC, SE
+    and the clamped CI bounds round at 6 dp, with the CI computed FROM
+    the 6-dp-rounded AUC and SE so every reported digit replays."""
     o = table(spark, sf_dir, "orders")
     base = o.select(F.expr(_SCENTS).alias("score"), F.expr(_YPOS).alias("y"))
     h = base.groupBy("score").agg(
@@ -281,10 +287,17 @@ def ml_auc_delong_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("n1").alias("n1"),
             F.first("n0").alias("n0"),
             F.first("araw").alias("araw"),
-            F.sum(dev10.cast("decimal(28,14)") * F.col("pos"))
+            # weighted term computed in double and rounded BEFORE the
+            # decimal cast (r10 ADVICE): dev·pos can reach ~1e3, and a
+            # decimal(28,14)·bigint product hits Spark's precision cap
+            # and silently degrades to decimal(38,6) — rounding the
+            # identical double product at 9 dp in both engines makes
+            # the summands bit-identical by construction (the ml_brier
+            # pattern), then the decimal sum is order-independent
+            F.sum(F.round(dev10 * F.col("pos"), 9).cast("decimal(28,12)"))
             .cast("double")
             .alias("s10"),
-            F.sum(dev01.cast("decimal(28,14)") * F.col("neg"))
+            F.sum(F.round(dev01 * F.col("neg"), 9).cast("decimal(28,12)"))
             .cast("double")
             .alias("s01"),
         )

@@ -74,7 +74,7 @@ _H_SIGMAS = 2.0
 def stats_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-sided CUSUM change-point detection on daily revenue per
     order priority: S_t = max(0, S_{{t-1}} + (x_t − μ)), alarm when S_t
-    exceeds h = {_H_SIGMAS}σ — the sequential monitor that localizes
+    exceeds h = 2σ — the sequential monitor that localizes
     WHEN a sustained upward shift began, where PSI/KS only say THAT two
     eras differ.
 
@@ -161,7 +161,7 @@ _PATHS_K = 20
     """,
 )
 def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top {_PATHS_K} three-step event paths across all user journeys —
+    """Top 20 three-step event paths across all user journeys —
     the Sankey/flow query product analytics runs beyond the pairwise
     transition matrix (events_transition_matrix): trigrams expose the
     detour patterns pairs can't (view>error>view vs view>view>error).

@@ -31,7 +31,14 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from python_etl_sample_spark.cache import cached_df, cached_value
+from python_etl_sample_spark.cache import cached_df
+from python_etl_sample_spark.functions import xengine as xe
+from python_etl_sample_spark.operators.round7_ops import (
+    _km_centroid_literal,
+    _km_ctes,
+    _km_dist_sql,
+    _km_fit,
+)
 from python_etl_sample_spark.registry import query
 from python_etl_sample_spark.sources import table
 
@@ -269,30 +276,51 @@ def sim_knn_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_ann_lsh", oracle=None)
+@query(
+    "sim_ann_lsh",
+    oracle=f"""
+    WITH lshb AS (
+      SELECT vec_id, embedding,
+             CAST(floor(round({xe._lsh_dot_sql('embedding', 0)}, 9)
+                        / {xe._LSH_BUCKET_LEN}) AS BIGINT) AS b0,
+             CAST(floor(round({xe._lsh_dot_sql('embedding', 1)}, 9)
+                        / {xe._LSH_BUCKET_LEN}) AS BIGINT) AS b1
+      FROM embeddings
+    ),
+    cand AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round({xe._d2_sql('a.embedding', 'b.embedding')}, 9) AS d2
+      FROM lshb a JOIN lshb b
+        ON a.vec_id < b.vec_id AND (a.b0 = b.b0 OR a.b1 = b.b1)
+    )
+    SELECT vec_a, vec_b, round(sqrt(d2), 6) AS euclidean_dist
+    FROM cand WHERE d2 <= {xe._LSH_RADIUS * xe._LSH_RADIUS}
+    """,
+)
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """#62 approximate NN via bucketed random-projection LSH, built
-    natively on DataFrame ops (fixed projections → deterministic;
-    rows-only: bucketing is engine-specific). Classic scheme: per hash
-    table t, h_t(v) = floor(⟨v, g_t⟩ / bucketLength); candidate pairs
+    """#62 approximate NN via bucketed random-projection LSH — **fully
+    hash-checked since round 11**: the seed-7 projection matrix was
+    already embedded as double literals in ``sim_ann_recall``'s oracle;
+    this detector now buckets on the identical 9-dp-rounded projections
+    (functions/xengine.py) and verifies distance with the index-ordered
+    fold the oracle replays, so the pair emission itself is a driver
+    hash row (VERDICT r10 item 1c). Scheme unchanged: per hash table t,
+    h_t(v) = floor(round(⟨v, g_t⟩, 9) / bucketLength); candidate pairs
     share a (t, h) bucket — never the full cross product — and each
-    candidate bucket runs one exact-distance GEMM block, keeping only
-    pairs within the radius. Duplicate hits across tables collapse with
-    one distinct.
+    candidate runs one exact distance test, keeping pairs within the
+    radius. Duplicate hits across tables collapse with one distinct
+    (identical doubles by construction: same fold, same inputs).
 
     The 100 TB shape: one shuffle on bucket id (vectors shuffle once per
-    table), per-bucket compute is local and embarrassingly parallel,
-    and the emitted pair set is tiny. Radius 1.2 is the measured
-    selective threshold for these fixtures: random 64-dim pairs sit
-    near dist ≈ sqrt(2), genuine near neighbors at ≈ 1.0, so 1.5 would
-    admit nearly all O(n²) pairs (measured 35 s at sf0.1)."""
-    import numpy as np
-    import pandas as pd
+    table), per-bucket pair space is bucket-bounded, and the emitted
+    pair set is tiny. Radius 1.2 is the measured selective threshold for
+    these fixtures: random 64-dim pairs sit near dist ≈ sqrt(2), genuine
+    near neighbors at ≈ 1.0, so 1.5 would admit nearly all O(n²) pairs
+    (measured 35 s at sf0.1).
 
-    n_tables, bucket_len, radius = 2, 1.0, 1.2
-    rng = np.random.default_rng(7)
-    projections = rng.standard_normal((n_tables, 64))
-
+    DuckDB's OR-join enumerates the pair space (fine at oracle scale);
+    Spark's long-format (tbl, h) equi-join is the at-scale plan — the
+    two enumerate the same candidate set."""
     e = table(spark, sf_dir, "embeddings")
     vec = F.col("embedding").cast("array<double>")
     buckets = e.select(
@@ -303,154 +331,183 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(t).alias("tbl"),
-                        F.floor(
-                            _dot(vec, F.array(*[F.lit(float(x)) for x in projections[t]]))
-                            / F.lit(bucket_len)
-                        ).alias("h"),
+                        xe.lsh_bucket_col(vec, t).alias("h"),
                     )
-                    for t in range(n_tables)
+                    for t in range(xe._LSH_TABLES)
                 ]
             )
         ).alias("bk"),
     ).select("vec_id", "vec", F.col("bk.tbl").alias("tbl"), F.col("bk.h").alias("h"))
 
-    packed = (
-        buckets.groupBy("tbl", "h")
-        .agg(
-            F.collect_list(
-                F.struct(F.col("vec_id").alias("id"), F.col("vec").alias("vec"))
-            ).alias("rows")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("a.vec"), F.col("b.vec"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        9,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        # AQE-proofing (see _self_grid): few rows, heavy per-row compute
-        .repartition(32, "tbl", "h")
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            d2.alias("d2"),
+        )
+        .filter(F.col("d2") <= F.lit(xe._LSH_RADIUS * xe._LSH_RADIUS))
+        .select(
+            "vec_a", "vec_b", F.round(F.sqrt(F.col("d2")), 6).alias("euclidean_dist")
+        )
+        .distinct()
     )
 
-    def bucket_pairs(batches):
-        for pdf in batches:
-            for cell in pdf["rows"]:
-                ids, mat, _ = _unpack(cell)
-                sq = (mat * mat).sum(axis=1)
-                d2 = np.maximum(sq[:, None] + sq[None, :] - 2.0 * (mat @ mat.T), 0.0)
-                qi, cj = np.nonzero(
-                    (ids[:, None] < ids[None, :]) & (d2 <= radius * radius)
-                )
-                if len(qi):
-                    yield pd.DataFrame(
-                        {
-                            "vec_a": ids[qi],
-                            "vec_b": ids[cj],
-                            "euclidean_dist": np.round(np.sqrt(d2[qi, cj]), 6),
-                        }
-                    )
 
-    # a pair found in both tables computes the identical float both
-    # times (same kernel, same inputs), so distinct collapses it safely
-    return packed.mapInPandas(
-        bucket_pairs, "vec_a bigint, vec_b bigint, euclidean_dist double"
-    ).distinct()
+#: IVF probe count and result depth (unchanged from the rows-only form)
+_IVF_NPROBE, _IVF_K = 2, 3
+
+_IVF_NRM_SQL = (
+    "sqrt((SELECT SUM(embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE)"
+    " FROM range(64) t(i)))"
+)
+_IVF_DOT_SQL = (
+    "(SELECT SUM(q.embedding[i+1]::DOUBLE * c.embedding[i+1]::DOUBLE)"
+    " FROM range(64) t(i))"
+)
 
 
-@query("sim_ann_ivf", oracle=None)
+@query(
+    "sim_ann_ivf",
+    oracle=f"""
+    WITH {_km_ctes()},
+    nv AS (
+      SELECT vec_id, embedding, {_IVF_NRM_SQL} AS nrm FROM embeddings
+    ),
+    probes AS (
+      SELECT vec_id,
+             MAX(CASE WHEN prn = 1 THEN cid END) AS p1,
+             MAX(CASE WHEN prn = 2 THEN cid END) AS p2
+      FROM (
+        SELECT v.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY round({_km_dist_sql('v.emb', 'c.emb')}, 9), c.cid
+               ) AS prn
+        FROM v CROSS JOIN c3 c
+      ) WHERE prn <= {_IVF_NPROBE}
+      GROUP BY vec_id
+    ),
+    cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round({_IVF_DOT_SQL} / (q.nrm * c.nrm), 9) AS sim
+      FROM nv q
+      JOIN probes p ON p.vec_id = q.vec_id
+      JOIN fin f ON f.cid = p.p1 OR f.cid = p.p2
+      JOIN nv c ON c.vec_id = f.vec_id AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, sim, rn FROM (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rn
+      FROM cand
+    ) WHERE rn <= {_IVF_K}
+    """,
+)
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style approximate NN (rows-only: centroid assignment is
-    engine-specific): a coarse quantizer partitions the corpus into
-    inverted lists; each query probes its **nprobe=2** nearest
-    centroids (covering boundary neighbors an nprobe=1 form misses)
-    and searches only those lists via a per-cluster local GEMM inside
-    applyInPandas, then a rank window merges the ≤2 candidate sets per
-    query.
-
-    The quantizer is Lloyd's k-means trained on a BOUNDED sample (512
-    vectors, seed-pinned NumPy — the standard IVF practice at any
-    corpus size: centroid quality needs a sample, not the corpus, so
-    the only driver-side materialization is 512×64 floats regardless of
-    scale; the corpus itself is never collected).
+    """IVF-style approximate NN — **fully hash-checked since round
+    11**: the private NumPy 512-sample quantizer was swapped for the
+    full-corpus deterministic Lloyd fit (round7_ops._km_fit) whose SQL
+    replay already hash-passes in ``cluster_kmeans_lloyd`` and
+    ``sim_ann_recall``, so the whole probe-and-search pipeline replays
+    in DuckDB (VERDICT r10 item 1b). Scheme unchanged: the coarse
+    quantizer partitions the corpus into inverted lists; each query
+    probes its **nprobe=2** nearest centroids (covering boundary
+    neighbors an nprobe=1 form misses) and searches only those lists;
+    a rank window merges the ≤2 candidate sets per query into the
+    per-query top-3 by 9-dp-rounded cosine (id tie-break).
 
     This is the second at-scale ANN family next to LSH (#62): one
     shuffle on centroid id, then embarrassingly-parallel local search —
-    at 100 TB the lists are bucketed tables and the 16×64-float centroid
-    table ships with the task closure exactly as here.
-    """
-    import numpy as np
-    import pandas as pd
+    at 100 TB the lists are bucketed tables and the k×64-float centroid
+    table is a plan literal shipped with the task closure exactly as
+    here (the fit itself is the per-round map-only + k·64-row-shuffle
+    plan of ``cluster_kmeans_lloyd``, run once per session via the
+    memo).
 
-    e = table(spark, sf_dir, "embeddings")
+    Candidate-space audit: each query meets only the members of its 2
+    probed cells — |candidates| ≈ 2n/k per query, never the O(n²) pair
+    space; the cosine is the index-ordered fold (identical to the
+    oracle's range-SUM), and norms are computed once per row, not per
+    pair."""
+    assigned, cents = _km_fit(spark, sf_dir)
+    carr = _km_centroid_literal(cents)
 
-    def _fit_quantizer():
-        # deterministic bounded sample: lowest 512 vec_ids (TakeOrdered —
-        # a k-row reduce, never a full sort, at any corpus size)
-        sample = np.stack(
-            [
-                np.asarray(r["embedding"], dtype=np.float64)
-                for r in e.select("vec_id", "embedding").orderBy("vec_id").limit(512).collect()
-            ]
+    def _nrm(col: Column) -> Column:
+        return F.sqrt(
+            F.aggregate(
+                F.transform(col, lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
         )
-        n_cells, iters = 16, 8
-        rng = np.random.default_rng(42)
-        centers = sample[rng.choice(len(sample), n_cells, replace=False)].copy()
-        for _ in range(iters):
-            d2 = ((sample[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for j in range(n_cells):
-                members = assign == j
-                if members.any():
-                    centers[j] = sample[members].mean(axis=0)
-        return centers
 
-    # the quantizer is a pure function of (sf_dir, seeds) — memoize per
-    # session so repeated calls skip the sample collect + Lloyd refit
-    centers = cached_value(
-        spark, ("ivf_centroids", os.path.abspath(sf_dir)), _fit_quantizer
+    pdists = F.array_sort(
+        F.transform(
+            carr,
+            lambda c: F.struct(
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("emb"), c["emb"], lambda x, y: (x - y) * (x - y)
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    9,
+                ).alias("dist"),
+                c["cid"].alias("cid"),
+            ),
+        )
     )
-
-    nprobe, k = 2, 3
-
-    def _probe(emb):
-        mat = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
-        d2 = ((mat[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-        near = np.argsort(d2, axis=1)[:, :nprobe]
-        return pd.Series([row.astype(np.int32).tolist() for row in near])
-
-    probe_centroids = F.pandas_udf(_probe, "array<int>")
-
-    # one Arrow pass computes both the primary (list-membership) centroid
-    # — probes[0] — and the probe fan-out
-    probed = e.select("vec_id", "embedding", probe_centroids("embedding").alias("probes"))
-    probes = probed.select(
-        "vec_id",
-        "embedding",
-        F.col("probes")[0].alias("centroid"),
-        F.explode("probes").alias("probe"),
+    queries = assigned.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qv"),
+        _nrm(F.col("emb")).alias("qn"),
+        F.explode(
+            F.array(*[pdists[i]["cid"] for i in range(_IVF_NPROBE)])
+        ).alias("cid"),
     )
-
-    def local_knn(pdf: pd.DataFrame) -> pd.DataFrame:
-        # corpus of this list = rows whose PRIMARY centroid is the probed
-        # one; queries = every row probing it
-        is_member = (pdf["centroid"] == pdf["probe"]).to_numpy()
-        if not is_member.any():
-            return pd.DataFrame({"query_id": [], "neighbor_id": [], "sim": []})
-        ids = pdf["vec_id"].to_numpy()
-        mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-        norms = np.sqrt((mat * mat).sum(axis=1))
-        c_ids, c_mat, c_norms = ids[is_member], mat[is_member], norms[is_member]
-        sims = np.round((mat @ c_mat.T) / np.outer(norms, c_norms), 9)
-        out = {"query_id": [], "neighbor_id": [], "sim": []}
-        for r, qid in enumerate(ids):
-            keep = c_ids != qid
-            order = np.lexsort((c_ids[keep], -sims[r][keep]))[:k]
-            out["query_id"].extend([qid] * len(order))
-            out["neighbor_id"].extend(c_ids[keep][order])
-            out["sim"].extend(sims[r][keep][order])
-        return pd.DataFrame(out)
-
-    cand = probes.groupBy("probe").applyInPandas(
-        local_knn, "query_id bigint, neighbor_id bigint, sim double"
+    lists = assigned.select(
+        F.col("cid"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("nv"),
+        _nrm(F.col("emb")).alias("nn"),
+    )
+    sim = F.round(
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("nv"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / (F.col("qn") * F.col("nn")),
+        9,
+    )
+    cand = (
+        queries.join(lists, "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
-        cand.dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("rn", F.row_number().over(w).cast("int"))
-        .filter(F.col("rn") <= k)
+        cand.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= _IVF_K)
         .select("query_id", "neighbor_id", "sim", "rn")
     )
 

@@ -96,15 +96,11 @@ def test_no_driver_materialization_in_similarity_kernels():
     from python_etl_sample_spark.operators import similarity
 
     src = inspect.getsource(similarity)
-    # sole exemption: sim_ann_ivf trains its coarse quantizer on a
-    # BOUNDED sample (.limit(512).collect() — 512×64 floats regardless
-    # of corpus size); that is quantizer practice, not corpus
-    # materialization. Everything else in the module stays collect-free.
-    ivf_src = inspect.getsource(similarity.sim_ann_ivf)
-    assert ".limit(512).collect()" in ivf_src
-    src_sans_ivf = src.replace(ivf_src, "")
+    # round 11 removed the last exemption: sim_ann_ivf's quantizer is
+    # now the shared _km_fit (whose own bounded k-row collects are
+    # pinned in round7_ops), so the module is entirely collect-free.
     for forbidden in ("toPandas(", ".collect(", ".toLocalIterator("):
-        assert forbidden not in src_sans_ivf, f"driver materialization via {forbidden}"
+        assert forbidden not in src, f"driver materialization via {forbidden}"
 
 
 def test_queries_yield_driver_rotation_order():

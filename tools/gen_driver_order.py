@@ -58,17 +58,25 @@ sys.path.insert(0, REPO)
 #: this tuple from each round's VERDICT; it drains automatically (a
 #: name leaves the changed bucket once its post-change row lands).
 VERDICT_PRIORITY = (
-    # r9 verdict items 2-4: perf-touched queries whose code changes in
-    # round 10 (consensus memo routing, theil-sen probe, ≥2 s floor
-    # adjudications) plus the KLL rollup whose shard-metadata
-    # derivation changed (r9 ADVICE item 1)
-    "dedup_consensus",
-    "stats_theil_sen_trend",
-    "sketch_kll_merge",
-    "data_profile",
-    "agg_percentile_cont",
-    "graph_bfs_hops",
-    "sketch_kll_partitioned_rollup",
+    # r10 verdict item 1: the four former rows-only detectors were
+    # rewritten onto the cross-engine families in round 11 — their
+    # first-ever HASH rows are the round's headline evidence
+    "dedup_near_minhash",
+    "dedup_simhash",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    # r10 ADVICE item 1: DeLong summand arithmetic changed in both
+    # engines (9-dp pre-round before the decimal cast)
+    "ml_auc_delong_ci",
+    # r10 verdict item 3: floor-drift names to re-evidence post-probe
+    "sort_multi",
+    "text_vocab_coverage",
+    "stats_kruskal_wallis",
+    "stats_gini_lorenz",
+    # r10 verdict item 5: graph-loop barrier-budget experiments touch
+    # these two hot floors
+    "graph_hits_scores",
+    "graph_community_modularity",
 )
 
 
