@@ -186,7 +186,6 @@ def _lpa_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = sym.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
     for _ in range(_LPA_ROUNDS):
         cnt = (
             sym.join(labels, sym.dst == labels.node)
@@ -194,10 +193,22 @@ def _lpa_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node", "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )
+        # plurality via max(struct(c, -label)): identical semantics to
+        # the former row_number window (count DESC, label ASC — larger
+        # -label means smaller label) but combiner-reduced with no
+        # per-round sort: the window had to reshuffle-by-node AND sort
+        # each partition; the agg ships partial maxima. Measured at
+        # sf0.1 (round 11): warm fit 2.64 → 2.34 s with bit-identical
+        # labels; the oracle replays plurality semantics, so no SQL
+        # change was needed.
         labels = (
-            cnt.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "label")
+            cnt.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+                ).alias("m")
+            )
+            .select("node", (-F.col("m.nl")).alias("label"))
             .localCheckpoint(eager=False)
         )
     return labels

@@ -24,7 +24,10 @@ def test_hits_mass_conservation_and_roles(spark):
     """Each L1 renormalization floors per node, so total mass for each
     role is _HITS_SCALE minus at most one unit per node — any larger
     loss (or any negative score) means the widened integer arithmetic
-    broke."""
+    broke. (Round 11 halved the renorm cadence; the product form keeps
+    this invariant intact — the divisor-form alternative measured a
+    5.6e-4·SCALE overshoot on the tiny sf0.001 graph and was
+    rejected.)"""
     pdf = graph_hits_scores(spark, SF_DIR).toPandas()
     assert set(pdf.role.unique()) == {"hub", "authority"}
     assert (pdf.score_scaled >= 0).all()
