@@ -128,6 +128,12 @@ SHARED_INTERMEDIATE = (
     # round 10e: the nprobe sweep reads the memoized PQ distance frame
     # and Lloyd fit (its exhaustive ground truth + quantizer)
     "sim_ivf_nprobe_sweep",
+    # round 11: the histogram reads the memoized cross-engine pair
+    # frame; the radius sweep reads the packed-GEMM exact top-5; the
+    # compression readout reads the memoized BPE pipeline
+    "dedup_jaccard_histogram",
+    "sim_lsh_radius_sweep",
+    "text_bpe_compression_by_lang",
 )
 
 

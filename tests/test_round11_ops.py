@@ -1,0 +1,159 @@
+"""Round-11 operator invariants: agreement statistics replay in pure
+Python from the exact counts the queries emit, the sweeps are monotone
+in their parameter, and the corpus diagnostics tie back to the shared
+frames they ride. (Cross-engine value parity is the driver's oracle
+gate; these pin the algorithmic claims.)"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from python_etl_sample_spark.registry import REGISTRY, load_all_operators
+
+load_all_operators()
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _run(name, spark, sf=SF_DIR):
+    return REGISTRY[name].fn(spark, sf)
+
+
+def test_cohens_kappa_replays_from_counts(spark):
+    r = _run("ml_cohens_kappa", spark).collect()[0]
+    n = r["n"]
+    assert r["n11"] + r["n10"] + r["n01"] + r["n00"] == n
+    po = (r["n11"] + r["n00"]) / n
+    pe = ((r["n11"] + r["n10"]) / n) * ((r["n11"] + r["n01"]) / n) + (
+        (r["n01"] + r["n00"]) / n
+    ) * ((r["n10"] + r["n00"]) / n)
+    assert abs(r["po"] - round(po, 6)) < 1e-9
+    assert abs(r["pe"] - round(pe, 6)) < 1e-9
+    assert abs(r["kappa"] - round((po - pe) / (1 - pe), 6)) < 1e-9
+    assert -1.0 <= r["kappa"] <= 1.0
+
+
+def test_fleiss_kappa_replays_and_bounds(spark):
+    r = _run("stats_fleiss_kappa", spark).collect()[0]
+    n, sk = r["n"], r["n_flag_votes"]
+    assert 0 <= sk <= 3 * n
+    p1 = sk / (3 * n)
+    pe = p1 * p1 + (1 - p1) * (1 - p1)
+    assert abs(r["p_e"] - round(pe, 6)) < 1e-9
+    # per-item agreement is a proportion of the 3 pairwise rater pairs
+    assert 0.0 <= r["p_bar"] <= 1.0
+    assert -1.0 <= r["fleiss_kappa"] <= 1.0
+    assert abs(
+        r["fleiss_kappa"] - round((r["p_bar"] - pe) / (1 - pe), 6)
+    ) < 2e-6  # p_bar itself is 6-dp rounded
+
+
+def test_mcnemar_replays_from_discordant_counts(spark):
+    r = _run("ml_mcnemar_paired", spark).collect()[0]
+    b, c = r["a_only_correct"], r["b_only_correct"]
+    assert b + c > 0  # the two classifiers genuinely disagree somewhere
+    chi2 = (abs(b - c) - 1.0) ** 2 / (b + c)
+    assert abs(r["chi2_cc"] - round(chi2, 6)) < 1e-9
+    # accuracy identity: acc_a - acc_b == (b - c)/n
+    assert abs((r["acc_a"] - r["acc_b"]) - (b - c) / r["n"]) < 2e-6
+
+
+def test_power_mde_replays_formula(spark):
+    rows = _run("events_power_mde", spark).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        p = r["conv"] / r["n"]
+        mde = (1.959963985 + 0.841621234) * math.sqrt(
+            2.0 * p * (1 - p) / (r["n"] / 2.0)
+        )
+        assert abs(r["mde_abs"] - round(mde, 6)) < 1e-9
+        assert 0.0 < r["p"] < 1.0
+        assert r["mde_abs"] > 0.0
+
+
+def test_jaccard_histogram_partitions_pair_frame(spark):
+    from python_etl_sample_spark.functions.xengine import _xengine_pairs
+
+    rows = _run("dedup_jaccard_histogram", spark).collect()
+    n_pairs_total = sum(r["n_pairs"] for r in rows)
+    assert n_pairs_total == _xengine_pairs(spark, SF_DIR).count()
+    for r in rows:
+        lo = r["bin20"] / 20.0
+        assert 0 <= r["bin20"] <= 20
+        assert abs(r["bin_lo"] - round(lo, 2)) < 1e-12
+        # mean within the bin (right edge inclusive only at J = 1.0)
+        assert lo - 1e-9 <= r["mean_jac"] <= lo + 0.05 + 1e-6
+
+
+def test_heaps_fit_is_sublinear_growth(spark):
+    r = _run("text_heaps_law_fit", spark).collect()[0]
+    assert r["n_points"] > 0
+    # vocabulary grows, but sublinearly: 0 < beta < 1 on any corpus
+    # with repeated tokens; a flat beta would flag total duplication
+    assert 0.0 < r["heaps_beta"] < 1.0
+
+
+def test_log_odds_topk_per_source_ordered(spark):
+    rows = _run("text_log_odds_domain_terms", spark).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r["rn"])
+        assert [r["rn"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 5
+        zs = [r["log_odds_z"] for r in rs]
+        assert zs == sorted(zs, reverse=True)
+        for r in rs:
+            assert r["n_in_source"] > 0
+
+
+def test_lsh_radius_sweep_monotone_and_consistent(spark):
+    rows = _run("sim_lsh_radius_sweep", spark).collect()
+    cells = {(r["radius"], r["rn"]): r for r in rows}
+    radii = sorted({r["radius"] for r in rows})
+    assert radii == [1.0, 1.2, 1.4]
+    for rn in range(1, 6):
+        # recall is monotone non-decreasing in the radius: the bucket
+        # condition is radius-independent and the distance cut relaxes
+        rec = [cells[(rad, rn)]["recall"] for rad in radii]
+        assert rec == sorted(rec)
+        n_pairs = {cells[(rad, rn)]["n_pairs"] for rad in radii}
+        assert len(n_pairs) == 1  # ground truth identical per radius
+    for r in rows:
+        assert 0 <= r["n_caught"] <= r["n_pairs"]
+
+
+def test_lsh_sweep_deployed_radius_matches_recall_query(spark):
+    """At the deployed radius (1.2) the sweep must reproduce
+    sim_ann_recall's lsh rows exactly — same flags, same grouping."""
+    sweep = {
+        (r["rn"], r["n_caught"], r["n_pairs"])
+        for r in _run("sim_lsh_radius_sweep", spark).collect()
+        if r["radius"] == 1.2
+    }
+    recall = {
+        (r["rn"], r["n_caught"], r["n_pairs"])
+        for r in _run("sim_ann_recall", spark).collect()
+        if r["family"] == "lsh"
+    }
+    assert sweep == recall
+
+
+def test_bpe_compression_consistency(spark):
+    rows = _run("text_bpe_compression_by_lang", spark).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        # every word is at least one token (plus the EOW marker rides
+        # inside the symbol sequence), so tokens_per_word >= 1
+        assert r["tokens_per_word"] >= 1.0
+        assert r["n_tokens"] >= r["n_words"]
+        assert r["chars_per_token"] > 0.0
+        assert abs(
+            r["tokens_per_word"] - round(r["n_tokens"] / r["n_words"], 6)
+        ) < 1e-9
+        assert abs(
+            r["chars_per_token"] - round(r["n_chars"] / r["n_tokens"], 6)
+        ) < 1e-9
