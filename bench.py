@@ -134,6 +134,7 @@ SHARED_INTERMEDIATE = (
     "dedup_jaccard_histogram",
     "sim_lsh_radius_sweep",
     "text_bpe_compression_by_lang",
+    "corpus_dedup_survivorship",
 )
 
 

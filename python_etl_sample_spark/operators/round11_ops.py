@@ -955,3 +955,308 @@ def text_bpe_compression_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("tokens_per_word"),
     )
+
+
+# --------------------------------------------------------------------------
+# stats_krippendorff_alpha
+# --------------------------------------------------------------------------
+
+
+@query(
+    "stats_krippendorff_alpha",
+    oracle=f"""
+    WITH votes AS (
+      SELECT ({_FLEISS_R1}) + ({_FLEISS_R2}) + ({_FLEISS_R3}) AS k
+      FROM lineitem
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(k) AS BIGINT) AS n1,
+             CAST(SUM(k * (3 - k)) AS BIGINT) AS dis
+      FROM votes
+    )
+    SELECT n, n1 AS n_flag_votes,
+           round(dis * 1.0 / (3 * n), 6) AS d_obs,
+           round(2.0 * n1 * (3 * n - n1)
+                 / (CAST(3 * n AS DOUBLE) * (3 * n - 1)), 6) AS d_exp,
+           round(1.0 - (dis * 1.0 / (3 * n))
+                 / (2.0 * n1 * (3 * n - n1)
+                    / (CAST(3 * n AS DOUBLE) * (3 * n - 1))), 6)
+             AS kripp_alpha
+    FROM s
+    """,
+)
+def stats_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (nominal data, 3 raters per item, no
+    missing votes) for the same three deterministic raters
+    stats_fleiss_kappa scores: α = 1 − D_o/D_e with observed
+    disagreement D_o = Σ k(3−k)/(3N) (disagreeing rater pairs per
+    item over the 3 pairs) and expected disagreement from the pooled
+    vote margins WITH the finite-sample correction M(M−1) — the
+    difference from Fleiss' π-style chance term, and the reason
+    content-analysis work reports α when vote counts are small.
+
+    Determinism: two exact int64 sums; the α expression is mirrored
+    verbatim and rounded 6 dp. Scale: single scan, 1-row aggregate —
+    the agreement tier (Cohen → Fleiss → Krippendorff → Cochran) all
+    run on one combiner-reduced pass each."""
+    li = table(spark, sf_dir, "lineitem")
+    k = (F.expr(_FLEISS_R1) + F.expr(_FLEISS_R2) + F.expr(_FLEISS_R3)).alias(
+        "k"
+    )
+    s = li.select(k).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("n1"),
+        F.sum(F.col("k") * (3 - F.col("k"))).alias("dis"),
+    )
+    n = F.col("n")
+    m = (3 * n).cast("double")
+    d_obs = F.col("dis") * F.lit(1.0) / (3 * n)
+    d_exp = (
+        F.lit(2.0)
+        * F.col("n1")
+        * (3 * n - F.col("n1"))
+        / (m * (3 * n - 1))
+    )
+    return s.select(
+        n.cast("long").alias("n"),
+        F.col("n1").cast("long").alias("n_flag_votes"),
+        F.round(d_obs, 6).alias("d_obs"),
+        F.round(d_exp, 6).alias("d_exp"),
+        F.round(F.lit(1.0) - d_obs / d_exp, 6).alias("kripp_alpha"),
+    )
+
+
+# --------------------------------------------------------------------------
+# stats_cochran_q
+# --------------------------------------------------------------------------
+
+
+@query(
+    "stats_cochran_q",
+    oracle=f"""
+    WITH votes AS (
+      SELECT {_FLEISS_R1} AS r1, {_FLEISS_R2} AS r2, {_FLEISS_R3} AS r3
+      FROM lineitem
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(r1) AS BIGINT) AS c1,
+             CAST(SUM(r2) AS BIGINT) AS c2,
+             CAST(SUM(r3) AS BIGINT) AS c3,
+             CAST(SUM(r1 + r2 + r3) AS BIGINT) AS sr,
+             CAST(SUM((r1 + r2 + r3) * (r1 + r2 + r3)) AS BIGINT) AS sr2
+      FROM votes
+    )
+    SELECT n, c1, c2, c3,
+           round(2.0 * (3.0 * (c1 * c1 + c2 * c2 + c3 * c3)
+                        - CAST(sr AS DOUBLE) * sr)
+                 / (3.0 * sr - sr2), 6) AS cochran_q,
+           CAST(2 AS INT) AS df
+    FROM s
+    """,
+)
+def stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q for the three binary flags as k = 3 matched
+    "treatments" over the same lineitem blocks: Q = (k−1)(kΣCⱼ² −
+    (ΣCⱼ)²)/(kΣRᵢ − ΣRᵢ²) — the k-sample generalization of McNemar's
+    test (``ml_mcnemar_paired``), asking whether the three flag rates
+    differ at all before any pairwise comparison is run. χ² with k−1 =
+    2 df under H₀.
+
+    Determinism: every term is an exact int64 sum from one
+    combiner-reduced pass; the Q expression is mirrored (the ΣRᵢ²
+    cross-term stays integer: (r1+r2+r3)² ≤ 9). Scale: single scan,
+    1-row aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    s = li.select(
+        F.expr(_FLEISS_R1).alias("r1"),
+        F.expr(_FLEISS_R2).alias("r2"),
+        F.expr(_FLEISS_R3).alias("r3"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r1").alias("c1"),
+        F.sum("r2").alias("c2"),
+        F.sum("r3").alias("c3"),
+        F.sum(F.col("r1") + F.col("r2") + F.col("r3")).alias("sr"),
+        F.sum(
+            (F.col("r1") + F.col("r2") + F.col("r3"))
+            * (F.col("r1") + F.col("r2") + F.col("r3"))
+        ).alias("sr2"),
+    )
+    q = (
+        F.lit(2.0)
+        * (
+            F.lit(3.0)
+            * (
+                F.col("c1") * F.col("c1")
+                + F.col("c2") * F.col("c2")
+                + F.col("c3") * F.col("c3")
+            )
+            - F.col("sr").cast("double") * F.col("sr")
+        )
+        / (F.lit(3.0) * F.col("sr") - F.col("sr2"))
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("c1").cast("long").alias("c1"),
+        F.col("c2").cast("long").alias("c2"),
+        F.col("c3").cast("long").alias("c3"),
+        F.round(q, 6).alias("cochran_q"),
+        F.lit(2).cast("int").alias("df"),
+    )
+
+
+# --------------------------------------------------------------------------
+# events_srm_check
+# --------------------------------------------------------------------------
+
+#: deterministic 50/50 arm assignment: multiplicative hash of user_id
+#: (overflow audit: max user_id < 2³¹, 2³¹·2654435761 ≈ 5.8e18 < 2⁶³),
+#: then parity — the hash decorrelates the arm from any id-ordered
+#: ingestion artifact a plain id % 2 would inherit.
+_SRM_ARM = "((user_id * 2654435761) % 2147483647) % 2"
+#: χ²(1 df) critical value at α = 0.05 — literal, not computed
+_SRM_CRIT = 3.841458821
+
+
+@query(
+    "events_srm_check",
+    oracle=f"""
+    WITH u AS (
+      SELECT DISTINCT user_id FROM events
+    ),
+    arms AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(CASE WHEN {_SRM_ARM} = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_b
+      FROM u
+    )
+    SELECT n_users, n_users - n_b AS arm_a, n_b AS arm_b,
+           round((n_users - 2.0 * n_b) * (n_users - 2.0 * n_b) / n_users, 6)
+             AS chi2,
+           CASE WHEN (n_users - 2.0 * n_b) * (n_users - 2.0 * n_b) / n_users
+                     > {_SRM_CRIT}
+                THEN 1 ELSE 0 END AS srm_flag
+    FROM arms
+    """,
+)
+def events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check for a 50/50 experiment split:
+    deterministic hash-parity arm assignment over distinct users, then
+    the 1-df χ² against the expected even split ((a−b)²/n for equal
+    expecteds) and a flag at the α = 0.05 critical value — the first
+    health check any A/B readout must pass before lift numbers mean
+    anything (an SRM means the assignment or logging pipeline is
+    biased, not the treatment).
+
+    Determinism: the arm is an exact integer hash (overflow-audited
+    multiplicative family); counts are exact; χ² is one mirrored
+    double expression; the flag compares that identical double to a
+    literal. Scale: distinct-users is one shuffle on user_id; the rest
+    is a 1-row aggregate."""
+    e = table(spark, sf_dir, "events")
+    u = e.select("user_id").distinct()
+    arms = u.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(
+            F.when(F.expr(_SRM_ARM) == 1, 1).otherwise(0)
+        ).alias("n_b"),
+    )
+    chi2 = (
+        (F.col("n_users") - F.lit(2.0) * F.col("n_b"))
+        * (F.col("n_users") - F.lit(2.0) * F.col("n_b"))
+        / F.col("n_users")
+    )
+    return arms.select(
+        F.col("n_users").cast("long").alias("n_users"),
+        (F.col("n_users") - F.col("n_b")).cast("long").alias("arm_a"),
+        F.col("n_b").cast("long").alias("arm_b"),
+        F.round(chi2, 6).alias("chi2"),
+        F.when(chi2 > F.lit(_SRM_CRIT), 1).otherwise(0).alias("srm_flag"),
+    )
+
+
+# --------------------------------------------------------------------------
+# corpus_dedup_survivorship
+# --------------------------------------------------------------------------
+
+
+@query(
+    "corpus_dedup_survivorship",
+    oracle=f"""
+    WITH {xe._X_CTES},
+    dropped AS (
+      SELECT DISTINCT doc_b AS doc_id
+      FROM xinter
+      JOIN xsizes sa ON sa.doc_id = doc_a
+      JOIN xsizes sb ON sb.doc_id = doc_b
+      WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.8
+    ),
+    keep AS (
+      SELECT d.doc_id, d.n_chars,
+             length(string_split_regex(trim(lower(d.text)), '\\s+'))
+               AS n_words,
+             CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END AS is_keeper
+      FROM documents d LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
+    )
+    SELECT is_keeper,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           round(SUM(n_chars) * 1.0 / COUNT(*), 6) AS mean_chars,
+           round(SUM(n_words) * 1.0 / COUNT(*), 6) AS mean_words
+    FROM keep
+    GROUP BY is_keeper
+    """,
+)
+def corpus_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship audit of near-dedup: do the documents the
+    keep-lowest rule KEEPS differ systematically from the ones it
+    drops? A document is dropped when it is the higher-id side of any
+    shingle-Jaccard ≥ 0.8 pair (``dedup_near_minhash``'s verified pair
+    set under the greedy keep-lowest discipline of
+    ``pipeline_dedup_funnel``); per group: count, total/mean
+    characters, mean whitespace-token count. A large keeper-vs-dropped
+    gap means dedup is reshaping the corpus distribution, not just
+    shrinking it — the bias check a curation pipeline reports next to
+    its retention rate. (Exact-hash dedup is vacuous on these fixtures
+    — zero byte-identical pairs at sf0.01 — so the audit runs on the
+    near-dup tier, where the fixtures plant 25/256 pairs.)
+
+    Rides the session-memoized cross-engine inverted-index frames
+    (functions/xengine.py); the audit adds one anti-join-shaped LEFT
+    JOIN and one aggregation. Determinism: the dropped set is an exact
+    integer-keyed set; stats are exact-int sums with mirrored final
+    divisions rounded 6 dp."""
+    keys = xe._xengine_shingle_keys(spark, sf_dir)
+    pairs = xe._xengine_pairs(spark, sf_dir)
+    sizes = keys.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    dropped = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.8)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(1))
+    )
+    d = table(spark, sf_dir, "documents")
+    keep = d.join(dropped, "doc_id", "left").select(
+        "n_chars",
+        F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "n_words"
+        ),
+        F.when(F.col("dropped").isNull(), 1).otherwise(0).alias("is_keeper"),
+    )
+    return keep.groupBy("is_keeper").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.round(
+            F.sum("n_chars") * F.lit(1.0) / F.count(F.lit(1)), 6
+        ).alias("mean_chars"),
+        F.round(
+            F.sum("n_words") * F.lit(1.0) / F.count(F.lit(1)), 6
+        ).alias("mean_words"),
+    )

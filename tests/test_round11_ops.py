@@ -157,3 +157,49 @@ def test_bpe_compression_consistency(spark):
         assert abs(
             r["chars_per_token"] - round(r["n_chars"] / r["n_tokens"], 6)
         ) < 1e-9
+
+
+def test_krippendorff_alpha_replays_and_relates_to_fleiss(spark):
+    r = _run("stats_krippendorff_alpha", spark).collect()[0]
+    assert -1.0 <= r["kripp_alpha"] <= 1.0
+    assert abs(
+        r["kripp_alpha"] - round(1.0 - r["d_obs"] / r["d_exp"], 6)
+    ) < 2e-6
+    # alpha and Fleiss' kappa measure the same raters; with N in the
+    # thousands the finite-sample correction is tiny, so they agree
+    # closely (alpha -> kappa as M -> inf for binary nominal data)
+    fk = _run("stats_fleiss_kappa", spark).collect()[0]
+    assert abs(r["kripp_alpha"] - fk["fleiss_kappa"]) < 0.01
+
+
+def test_cochran_q_nonnegative_and_replays(spark):
+    r = _run("stats_cochran_q", spark).collect()[0]
+    assert r["cochran_q"] >= 0.0
+    assert r["df"] == 2
+    c = [r["c1"], r["c2"], r["c3"]]
+    assert all(0 <= x <= r["n"] for x in c)
+
+
+def test_srm_check_balanced_assignment(spark):
+    r = _run("events_srm_check", spark).collect()[0]
+    assert r["arm_a"] + r["arm_b"] == r["n_users"]
+    chi2 = (r["arm_a"] - r["arm_b"]) ** 2 / r["n_users"]
+    assert abs(r["chi2"] - round(chi2, 6)) < 1e-9
+    # a correct hash split of a healthy fixture must NOT flag SRM
+    assert r["srm_flag"] == 0
+
+
+def test_survivorship_partitions_corpus(spark):
+    rows = _run("corpus_dedup_survivorship", spark).collect()
+    by_k = {r["is_keeper"]: r for r in rows}
+    assert 1 in by_k
+    n_total = sum(r["n_docs"] for r in rows)
+    from python_etl_sample_spark.sources import table
+
+    assert n_total == table(spark, SF_DIR, "documents").count()
+    if 0 in by_k:
+        # the dropped class is exactly the higher-id side of the
+        # verified near-dup pair set
+        found = _run("dedup_near_minhash", spark).collect()
+        dropped_ids = {r["doc_b"] for r in found}
+        assert by_k[0]["n_docs"] == len(dropped_ids)
