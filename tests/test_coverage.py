@@ -79,7 +79,7 @@ def test_driver_order_front_loads_unrecorded_queries():
     from python_etl_sample_spark.registry import DRIVER_ORDER, canonical_names
 
     recorded: set[str] = set()
-    for path in sorted(glob.glob(str(REPO / "CORRECTNESS_r0*.json"))):
+    for path in sorted(glob.glob(str(REPO / "CORRECTNESS_r[0-9]*.json"))):
         recorded |= set(json.load(open(path)))
     never = set(canonical_names()) - recorded
     window = set(DRIVER_ORDER[: 50 + len(never)])

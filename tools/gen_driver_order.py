@@ -115,7 +115,7 @@ def compute_order() -> tuple[list[tuple[str, str]], dict[str, int]]:
     rounds: dict[str, list[int]] = {}
     latest_row: dict[str, tuple[int, dict]] = {}
     art_epoch: dict[int, int] = {}
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r0*.json"))):
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r[0-9]*.json"))):
         rnd = int(os.path.basename(path)[len("CORRECTNESS_r"):-len(".json")])
         art_epoch[rnd] = _git_epoch(path)
         for name, row in json.load(open(path)).items():
@@ -171,22 +171,39 @@ def compute_order() -> tuple[list[tuple[str, str]], dict[str, int]]:
             n,
         )
     )
+    # VERDICT-pinned names whose files did NOT change still get head
+    # slots (round-11 policy): the judge can request fresh evidence for
+    # a query — e.g. a floor-drift probe — without its source moving,
+    # and bucket-4 ordering would push such names past the 50-cap.
+    pinned_extra = [
+        n
+        for n in VERDICT_PRIORITY
+        if n in names
+        and n in rounds
+        and n not in upgraded
+        and n not in changed
+        and n not in never
+    ]
     # staleness signal for the pin list itself (r9 ADVICE item 2): a
-    # pinned name outside the changed bucket is either drained (its
-    # post-change row landed — delete it) or misspelled; say which.
+    # pinned name that lands in no head bucket (not changed, not
+    # upgraded, not hoisted) is misspelled or unregistered; say which.
     for pin in VERDICT_PRIORITY:
-        if pin not in changed:
-            why = "not a registered query" if pin not in names else (
-                "drained — its post-change driver row landed"
-                if pin in rounds
-                else "never driver-recorded (sits in bucket 1)"
+        if (
+            pin not in changed
+            and pin not in upgraded
+            and pin not in pinned_extra
+            and pin not in never
+        ):
+            why = (
+                "not a registered query" if pin not in names
+                else "unclassifiable — check the pin"
             )
             print(
-                f"WARNING: VERDICT_PRIORITY name {pin!r} is not in the "
-                f"changed bucket ({why})",
+                f"WARNING: VERDICT_PRIORITY name {pin!r} got no head "
+                f"slot ({why})",
                 file=sys.stderr,
             )
-    head = set(never) | set(changed) | set(upgraded)
+    head = set(never) | set(changed) | set(upgraded) | set(pinned_extra)
     rest = [n for n in names if n in rounds and n not in head]
     rest.sort(key=lambda n: (len(rounds[n]), max(rounds[n]), n))
 
@@ -195,6 +212,10 @@ def compute_order() -> tuple[list[tuple[str, str]], dict[str, int]]:
     out += [
         (n, f"oracle added after last (rows-only) driver row ({len(upgraded)})")
         for n in upgraded
+    ]
+    out += [
+        (n, f"VERDICT-pinned re-evidence ({len(pinned_extra)})")
+        for n in pinned_extra
     ]
     out += [
         (n, f"changed since last driver row ({len(changed)})")
