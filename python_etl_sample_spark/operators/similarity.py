@@ -299,28 +299,37 @@ def sim_knn_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#62 approximate NN via bucketed random-projection LSH — **fully
-    hash-checked since round 11**: the seed-7 projection matrix was
-    already embedded as double literals in ``sim_ann_recall``'s oracle;
-    this detector now buckets on the identical 9-dp-rounded projections
-    (functions/xengine.py) and verifies distance with the index-ordered
-    fold the oracle replays, so the pair emission itself is a driver
-    hash row (VERDICT r10 item 1c). Scheme unchanged: per hash table t,
-    h_t(v) = floor(round(⟨v, g_t⟩, 9) / bucketLength); candidate pairs
-    share a (t, h) bucket — never the full cross product — and each
-    candidate runs one exact distance test, keeping pairs within the
-    radius. Duplicate hits across tables collapse with one distinct
-    (identical doubles by construction: same fold, same inputs).
+    hash-checked since round 11**: the detector buckets on the exact
+    seed-7 projection literals ``sim_ann_recall``'s oracle already
+    embeds, with the floor consuming a 9-dp-rounded dot product
+    (functions/xengine.py), and the per-bucket distance is 9-dp-rounded
+    before the radius test and the sqrt — so the pair emission replays
+    in DuckDB (VERDICT r10 item 1c). Scheme unchanged: per hash table
+    t, h_t(v) = floor(round(⟨v, g_t⟩, 9) / bucketLength); candidate
+    pairs share a (t, h) bucket — never the full cross product — and
+    each candidate bucket runs one exact-distance GEMM block, keeping
+    only pairs within the radius. Duplicate hits across tables collapse
+    with one distinct (identical rounded doubles by construction).
 
-    The 100 TB shape: one shuffle on bucket id (vectors shuffle once per
-    table), per-bucket pair space is bucket-bounded, and the emitted
-    pair set is tiny. Radius 1.2 is the measured selective threshold for
-    these fixtures: random 64-dim pairs sit near dist ≈ sqrt(2), genuine
-    near neighbors at ≈ 1.0, so 1.5 would admit nearly all O(n²) pairs
-    (measured 35 s at sf0.1).
+    Kernel note (round-11 measurement): a declarative per-pair
+    ``zip_with``+``aggregate`` distance fold planned cleanly but ran
+    the 64-term lambda interpreter per candidate pair — 20.8 s at
+    sf0.1 vs 0.7 s for this Arrow GEMM bucket kernel (~30×), so the
+    distance stays in the vectorized kernel and only the DISCONTINUOUS
+    steps (bucket floor, radius test) consume rounded values the
+    oracle reproduces; GEMM-vs-index-order-SUM agreement at 9 dp is
+    the established sim_knn_per_query precedent.
 
-    DuckDB's OR-join enumerates the pair space (fine at oracle scale);
-    Spark's long-format (tbl, h) equi-join is the at-scale plan — the
-    two enumerate the same candidate set."""
+    The 100 TB shape: one shuffle on bucket id (vectors shuffle once
+    per table), per-bucket compute is local and embarrassingly
+    parallel, and the emitted pair set is tiny. Radius 1.2 is the
+    measured selective threshold for these fixtures: random 64-dim
+    pairs sit near dist ≈ sqrt(2), genuine near neighbors at ≈ 1.0, so
+    1.5 would admit nearly all O(n²) pairs (measured 35 s at sf0.1)."""
+    import numpy as np
+    import pandas as pd
+
+    radius2 = xe._LSH_RADIUS * xe._LSH_RADIUS
     e = table(spark, sf_dir, "embeddings")
     vec = F.col("embedding").cast("array<double>")
     buckets = e.select(
@@ -339,35 +348,41 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bk"),
     ).select("vec_id", "vec", F.col("bk.tbl").alias("tbl"), F.col("bk.h").alias("h"))
 
-    a, b = buckets.alias("a"), buckets.alias("b")
-    d2 = F.round(
-        F.aggregate(
-            F.zip_with(
-                F.col("a.vec"), F.col("b.vec"), lambda x, y: (x - y) * (x - y)
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        9,
+    packed = (
+        buckets.groupBy("tbl", "h")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("vec_id").alias("id"), F.col("vec").alias("vec"))
+            ).alias("rows")
+        )
+        # AQE-proofing (see _self_grid): few rows, heavy per-row compute
+        .repartition(32, "tbl", "h")
     )
-    return (
-        a.join(
-            b,
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            d2.alias("d2"),
-        )
-        .filter(F.col("d2") <= F.lit(xe._LSH_RADIUS * xe._LSH_RADIUS))
-        .select(
-            "vec_a", "vec_b", F.round(F.sqrt(F.col("d2")), 6).alias("euclidean_dist")
-        )
-        .distinct()
-    )
+
+    def bucket_pairs(batches):
+        for pdf in batches:
+            for cell in pdf["rows"]:
+                ids, mat, _ = _unpack(cell)
+                sq = (mat * mat).sum(axis=1)
+                d2 = np.maximum(sq[:, None] + sq[None, :] - 2.0 * (mat @ mat.T), 0.0)
+                d2r = np.round(d2, 9)
+                qi, cj = np.nonzero(
+                    (ids[:, None] < ids[None, :]) & (d2r <= radius2)
+                )
+                if len(qi):
+                    yield pd.DataFrame(
+                        {
+                            "vec_a": ids[qi],
+                            "vec_b": ids[cj],
+                            "euclidean_dist": np.round(np.sqrt(d2r[qi, cj]), 6),
+                        }
+                    )
+
+    # a pair found in both tables computes the identical float both
+    # times (same kernel, same inputs), so distinct collapses it safely
+    return packed.mapInPandas(
+        bucket_pairs, "vec_a bigint, vec_b bigint, euclidean_dist double"
+    ).distinct()
 
 
 #: IVF probe count and result depth (unchanged from the rows-only form)
@@ -429,9 +444,19 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     in DuckDB (VERDICT r10 item 1b). Scheme unchanged: the coarse
     quantizer partitions the corpus into inverted lists; each query
     probes its **nprobe=2** nearest centroids (covering boundary
-    neighbors an nprobe=1 form misses) and searches only those lists;
-    a rank window merges the ≤2 candidate sets per query into the
-    per-query top-3 by 9-dp-rounded cosine (id tie-break).
+    neighbors an nprobe=1 form misses) and searches only those lists
+    via a per-cell local GEMM inside applyInPandas; a rank window
+    merges the ≤2 candidate sets per query into the per-query top-3 by
+    9-dp-rounded cosine (id tie-break).
+
+    Kernel note (round-11 measurement): probe assignment is the
+    map-only centroid-literal argmin (declarative, replayable
+    bit-for-bit), but the candidate cosines stay in the vectorized
+    Arrow kernel — the declarative per-pair fold variant cost 1.7 s vs
+    1.0 s at sf0.1 (the interpreted higher-order-function overhead
+    sim_ann_lsh hit at 30×, milder here because the probed-cell pair
+    space is k× smaller); GEMM-vs-index-order-SUM agreement at 9 dp is
+    the established sim_knn_per_query precedent.
 
     This is the second at-scale ANN family next to LSH (#62): one
     shuffle on centroid id, then embarrassingly-parallel local search —
@@ -439,25 +464,14 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is a plan literal shipped with the task closure exactly as
     here (the fit itself is the per-round map-only + k·64-row-shuffle
     plan of ``cluster_kmeans_lloyd``, run once per session via the
-    memo).
+    memo). Candidate-space audit: each query meets only the members of
+    its 2 probed cells — |candidates| ≈ 2n/k per query, never the
+    O(n²) pair space."""
+    import numpy as np
+    import pandas as pd
 
-    Candidate-space audit: each query meets only the members of its 2
-    probed cells — |candidates| ≈ 2n/k per query, never the O(n²) pair
-    space; the cosine is the index-ordered fold (identical to the
-    oracle's range-SUM), and norms are computed once per row, not per
-    pair."""
     assigned, cents = _km_fit(spark, sf_dir)
     carr = _km_centroid_literal(cents)
-
-    def _nrm(col: Column) -> Column:
-        return F.sqrt(
-            F.aggregate(
-                F.transform(col, lambda x: x * x),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        )
-
     pdists = F.array_sort(
         F.transform(
             carr,
@@ -476,37 +490,46 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    queries = assigned.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("emb").alias("qv"),
-        _nrm(F.col("emb")).alias("qn"),
+    # one frame carries the home cell (= nearest centroid) and the
+    # probe fan-out; local_knn's membership test recovers the lists
+    probes = assigned.select(
+        "vec_id",
+        F.col("emb").alias("embedding"),
+        F.col("cid").alias("centroid"),
         F.explode(
             F.array(*[pdists[i]["cid"] for i in range(_IVF_NPROBE)])
-        ).alias("cid"),
+        ).alias("probe"),
     )
-    lists = assigned.select(
-        F.col("cid"),
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("emb").alias("nv"),
-        _nrm(F.col("emb")).alias("nn"),
-    )
-    sim = F.round(
-        F.aggregate(
-            F.zip_with(F.col("qv"), F.col("nv"), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        / (F.col("qn") * F.col("nn")),
-        9,
-    )
-    cand = (
-        queries.join(lists, "cid")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", sim.alias("sim"))
+
+    k = _IVF_K
+
+    def local_knn(pdf: pd.DataFrame) -> pd.DataFrame:
+        # corpus of this list = rows whose PRIMARY centroid is the
+        # probed one; queries = every row probing it
+        is_member = (pdf["centroid"] == pdf["probe"]).to_numpy()
+        if not is_member.any():
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "sim": []})
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        c_ids, c_mat, c_norms = ids[is_member], mat[is_member], norms[is_member]
+        sims = np.round((mat @ c_mat.T) / np.outer(norms, c_norms), 9)
+        out = {"query_id": [], "neighbor_id": [], "sim": []}
+        for r, qid in enumerate(ids):
+            keep = c_ids != qid
+            order = np.lexsort((c_ids[keep], -sims[r][keep]))[:k]
+            out["query_id"].extend([qid] * len(order))
+            out["neighbor_id"].extend(c_ids[keep][order])
+            out["sim"].extend(sims[r][keep][order])
+        return pd.DataFrame(out)
+
+    cand = probes.groupBy("probe").applyInPandas(
+        local_knn, "query_id bigint, neighbor_id bigint, sim double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
-        cand.withColumn("rn", F.row_number().over(w).cast("int"))
+        cand.dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= _IVF_K)
         .select("query_id", "neighbor_id", "sim", "rn")
     )
