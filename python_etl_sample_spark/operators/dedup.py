@@ -66,13 +66,15 @@ def _shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines (set semantics are preserved up to 64-bit collisions,
     which are deterministic and ~n²/2⁶⁴ rare).
 
-    Every consumer (minhash: signature + both Jaccard sides; simhash:
-    vote agg; n-gram: both join sides + sizes) re-derives this frame,
-    and the slightly different downstream projections defeat
-    ReuseExchange (verified: 0 ReusedExchange, 6 parquet scans in the
-    minhash plan) — so it is persisted through the session memo
-    (cache.py): ~16 B/shingle, ONE cached copy per (session, sf) shared
-    by all three near-dup families instead of a leaked persist per call.
+    Consumers (n-gram Jaccard: both join sides + sizes; the substring
+    and contamination queries) re-derive this frame, and the slightly
+    different downstream projections defeat ReuseExchange — so it is
+    persisted through the session memo (cache.py): ~16 B/shingle, ONE
+    cached copy per (session, sf). (Round 11 moved the minhash/simhash
+    detectors onto the cross-engine polynomial-key frame in
+    functions/xengine.py — this xxhash64 frame remains the right choice
+    where no SQL replay is needed, since the 64-bit hash space makes
+    collisions ~2⁶⁴-rare vs the polynomial's 2³¹.)
     """
 
     def build() -> DataFrame:

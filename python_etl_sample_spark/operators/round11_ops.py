@@ -144,7 +144,6 @@ def ml_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FLEISS_R1 = "CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END"
 _FLEISS_R2 = "CASE WHEN l_tax >= 0.04 THEN 1 ELSE 0 END"
 _FLEISS_R3 = "CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END"
-_FLEISS_NR = 3  # raters per item
 
 
 @query(

@@ -8,8 +8,6 @@ from __future__ import annotations
 
 import math
 
-import pytest
-
 from python_etl_sample_spark.registry import REGISTRY, load_all_operators
 
 load_all_operators()
