@@ -201,3 +201,78 @@ def test_survivorship_partitions_corpus(spark):
         found = _run("dedup_near_minhash", spark).collect()
         dropped_ids = {r["doc_b"] for r in found}
         assert by_k[0]["n_docs"] == len(dropped_ids)
+
+
+def test_xengine_polynomial_matches_pure_python(spark):
+    """Algorithm-vs-algorithm: the Spark fold that keys shingles must
+    equal a pure-Python evaluation of the same polynomial
+    (acc·31 + code) mod (2³¹−1) on the actual corpus shingles — a bug
+    in the fold direction, modulus, or ascii indexing would shift
+    every downstream minhash/simhash decision in BOTH engines at once,
+    which the cross-engine hash could never catch."""
+    from pyspark.sql import functions as F
+
+    from python_etl_sample_spark.functions.xengine import (
+        _XP,
+        _xengine_shingle_keys,
+    )
+    from python_etl_sample_spark.sources import table
+
+    def poly(s: str) -> int:
+        acc = 0
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % _XP
+        return acc
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in table(spark, SF_DIR, "documents").limit(25).collect()
+    }
+    expected = set()
+    for doc_id, text in docs.items():
+        toks = [t for t in text.lower().split() if t]
+        for i in range(len(toks) - 2):
+            expected.add((doc_id, poly(" ".join(toks[i : i + 3]))))
+    got = {
+        (r["doc_id"], r["k"])
+        for r in _xengine_shingle_keys(spark, SF_DIR)
+        .filter(F.col("doc_id").isin(list(docs)))
+        .collect()
+    }
+    assert got == expected
+
+
+def test_minhash_detector_output_equals_exact_truth_on_fixtures(spark):
+    """Precision AND recall of the deployed detector on the fixtures:
+    every emitted pair carries an exact Jaccard >= 0.8 by construction
+    (precision 1.0 structurally — candidates are verified against the
+    inverted-index counts), and the banding geometry catches every
+    planted truth pair here (recall measured 1.0 at this scale), so
+    the output must EQUAL dedup_ngram_jaccard's truth set."""
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in _run("dedup_ngram_jaccard", spark).collect()
+    }
+    found = {
+        (r["doc_a"], r["doc_b"])
+        for r in _run("dedup_near_minhash", spark).collect()
+    }
+    assert found == truth
+
+
+def test_hits_cadence_constant_is_shared_and_valid():
+    """The renorm cadence generates BOTH the Spark loop and the oracle
+    CTE chain; a cadence that does not renormalize on the final round
+    would leave the hub output un-normalized while the oracle's final
+    SELECT still reads h{rounds} — pin the structural invariant."""
+    from python_etl_sample_spark.operators.round10b_ops import (
+        _HITS_RENORM_EVERY,
+        _HITS_ROUNDS,
+    )
+
+    assert _HITS_ROUNDS % _HITS_RENORM_EVERY == 0
+    from python_etl_sample_spark.registry import REGISTRY
+
+    oracle = REGISTRY["graph_hits_scores"].oracle
+    # final round must carry a renormalizing CTE in the oracle text
+    assert f"h{_HITS_ROUNDS}t" in oracle
