@@ -35,6 +35,26 @@ from pyspark.sql import functions as F
 DEC = "decimal(28,6)"
 
 
+# Scale 9: for summing values that were already rounded to 9 dp (the
+# repo's discontinuity-guard convention). A 9-dp-rounded double is the
+# nearest binary to a 9-decimal grid point and sits within ~2e-16 of
+# it — orders of magnitude inside the 5e-10 half-grid — so BOTH
+# engines' double→decimal(·,9) casts recover exactly that grid point:
+# no re-rounding, no halfway point, regardless of Spark's
+# shortest-string-HALF_UP vs DuckDB's exact-binary tie semantics.
+# (Casting such values at scale 6 instead RE-rounds at 6 dp and can
+# land on a tie when the 9-dp form ends in 5 at the 7th place — the
+# latent cross-engine flake this scale exists to close.)
+# Domain bound for the final decimal→double cast: |sum|·10⁹ < 2⁵³,
+# i.e. |sum| ≲ 9e6 — ample for the ratio-valued (≤ 1) and log-valued
+# (≤ ~10) inputs this helper serves.
+DEC9 = "decimal(38,9)"
+
+
+def dsum9_sql(expr: str) -> str:
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,9))) AS DOUBLE)"
+
+
 def dsum(col: Column | str) -> Column:
     """Order-independent, engine-exact sum of a double column."""
     c = F.col(col) if isinstance(col, str) else col

@@ -330,11 +330,19 @@ _MH_BANDS_CTES = f"""
 # --------------------------------------------------------------------------
 
 #: sim_ann_lsh's deployed parameters and its exact projection matrix —
-#: the seed-pinned generator call, embedded as double literals on BOTH
-#: sides (repr() round-trips float64 exactly, and DuckDB parses decimal
-#: text to the nearest double).
+#: frozen as explicit float64 literals (originally drawn once from
+#: ``np.random.default_rng(7).standard_normal((2, 64))``; NEP 19 does
+#: not guarantee Generator stream stability across numpy feature
+#: releases, so regenerating at import would let a numpy upgrade
+#: silently shift every recorded sim_ann_lsh / sim_lsh_radius_sweep /
+#: sim_ann_recall hash). repr() round-trips float64 exactly, and DuckDB
+#: parses decimal text to the nearest double, so BOTH engines read the
+#: very same 128 doubles from these literals.
 _LSH_TABLES, _LSH_BUCKET_LEN, _LSH_RADIUS = 2, 1.0, 1.2
-_LSH_PROJ = np.random.default_rng(7).standard_normal((_LSH_TABLES, 64))
+_LSH_PROJ = np.array([
+    [0.0012301533574825742, 0.2987455375084699, -0.2741378553622176, -0.8905918387572742, -0.45467078517172255, -0.9916465549964624, 0.060143602597438485, 1.3402152455545335, -0.49220651855132963, -0.6204748998199404, 0.4898420501851982, 0.35688700816006075, 0.10541424899789856, -0.9304680447082047, -0.02925182246327349, 0.6953031944582878, -1.344214547285082, -0.45761576104021817, -1.901222739800844, -1.289537739784976, -1.8417350377917323, -0.23509113107468127, -1.2674464814437032, 0.2712643588217015, 0.15675108662422516, -0.18693094462995438, -2.516759710820513, -0.5386928958466366, -0.048500945401071985, 0.11330898600330756, -1.5301357655053935, -0.47775327603393064, -0.9785190780566395, -0.8088372394255993, 1.0608986233860787, -0.8075346753318965, -0.0325217049455206, 0.8843898673831739, -0.583600432743302, -0.11170194958415963, 0.11046414324948059, 0.06378177425506196, -1.2250558264176934, 0.0761402303770081, 1.3588234217415376, -1.5471446781284823, 0.8593826880215982, 0.11935402569658124, -0.6414703941072214, 2.000416546342423, 0.7622597120847118, -1.1992889021052233, 0.07451622877146342, 0.5766895836701853, -0.1887821253507493, 0.682910267195206, -0.06651732014941557, 0.6672475608343279, 1.438522591656152, -0.6756622510056528, 0.20313861038960904, -0.46330757653841514, 0.12726841122583082, -1.18719452785014],
+    [-0.5793015965026732, -0.1961959728044967, 0.8987638721004078, 1.145222007454132, -1.323527792484255, -0.7946423659870495, 0.6469034225734218, -1.9924197841744944, -0.46316986495236695, -0.09728692567008902, 1.2570149772868198, 0.6894039005707556, -0.32721342022219785, -0.3685758940999591, -0.25019540051792494, 1.5235294004561601, -0.4280249425728672, -0.3036803883647294, 0.35258906728526535, -0.12077044508645512, -0.19728422796572256, -1.1140671431510563, -0.011521468038548173, -0.4435812229744192, 1.1661277761902227, 0.6530885027011638, -0.024143613009932233, 0.6683810232673438, -0.3398695517131494, 1.052126358426947, -0.005399560671626605, 0.5833823541804138, -1.2908932453234871, 0.34668004887842974, -1.6882041173665416, -2.0353289449399323, -0.3044768777114372, -0.8999276075985952, 0.16405279571222256, 2.2447566264860495, -0.8317231814120817, -0.6239435864439059, 0.2054039460646989, 0.49301329141235634, -0.1764060659057582, -0.20593033025321647, 0.7024629551205442, 0.5199076370338984, -1.0336758320736887, -0.07918131861584184, 0.035286848661474135, -1.0544846220491104, 0.25983910067436333, -0.8579564771765439, 0.9720667079170427, 0.1927459126050724, 0.08930648576905029, -0.591028352856274, -0.11860982387769403, -1.9977462929070549, -1.1314074705230586, 0.3628397991887543, -2.1285670418221447, 0.8466085214811634],
+])
 
 
 def _lsh_dot_sql(vec: str, t: int) -> str:

@@ -97,6 +97,19 @@ _HITS_EDGES_SQL = """
 #: widened stretch to two half-steps.
 _HITS_RENORM_EVERY = 2
 
+#: Runtime headroom guard for the 2-round cadence: at the renorm the
+#: widened product ``raw · SCALE`` is bounded by maxdeg³·10²⁴, which
+#: fits DECIMAL(38,0)/HUGEINT only while maxdeg ≤ ~4.6·10⁴ (beyond it
+#: Spark's non-ANSI decimal arithmetic silently yields NULL, where
+#: DuckDB's HUGEINT at least errors). The kernel therefore asserts
+#: max(outdeg, indeg) against this bound AT EXECUTION TIME — a
+#: ``raise_error`` folded into the already-broadcast scalar aggregate,
+#: zero extra stages — instead of trusting the comment: a hot-node
+#: graph at cluster scale fails loudly with the remediation
+#: (set _HITS_RENORM_EVERY = 1, restoring the round-10 maxdeg ~10¹⁴
+#: headroom) rather than shipping silently-NULL hub scores.
+_HITS_MAXDEG_BOUND = 46_000
+
 
 def _hits_round_sql(prev_h: str, t: int) -> str:
     """One unrolled HITS round in HUGEINT: authority half-step, hub
@@ -219,22 +232,44 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = cached_df(spark, ("hits_edges", os.path.abspath(sf_dir)), _edges)
     outdeg = edges.groupBy("c").agg(F.count(F.lit(1)).alias("deg"))
     indeg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
-    n_hubs = outdeg.agg(F.count(F.lit(1)).alias("n"))
+    # one scalar frame carries BOTH the hub count and the max degree
+    # over both roles (the widened-arithmetic headroom input) — the
+    # union costs nothing extra vs the old outdeg-only count scalar,
+    # and the guard rides the broadcast instead of adding a job
+    n_hubs = (
+        outdeg.select("deg", F.lit(1).alias("is_hub"))
+        .unionAll(indeg.select("deg", F.lit(0).alias("is_hub")))
+        .agg(F.sum("is_hub").alias("n"), F.max("deg").alias("md"))
+    )
+    # degree guard (see _HITS_MAXDEG_BOUND): folded into the h₀
+    # expression as `+ 0` so column pruning can't drop it; raise_error
+    # only evaluates on the over-bound branch
+    deg_guard = (
+        f"(CASE WHEN md > {_HITS_MAXDEG_BOUND} THEN raise_error("
+        f"'graph_hits_scores: max degree exceeds the audited "
+        f"DECIMAL(38) headroom for _HITS_RENORM_EVERY="
+        f"{_HITS_RENORM_EVERY}; set _HITS_RENORM_EVERY = 1') "
+        f"ELSE 0 END)"
+    )
 
     # renorm product form: ``(raw · SCALE) DIV t`` — exact per-node
     # flooring (mass loss ≤ 1 unit/node, the invariant the mass test
     # pins). Range audit at this cadence: raw ≤ maxdeg³·10¹², so the
     # product ≤ maxdeg³·10²⁴ — inside DECIMAL(38)/HUGEINT to maxdeg
-    # ~4.6·10⁴; beyond that, tighten _HITS_RENORM_EVERY back to 1
-    # (restoring the round-10 maxdeg ~10¹⁴ headroom) — the cadence is
-    # a tunable, not a correctness knob, since the oracle is generated
-    # from the same constant. Spark's decimal DIV returns BIGINT with
-    # the same truncation-toward-zero DuckDB's ``//`` applies on
-    # positive operands (verified).
+    # ~4.6·10⁴, ENFORCED at runtime by deg_guard above; beyond it,
+    # tighten _HITS_RENORM_EVERY back to 1 (restoring the round-10
+    # maxdeg ~10¹⁴ headroom) — the cadence is a tunable, not a
+    # correctness knob, since the oracle is generated from the same
+    # constant. Spark's decimal DIV returns BIGINT with the same
+    # truncation-toward-zero DuckDB's ``//`` applies on positive
+    # operands (verified).
     renorm = f"CAST((raw * CAST({_HITS_SCALE} AS DECIMAL(38,0))) DIV t AS BIGINT)"
     dec = "decimal(38,0)"
     hubs = outdeg.crossJoin(F.broadcast(n_hubs)).select(
-        "c", F.expr(f"CAST({_HITS_SCALE} DIV n AS {dec})").alias("h")
+        "c",
+        F.expr(f"CAST({_HITS_SCALE} DIV n + {deg_guard} AS {dec})").alias(
+            "h"
+        ),
     )
     a_raw = None
     for rnd in range(1, _HITS_ROUNDS + 1):

@@ -49,7 +49,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from python_etl_sample_spark.functions import xengine as xe
-from python_etl_sample_spark.functions.determinism import DEC, dsum_sql
+from python_etl_sample_spark.functions.determinism import DEC9, dsum9_sql
 from python_etl_sample_spark.functions.total_order import attach_global_order
 from python_etl_sample_spark.registry import query
 from python_etl_sample_spark.sources import table
@@ -386,7 +386,7 @@ def events_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(floor(jac * 20) AS BIGINT) AS bin20,
            round(CAST(floor(jac * 20) AS BIGINT) / 20.0, 2) AS bin_lo,
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
-           round({dsum_sql('jac')} / COUNT(*), 6) AS mean_jac
+           round({dsum9_sql('jac')} / COUNT(*), 6) AS mean_jac
     FROM j
     GROUP BY 1, 2
     """,
@@ -407,8 +407,11 @@ def dedup_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     document frequency, never O(n²).
 
     Determinism: Jaccard is an exact-int division rounded 9 dp; the
-    bin is floor(jac·20) on that identical double; mean_jac is the
-    order-independent decimal sum of the rounded values."""
+    bin is floor(jac·20) on that identical double; mean_jac sums at
+    decimal scale 9 (DEC9), where the cast recovers each 9-dp value
+    EXACTLY in both engines — no re-round, no tie semantics in play
+    (a scale-6 cast would re-round 9-dp inputs with engine-specific
+    tie handling; see functions/determinism.py)."""
     keys = xe._xengine_shingle_keys(spark, sf_dir)
     pairs = xe._xengine_pairs(spark, sf_dir)
     sizes = keys.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -424,7 +427,7 @@ def dedup_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
             F.round(
-                F.sum(F.col("jac").cast(DEC)).cast("double")
+                F.sum(F.col("jac").cast(DEC9)).cast("double")
                 / F.count(F.lit(1)),
                 6,
             ).alias("mean_jac"),
@@ -479,8 +482,9 @@ def dedup_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sums AS (
       SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-             {dsum_sql('x')} AS sx, {dsum_sql('y')} AS sy,
-             {dsum_sql('x * x')} AS sxx, {dsum_sql('x * y')} AS sxy
+             {dsum9_sql('x')} AS sx, {dsum9_sql('y')} AS sy,
+             {dsum9_sql('round(x * x, 9)')} AS sxx,
+             {dsum9_sql('round(x * y, 9)')} AS sxy
       FROM pts
     )
     SELECT CAST(n AS BIGINT) AS n_points,
@@ -507,9 +511,12 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     window); the regression runs on |docs| checkpoint rows via the
     decimal-sum OLS of agg_regression_ols.
 
-    Determinism: counts are exact ints; log10 outputs round at 9 dp
-    before the decimal-sum regression (the text_zipf_slope
-    convention); ties impossible (doc_id is unique)."""
+    Determinism: counts are exact ints; log10 outputs round at 9 dp,
+    their sums run at decimal scale 9 (DEC9 — the cast is EXACT for
+    9-dp inputs, no engine-specific re-round; see
+    functions/determinism.py), and the cross-products round at 9 dp in
+    double — mirrored in both engines — before the same exact scale-9
+    cast; ties impossible (doc_id is unique)."""
     d = table(spark, sf_dir, "documents")
     tok = (
         d.select(
@@ -535,13 +542,13 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log10(F.col("cum_n").cast("double")), 9).alias("x"),
         F.round(F.log10(F.col("cum_v").cast("double")), 9).alias("y"),
     )
-    dec = lambda c: F.sum(c.cast(DEC)).cast("double")  # noqa: E731
+    dec9 = lambda c: F.sum(c.cast(DEC9)).cast("double")  # noqa: E731
     sums = pts.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        dec(F.col("x")).alias("sx"),
-        dec(F.col("y")).alias("sy"),
-        dec(F.col("x") * F.col("x")).alias("sxx"),
-        dec(F.col("x") * F.col("y")).alias("sxy"),
+        dec9(F.col("x")).alias("sx"),
+        dec9(F.col("y")).alias("sy"),
+        dec9(F.round(F.col("x") * F.col("x"), 9)).alias("sxx"),
+        dec9(F.round(F.col("x") * F.col("y"), 9)).alias("sxy"),
     )
     n, sx, sy, sxx, sxy = (F.col(c) for c in ("n", "sx", "sy", "sxx", "sxy"))
     slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)

@@ -56,6 +56,24 @@ def test_hits_deterministic(spark):
     assert a == b
 
 
+def test_hits_degree_guard_trips_beyond_audited_headroom(spark, monkeypatch):
+    """The DECIMAL(38) range audit for the 2-round renorm cadence holds
+    only to maxdeg ~4.6e4; past it Spark's non-ANSI decimal arithmetic
+    would NULL silently. The kernel must therefore fail LOUDLY at
+    execution when max(outdeg, indeg) exceeds _HITS_MAXDEG_BOUND — and
+    the guard must not be prunable (it rides the h₀ expression). Pin
+    both directions: bound forced below the fixture's real max degree →
+    raises with the remediation message; real bound → runs clean (every
+    other HITS test covers that side)."""
+    import pytest
+
+    from python_etl_sample_spark.operators import round10b_ops as mod
+
+    monkeypatch.setattr(mod, "_HITS_MAXDEG_BOUND", 0)
+    with pytest.raises(Exception, match="_HITS_RENORM_EVERY"):
+        graph_hits_scores(spark, SF_DIR).collect()
+
+
 def test_pq_adc_shape_and_ordering(spark):
     """Every label-0 query gets exactly _PQ_TOPK neighbors (the ADC
     scan covers the whole corpus), ranks are 1..k, distances are
