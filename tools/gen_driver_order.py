@@ -18,11 +18,15 @@ kind even if recent in round number:
    has a git commit (or uncommitted working-tree edit) NEWER than the
    newest artifact that carries a row for the query, so whatever the
    driver hashed is not what the repo now runs; the VERDICT-named
-   carryover set leads, then edit recency DESCENDING at artifact-round
-   granularity (stalest row breaking ties inside an edit batch) so the
-   changes the rotation has never had a chance to respond to take the
-   50-cap slots ahead of old churn that merely post-dates an ancient
-   row;
+   carryover set leads, then STALEST DRIVER ROW FIRST (edit recency
+   breaking ties inside a row-round). Round 12 flipped the r8-era
+   edit-recency-first order: with ~89 changed names queued behind a
+   50-slot artifact (VERDICT r11 item 1), recency-first lets each new
+   round's file-sibling churn (whose r11 rows are fresh and whose
+   values usually didn't move) starve the r2-era backlog forever,
+   while stalest-first drains the backlog monotonically and any
+   genuinely value-changed query is pinned by name via
+   VERDICT_PRIORITY;
 4. everything else by (number of driver rows ascending, round of most
    recent row ascending, name) so plain re-recording slots go to the
    stalest evidence first.
@@ -58,25 +62,24 @@ sys.path.insert(0, REPO)
 #: this tuple from each round's VERDICT; it drains automatically (a
 #: name leaves the changed bucket once its post-change row lands).
 VERDICT_PRIORITY = (
-    # r10 verdict item 1: the four former rows-only detectors were
-    # rewritten onto the cross-engine families in round 11 — their
-    # first-ever HASH rows are the round's headline evidence
-    "dedup_near_minhash",
-    "dedup_simhash",
-    "sim_ann_lsh",
-    "sim_ann_ivf",
-    # r10 ADVICE item 1: DeLong summand arithmetic changed in both
-    # engines (9-dp pre-round before the decimal cast)
-    "ml_auc_delong_ci",
-    # r10 verdict item 3: floor-drift names to re-evidence post-probe
-    "sort_multi",
-    "text_vocab_coverage",
-    "stats_kruskal_wallis",
-    "stats_gini_lorenz",
-    # r10 verdict item 5: graph-loop barrier-budget experiments touch
-    # these two hot floors
+    # r11 ADVICE fixes whose recorded VALUES changed this round — the
+    # stalest-in-kind evidence on the surface (old driver hashes no
+    # longer reproduce): scale-9 decimal sums
+    "dedup_jaccard_histogram",
+    "text_heaps_law_fit",
+    # r11 ADVICE item 1: HITS gained the runtime degree guard (values
+    # unchanged, plan changed) — re-evidence the pinned hot floor
     "graph_hits_scores",
-    "graph_community_modularity",
+    # r11 verdict item 1: named heads of the changed-code drain — the
+    # similarity/dedup consumers of round 11's xengine kernel work
+    # whose re-evidence missed the r11 50-cap
+    "dedup_embedding_cosine",
+    "sim_cosine_topk",
+    "sim_knn_per_query",
+    "dedup_minhash_recall",
+    "sim_ann_recall",
+    "sim_pq_adc",
+    "sim_pq_ivf_adc",
 )
 
 
@@ -150,13 +153,11 @@ def compute_order() -> tuple[list[tuple[str, str]], dict[str, int]]:
         and n not in upgraded
         and _src_epoch(n) > art_epoch[latest_row[n][0]]
     ]
-    # freshest unaudited change first, at ROUND granularity: quantize
-    # each file's edit time to "edited after artifact r{k}" so every
-    # same-round edit ties, then break ties stalest-row-first. This
-    # puts the latest round's edits ahead (the rotation never had a
-    # chance to respond to them), and WITHIN an edit round records the
-    # most-overdue evidence first — e.g. an r4-row query whose file
-    # changed in r8 outranks an r7-row query from the same edit batch.
+    # stalest driver row first (see module docstring: the round-12
+    # flip): the backlog drains oldest-evidence-first, so a bounded
+    # number of rounds clears it regardless of how much fresh
+    # file-sibling churn each round adds; edit recency (at
+    # artifact-round granularity) only breaks ties within a row-round.
     art_rounds = sorted(art_epoch)
 
     def _edit_round(n: str) -> int:
@@ -166,8 +167,8 @@ def compute_order() -> tuple[list[tuple[str, str]], dict[str, int]]:
     changed.sort(
         key=lambda n: (
             n not in VERDICT_PRIORITY,
-            -_edit_round(n),
             latest_row[n][0],
+            -_edit_round(n),
             n,
         )
     )
