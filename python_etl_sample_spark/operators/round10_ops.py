@@ -346,10 +346,11 @@ _ANN_K = 5  # ground truth: sim_knn_per_query's exact top-5
 _KNN_DOT = "(SELECT SUM(q.embedding[i+1]::DOUBLE * c.embedding[i+1]::DOUBLE) FROM range(64) t(i))"
 
 
-@query(
-    "sim_ann_recall",
-    oracle=f"""
-    WITH {_km_ctes()},
+#: shared WITH-body: exact top-5 truth pairs + per-pair LSH/IVF catch
+#: flags (carrying query_id/neighbor_id through). Consumed by the
+#: sim_ann_recall oracle (grouped by rank) and round12_ops'
+#: ann_recall_under_churn oracle (grouped by churn class).
+_ANN_FLAGS_CTES = f"""{_km_ctes()},
     nv AS (
       SELECT vec_id, label, embedding,
              sqrt((SELECT SUM(embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE)
@@ -390,7 +391,7 @@ _KNN_DOT = "(SELECT SUM(q.embedding[i+1]::DOUBLE * c.embedding[i+1]::DOUBLE) FRO
       GROUP BY vec_id
     ),
     flags AS (
-      SELECT e.rn,
+      SELECT e.rn, e.query_id, e.neighbor_id,
              CASE WHEN (la.b0 = lb.b0 OR la.b1 = lb.b1)
                    AND round({_d2_sql('qe.embedding', 'ne.embedding')}, 9)
                        <= {_LSH_RADIUS * _LSH_RADIUS}
@@ -404,7 +405,13 @@ _KNN_DOT = "(SELECT SUM(q.embedding[i+1]::DOUBLE * c.embedding[i+1]::DOUBLE) FRO
       JOIN lshb lb ON lb.vec_id = e.neighbor_id
       JOIN probes pq ON pq.vec_id = e.query_id
       JOIN fin fn ON fn.vec_id = e.neighbor_id
-    ),
+    )"""
+
+
+@query(
+    "sim_ann_recall",
+    oracle=f"""
+    WITH {_ANN_FLAGS_CTES},
     unioned AS (
       SELECT rn, 'lsh' AS family, lsh_caught AS caught FROM flags
       UNION ALL
@@ -437,10 +444,42 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
       whose SQL replay already hash-passes) in place of the NumPy
       512-sample fit, which no SQL engine can replay.
 
-    Scale: ground truth is |label-0 queries| × 5 rows; every join below
-    is keyed on vec_id against linear frames (buckets, probes, home
-    cells) — the recall layer adds nothing quadratic on top of the
-    exact-kNN baseline it measures."""
+    Scale: ground truth is |label-0 queries| × 5 rows; every join in
+    the flag frame is keyed on vec_id against linear frames (buckets,
+    probes, home cells) — the recall layer adds nothing quadratic on
+    top of the exact-kNN baseline it measures."""
+    flags = _ann_flag_frame(spark, sf_dir)
+    return flags.groupBy("family", "rn").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("caught").cast("long").alias("n_caught"),
+        F.round(
+            F.sum("caught").cast("double") / F.count(F.lit(1)), 6
+        ).alias("recall"),
+    )
+
+
+def _ann_flag_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(rn, query_id, neighbor_id, family, caught) for every exact
+    top-5 truth pair × (lsh | ivf) — the Spark twin of
+    ``_ANN_FLAGS_CTES``, shared by ``sim_ann_recall`` (grouped by
+    rank) and ``ann_recall_under_churn`` (round12_ops, grouped by
+    churn class). Session-memoized (|queries|·5·2 rows): the exact-kNN
+    GEMM ground truth and the six vec_id-keyed joins behind the flags
+    run once per (session, sf) however many consumers group over them —
+    a pure function of the embeddings table, so the memo is
+    contract-legal (a fresh session re-derives it on a clean miss)."""
+    import os
+
+    from python_etl_sample_spark.cache import cached_df
+
+    return cached_df(
+        spark,
+        ("ann_catch_flags", os.path.abspath(sf_dir)),
+        lambda: _ann_flag_frame_build(spark, sf_dir),
+    )
+
+
+def _ann_flag_frame_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = sim_knn_per_query(spark, sf_dir).select("query_id", "neighbor_id", "rn")
 
     e = table(spark, sf_dir, "embeddings")
@@ -533,8 +572,10 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (d2 <= F.lit(_LSH_RADIUS * _LSH_RADIUS))
     )
     ivf_caught = (F.col("ncid") == F.col("p1")) | (F.col("ncid") == F.col("p2"))
-    flags = qd.select(
+    return qd.select(
         "rn",
+        "query_id",
+        "neighbor_id",
         F.explode(
             F.array(
                 F.struct(
@@ -547,11 +588,10 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("fc"),
-    ).select("rn", F.col("fc.family").alias("family"), F.col("fc.caught").alias("caught"))
-    return flags.groupBy("family", "rn").agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.sum("caught").cast("long").alias("n_caught"),
-        F.round(
-            F.sum("caught").cast("double") / F.count(F.lit(1)), 6
-        ).alias("recall"),
+    ).select(
+        "rn",
+        "query_id",
+        "neighbor_id",
+        F.col("fc.family").alias("family"),
+        F.col("fc.caught").alias("caught"),
     )
