@@ -135,6 +135,11 @@ SHARED_INTERMEDIATE = (
     "sim_lsh_radius_sweep",
     "text_bpe_compression_by_lang",
     "corpus_dedup_survivorship",
+    # round 12: the truth-pair catch-flag frame (round10_ops) is a
+    # cached_df memo shared by sim_ann_recall and the churn split; the
+    # SemDeDup sweep reads the memoized Lloyd fit
+    "ann_recall_under_churn",
+    "dedup_semdedup_eps",
 )
 
 
