@@ -492,3 +492,115 @@ def test_cc_kernels_on_10k_chain(spark):
         distinct_labs = labels.select("lab").distinct().collect()
         assert [r["lab"] for r in distinct_labs] == [0], kernel.__name__
         assert labels.count() == n + 1, kernel.__name__
+
+
+# ---- round-12 kernels ------------------------------------------------
+
+
+def test_lpa_mode_superstep_equals_pure_python_plurality(spark):
+    """The single-shuffle LPA superstep (round6c_ops, round 12) rests
+    entirely on Spark's mode(label, deterministic=true) implementing
+    the plurality rule (count DESC, label ASC). Replay 3 synchronous
+    rounds on random graphs against a pure-Python reference — small
+    graphs are tie-dense (most neighbor counts are 1), so the
+    lowest-label tie-break is exercised on nearly every node; a Spark
+    behavior change in mode's tie semantics would shift labels in BOTH
+    engines at once, which the cross-engine hash could never catch."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(1207)
+    cases = [
+        [(i, i + 1) for i in range(20)],  # chain
+        [(0, i) for i in range(1, 12)],  # star
+    ]
+    for n, m in ((30, 45), (18, 12), (40, 100)):
+        cases.append(
+            sorted(
+                {
+                    (a, b)
+                    for a, b in (
+                        (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+                    )
+                    if a != b
+                }
+            )
+        )
+    for und in cases:
+        if not und:
+            continue
+        sym = und + [(b, a) for a, b in und]
+        nodes = sorted({x for e in sym for x in e})
+        # pure-Python synchronous plurality LPA, 3 rounds
+        lab = {x: x for x in nodes}
+        adj: dict[int, list[int]] = {x: [] for x in nodes}
+        for s, d in sym:
+            adj[s].append(d)
+        for _ in range(3):
+            nxt = {}
+            for x in nodes:
+                cnt: dict[int, int] = {}
+                for nb in adj[x]:
+                    cnt[lab[nb]] = cnt.get(lab[nb], 0) + 1
+                nxt[x] = min(cnt, key=lambda l: (-cnt[l], l))
+            lab = nxt
+        sym_df = spark.createDataFrame(sym, "src int, dst int")
+        labels = spark.createDataFrame(
+            [(x, x) for x in nodes], "node int, label int"
+        )
+        for _ in range(3):
+            labels = (
+                sym_df.join(labels, sym_df.dst == labels.node)
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.expr("mode(label, true)").alias("label"))
+            )
+        got = {r["node"]: r["label"] for r in labels.collect()}
+        assert got == lab, "mode superstep diverged from plurality reference"
+
+
+def test_bucketed_pair_expansion_equals_self_join_pairs(spark):
+    """The local pair expansion behind dedup_minhash_param_sweep's
+    bucket pre-aggregation (round 12) — sort_array + the
+    flatten/transform/slice HOF — must emit exactly the a<b pair set
+    the former self-join produced, for arbitrary bucket occupancies
+    (the slice index arithmetic is the off-by-one hazard)."""
+    import itertools
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(1212)
+    rows = [
+        (rng.randrange(12), doc_id)
+        for doc_id in range(60)
+        for _ in range(rng.choice((0, 1, 1, 2)))
+    ]
+    want = set()
+    by_bucket: dict[int, set[int]] = {}
+    for bk, doc in rows:
+        by_bucket.setdefault(bk, set()).add(doc)
+    for docs in by_bucket.values():
+        want |= set(itertools.combinations(sorted(docs), 2))
+    df = spark.createDataFrame(rows, "bk int, doc_id int").distinct()
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in (
+            df.groupBy("bk")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+            .filter(F.size("ds") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(ds, (a, i) -> "
+                        "transform(slice(ds, i + 2, size(ds) - i - 1), "
+                        "b -> struct(a AS doc_a, b AS doc_b))))"
+                    )
+                ).alias("p")
+            )
+            .select("p.doc_a", "p.doc_b")
+            .distinct()
+            .collect()
+        )
+    }
+    assert got == want, "HOF pair expansion diverged from combinations"
