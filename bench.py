@@ -137,9 +137,10 @@ SHARED_INTERMEDIATE = (
     "corpus_dedup_survivorship",
     # round 12: the truth-pair catch-flag frame (round10_ops) is a
     # cached_df memo shared by sim_ann_recall and the churn split; the
-    # SemDeDup sweep reads the memoized Lloyd fit
+    # SemDeDup sweep and the IVF load report read the memoized Lloyd fit
     "ann_recall_under_churn",
     "dedup_semdedup_eps",
+    "ann_ivf_imbalance",
 )
 
 

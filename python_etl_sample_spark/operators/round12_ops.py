@@ -1,6 +1,6 @@
-"""Round-12 curation-ops tier (VERDICT r11 item 7) — two fully
-hash-checked operators that ride machinery earlier rounds already
-memoized:
+"""Round-12 curation-ops tier (VERDICT r11 item 7, extended) — five
+fully hash-checked operators that ride machinery earlier rounds
+already memoized:
 
 - ``dedup_semdedup_eps``: the SemDeDup decision curve (Abbas et al.
   2023, "SemDeDup: Data-efficient learning at web-scale through
@@ -20,6 +20,15 @@ memoized:
   retained-vs-churned recall gap beyond truth-pair sampling means id-
   or order-dependence crept into the bucketing), and quantifies the
   sampling side: which truth pairs the churn class actually touches.
+- ``text_quality_threshold_sweep``: the quality-filter decision curve
+  (retention / kept chars / survivor mean per cut) for the deployed
+  heuristic score — the filter-side companion to the SemDeDup curve.
+- ``corpus_mix_temperature``: exponentiated sampling weights
+  q_i ∝ p_i^α per (lang, source) bucket for an α grid — the
+  multilingual mixing knob (mT5/XLM-R-style, public papers).
+- ``ann_ivf_imbalance``: per-cell load report of the deployed IVF
+  quantizer — the shard-balance readout that decides re-training or
+  hot-list splitting at serving scale.
 """
 
 from __future__ import annotations
@@ -27,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from python_etl_sample_spark.functions.determinism import DEC9
 from python_etl_sample_spark.operators.round7_ops import _km_ctes, _km_fit
 from python_etl_sample_spark.operators.round7b_ops import _DOT
 from python_etl_sample_spark.operators.round10_ops import (
@@ -242,4 +252,261 @@ def ann_recall_under_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("caught").cast("double") / F.count(F.lit(1)), 6).alias(
             "recall"
         ),
+    )
+
+
+# --------------------------------------------------------------------------
+# text_quality_threshold_sweep
+# --------------------------------------------------------------------------
+
+#: quality-score cut grid: the text_quality_score formula's n_high used
+#: 0.8 in isolation; the sweep brackets it so the cut is chosen off a
+#: curve, exactly like dedup_semdedup_eps does for the semantic tier.
+_QT_TS = (0.2, 0.4, 0.6, 0.8)
+_QT_TS_SQL = ", ".join(repr(t) for t in _QT_TS)
+
+#: the deployed quality formula (text_analysis.text_quality_score),
+#: mirrored textually: length saturation + token saturation + space
+#: ratio, rounded 6 dp before any threshold comparison.
+_QT_SCORE_SQL = """
+    scored AS (
+      SELECT doc_id, n_chars,
+             round(
+               0.4 * least(length(text) / 400.0, 1.0)
+             + 0.4 * least(len(string_split_regex(lower(text), '\\s+')) / 80.0, 1.0)
+             + 0.2 * ((length(text) - length(replace(text, ' ', '')))::DOUBLE
+                      / length(text)), 6) AS quality
+      FROM documents
+    )"""
+
+
+@query(
+    "text_quality_threshold_sweep",
+    oracle=f"""
+    WITH {_QT_SCORE_SQL},
+    ts AS (SELECT UNNEST([{_QT_TS_SQL}]) AS threshold),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    st AS (
+      SELECT t.threshold,
+             COUNT(s.doc_id) AS n_kept,
+             COALESCE(CAST(SUM(s.n_chars) AS BIGINT), 0) AS kept_chars,
+             CAST(SUM(CAST(s.quality AS DECIMAL(28,6))) AS DOUBLE) AS qsum
+      FROM ts t LEFT JOIN scored s ON s.quality >= t.threshold
+      GROUP BY t.threshold
+    )
+    SELECT st.threshold,
+           CAST(st.n_kept AS BIGINT) AS n_kept,
+           round(st.n_kept * 1.0 / nd.n, 6) AS retention,
+           st.kept_chars,
+           CASE WHEN st.n_kept > 0
+                THEN round(st.qsum / st.n_kept, 6) END AS mean_quality_kept
+    FROM st CROSS JOIN nd
+    """,
+)
+def text_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter decision curve: for each cut in {0.2, 0.4, 0.6,
+    0.8} of the deployed heuristic quality score (text_quality_score's
+    length/token/whitespace formula), the documents and characters that
+    survive and the mean quality of the survivors — the
+    filter-threshold readout a curation team reads next to the SemDeDup
+    curve before spending a training run. The standalone 0.8 cut that
+    text_quality_score reports sits inside this sweep.
+
+    Scale: scoring is map-only over the documents scan; the sweep is a
+    4-row broadcast nested loop (constant build side — the legitimate
+    scalar-subquery shape) plus one combiner-reduced aggregate; nothing
+    shuffles document text. Determinism: the score rounds at 6 dp
+    before any threshold comparison (shared literals → identical
+    doubles both engines); counts/chars exact ints; the survivor mean
+    is a decimal sum over 6-dp-rounded scores (exact at scale 6 — these
+    are 6-dp values, the tie-free case) with one mirrored division."""
+    d = table(spark, sf_dir, "documents")
+    n_spaces = F.length("text") - F.length(F.regexp_replace(F.col("text"), " ", ""))
+    quality = F.round(
+        F.lit(0.4) * F.least(F.length("text") / F.lit(400.0), F.lit(1.0))
+        + F.lit(0.4)
+        * F.least(
+            F.size(F.split(F.lower(F.col("text")), r"\s+")) / F.lit(80.0),
+            F.lit(1.0),
+        )
+        + F.lit(0.2) * (n_spaces.cast("double") / F.length("text")),
+        6,
+    )
+    scored = d.select("doc_id", "n_chars", quality.alias("quality"))
+    grid = spark.createDataFrame([(t,) for t in _QT_TS], "threshold double")
+    nd = d.agg(F.count(F.lit(1)).alias("n"))
+    st = (
+        F.broadcast(grid)
+        .join(scored, scored.quality >= grid.threshold, "left")
+        .groupBy("threshold")
+        .agg(
+            F.count("doc_id").alias("n_kept"),
+            F.coalesce(F.sum("n_chars"), F.lit(0))
+            .cast("long")
+            .alias("kept_chars"),
+            F.sum(F.col("quality").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("qsum"),
+        )
+    )
+    return st.crossJoin(F.broadcast(nd)).select(
+        "threshold",
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.round(F.col("n_kept") * 1.0 / F.col("n"), 6).alias("retention"),
+        "kept_chars",
+        F.when(
+            F.col("n_kept") > 0, F.round(F.col("qsum") / F.col("n_kept"), 6)
+        ).alias("mean_quality_kept"),
+    )
+
+
+# --------------------------------------------------------------------------
+# corpus_mix_temperature
+# --------------------------------------------------------------------------
+
+#: temperature grid: alpha=1.0 is proportional sampling, alpha->0
+#: approaches uniform-over-buckets — the multilingual-mixing knob of
+#: mT5/XLM-R-style corpus sampling (public papers).
+_MIX_ALPHAS = (1.0, 0.7, 0.5, 0.3)
+_MIX_ALPHAS_SQL = ", ".join(repr(a) for a in _MIX_ALPHAS)
+
+
+@query(
+    "corpus_mix_temperature",
+    oracle=f"""
+    WITH per AS (
+      SELECT lang, source, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM documents GROUP BY lang, source
+    ),
+    tot AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM per),
+    p AS (
+      SELECT lang, source, n_chars,
+             round(n_chars * 1.0 / t.total_chars, 9) AS p_raw
+      FROM per CROSS JOIN tot t
+    ),
+    al AS (SELECT UNNEST([{_MIX_ALPHAS_SQL}]) AS alpha),
+    pa AS (
+      SELECT a.alpha, p.lang, p.source, p.n_chars, p.p_raw,
+             round(power(p.p_raw, a.alpha), 9) AS p_pow
+      FROM al a CROSS JOIN p
+    ),
+    z AS (
+      SELECT alpha,
+             CAST(SUM(CAST(p_pow AS DECIMAL(38,9))) AS DOUBLE) AS zsum
+      FROM pa GROUP BY alpha
+    )
+    SELECT pa.alpha, pa.lang, pa.source, pa.n_chars, pa.p_raw,
+           round(pa.p_pow / z.zsum, 6) AS weight,
+           round((pa.p_pow / z.zsum) / pa.p_raw, 6) AS boost
+    FROM pa JOIN z ON z.alpha = pa.alpha
+    """,
+)
+def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling weights per (lang, source) bucket:
+    q_i(α) = p_i^α / Σ_j p_j^α for α in {1.0, 0.7, 0.5, 0.3}, where p_i
+    is the bucket's character share — the mixing knob multilingual
+    pretraining uses (mT5 / XLM-R style exponentiated sampling) to lift
+    low-resource buckets without flattening the mix entirely. `boost`
+    = q_i/p_i is the effective up/down-sampling factor each bucket
+    receives at each temperature; α = 1.0 is the identity row that
+    anchors the sweep (weight == p_raw, boost == 1 up to rounding).
+
+    Scale: one combiner-reduced groupBy to |lang × source| rows, then
+    constant-size frame arithmetic under broadcast — nothing rescans
+    documents per α. Determinism: p_raw is an exact-int ratio rounded
+    9 dp; power() is transcendental, so it rounds at 9 dp immediately
+    (the ln/log-odds convention) before the scale-9 decimal normalizer
+    sum (exact for 9-dp inputs — see functions/determinism.py DEC9);
+    final weight/boost are mirrored divisions rounded 6 dp."""
+    d = table(spark, sf_dir, "documents")
+    per = d.groupBy("lang", "source").agg(
+        F.sum("n_chars").cast("long").alias("n_chars")
+    )
+    tot = per.agg(F.sum("n_chars").cast("long").alias("total_chars"))
+    p = per.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        "n_chars",
+        F.round(F.col("n_chars") * 1.0 / F.col("total_chars"), 9).alias(
+            "p_raw"
+        ),
+    )
+    al = spark.createDataFrame([(a,) for a in _MIX_ALPHAS], "alpha double")
+    pa = F.broadcast(al).crossJoin(p).select(
+        "alpha",
+        "lang",
+        "source",
+        "n_chars",
+        "p_raw",
+        F.round(F.pow(F.col("p_raw"), F.col("alpha")), 9).alias("p_pow"),
+    )
+    z = pa.groupBy("alpha").agg(
+        F.sum(F.col("p_pow").cast(DEC9)).cast("double").alias("zsum")
+    )
+    return pa.join(z, "alpha").select(
+        "alpha",
+        "lang",
+        "source",
+        "n_chars",
+        "p_raw",
+        F.round(F.col("p_pow") / F.col("zsum"), 6).alias("weight"),
+        F.round((F.col("p_pow") / F.col("zsum")) / F.col("p_raw"), 6).alias(
+            "boost"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# ann_ivf_imbalance
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ann_ivf_imbalance",
+    oracle=f"""
+    WITH {_km_ctes()},
+    per AS (
+      SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs
+      FROM fin GROUP BY cid
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_vecs) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM per
+    )
+    SELECT p.cid, p.n_vecs,
+           round(p.n_vecs * 1.0 / t.n, 6) AS share,
+           round(p.n_vecs * 1.0 / (t.n * 1.0 / t.k), 6) AS load_factor
+    FROM per p CROSS JOIN tot t
+    """,
+)
+def ann_ivf_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-list load report for the deployed IVF quantizer
+    (round7_ops._km_fit — the same fit sim_ann_ivf probes): per cell,
+    its vector count, corpus share, and load factor (count / mean
+    count). This is the shard-balance readout an IVF deployment
+    monitors: nprobe-bounded query cost is proportional to the probed
+    lists' sizes, so a hot cell (load_factor ≫ 1) is the straggler at
+    serving time and the skew-split candidate at build time — the same
+    number a 100 TB operator reads before re-training with more
+    centroids or splitting hot lists.
+
+    Rides the memoized Lloyd assignment; one combiner-reduced count to
+    k = 16 rows plus a 1-row broadcast total. Counts exact; share and
+    load factor are mirrored divisions rounded 6 dp."""
+    assigned, _ = _km_fit(spark, sf_dir)
+    per = assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+    tot = per.agg(
+        F.sum("n_vecs").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "cid",
+        "n_vecs",
+        F.round(F.col("n_vecs") * 1.0 / F.col("n"), 6).alias("share"),
+        F.round(
+            F.col("n_vecs") * 1.0 / (F.col("n") * 1.0 / F.col("k")), 6
+        ).alias("load_factor"),
     )

@@ -90,3 +90,91 @@ def test_churn_is_exact_reclassification_of_recall_pairs(spark):
     }
     for fam in ("lsh", "ivf"):
         assert by_class.get((fam, "churned"), 0) == n_churned_truth
+
+
+def test_quality_sweep_monotone_and_brackets_deployed_cut(spark):
+    from python_etl_sample_spark.operators.round12_ops import (
+        _QT_TS,
+        text_quality_threshold_sweep,
+    )
+    from python_etl_sample_spark.operators.text_analysis import (
+        text_quality_score,
+    )
+
+    rows = {
+        r["threshold"]: r
+        for r in text_quality_threshold_sweep(spark, SF_DIR).collect()
+    }
+    assert set(rows) == set(_QT_TS)
+    n_docs = table(spark, SF_DIR, "documents").count()
+    prev = None
+    for t in sorted(rows):
+        r = rows[t]
+        assert 0 <= r["n_kept"] <= n_docs
+        if prev is not None:
+            assert r["n_kept"] <= prev["n_kept"]
+            assert r["kept_chars"] <= prev["kept_chars"]
+            # survivors of a tighter cut can't have a lower mean score
+            if r["n_kept"] > 0:
+                assert r["mean_quality_kept"] >= prev["mean_quality_kept"] - 1e-9
+        assert abs(r["retention"] - round(r["n_kept"] / n_docs, 6)) < 1e-9
+        prev = r
+    # the 0.8 row reproduces text_quality_score's n_high total
+    n_high = sum(
+        r["n_high"] for r in text_quality_score(spark, SF_DIR).collect()
+    )
+    assert rows[0.8]["n_kept"] == n_high
+
+
+def test_mix_temperature_weights_normalize_and_compress(spark):
+    from python_etl_sample_spark.operators.round12_ops import (
+        _MIX_ALPHAS,
+        corpus_mix_temperature,
+    )
+
+    rows = corpus_mix_temperature(spark, SF_DIR).collect()
+    by_alpha: dict[float, list] = {}
+    for r in rows:
+        by_alpha.setdefault(r["alpha"], []).append(r)
+    assert set(by_alpha) == set(_MIX_ALPHAS)
+    n_buckets = len(by_alpha[1.0])
+    for alpha, grp in by_alpha.items():
+        assert len(grp) == n_buckets
+        # weights are a distribution (6-dp rounding slack per bucket)
+        assert abs(sum(r["weight"] for r in grp) - 1.0) < 2e-6 * n_buckets
+        if alpha == 1.0:
+            for r in grp:
+                assert abs(r["weight"] - round(r["p_raw"], 6)) < 2e-6
+                assert abs(r["boost"] - 1.0) < 2e-6 / max(r["p_raw"], 1e-9)
+    # lower temperature compresses the mix: the largest bucket's weight
+    # shrinks monotonically as alpha drops
+    biggest = max(by_alpha[1.0], key=lambda r: r["p_raw"])
+    key = (biggest["lang"], biggest["source"])
+    w = {
+        a: next(
+            r["weight"]
+            for r in grp
+            if (r["lang"], r["source"]) == key
+        )
+        for a, grp in by_alpha.items()
+    }
+    for hi, lo in zip(sorted(w, reverse=True), sorted(w, reverse=True)[1:]):
+        assert w[lo] <= w[hi] + 1e-9
+
+
+def test_ivf_imbalance_partitions_corpus(spark):
+    from python_etl_sample_spark.operators.round12_ops import (
+        ann_ivf_imbalance,
+    )
+
+    rows = ann_ivf_imbalance(spark, SF_DIR).collect()
+    n_vecs = table(spark, SF_DIR, "embeddings").count()
+    assert sum(r["n_vecs"] for r in rows) == n_vecs
+    k = len(rows)
+    mean = n_vecs / k
+    for r in rows:
+        assert r["n_vecs"] >= 1  # only occupied cells are listed
+        assert abs(r["share"] - round(r["n_vecs"] / n_vecs, 6)) < 1e-9
+        assert abs(r["load_factor"] - round(r["n_vecs"] / mean, 6)) < 1e-9
+    # load factors average to 1 by construction
+    assert abs(sum(r["load_factor"] for r in rows) / k - 1.0) < 1e-5
