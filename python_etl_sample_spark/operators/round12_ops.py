@@ -23,9 +23,10 @@ already memoized:
 - ``text_quality_threshold_sweep``: the quality-filter decision curve
   (retention / kept chars / survivor mean per cut) for the deployed
   heuristic score — the filter-side companion to the SemDeDup curve.
-- ``corpus_mix_temperature``: exponentiated sampling weights
-  q_i ∝ p_i^α per (lang, source) bucket for an α grid — the
-  multilingual mixing knob (mT5/XLM-R-style, public papers).
+- ``corpus_mix_alpha_sweep``: exponentiated sampling weights
+  q_i ∝ p_i^α per (lang, source) bucket for an α grid — the decision
+  curve around corpus_temperature_mix's deployed α = 0.5 policy
+  (mT5/XLM-R-style, public papers).
 - ``ann_ivf_imbalance``: per-cell load report of the deployed IVF
   quantizer — the shard-balance readout that decides re-training or
   hot-list splitting at serving scale.
@@ -361,7 +362,7 @@ def text_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# corpus_mix_temperature
+# corpus_mix_alpha_sweep
 # --------------------------------------------------------------------------
 
 #: temperature grid: alpha=1.0 is proportional sampling, alpha->0
@@ -372,7 +373,7 @@ _MIX_ALPHAS_SQL = ", ".join(repr(a) for a in _MIX_ALPHAS)
 
 
 @query(
-    "corpus_mix_temperature",
+    "corpus_mix_alpha_sweep",
     oracle=f"""
     WITH per AS (
       SELECT lang, source, CAST(SUM(n_chars) AS BIGINT) AS n_chars
@@ -401,7 +402,7 @@ _MIX_ALPHAS_SQL = ", ".join(repr(a) for a in _MIX_ALPHAS)
     FROM pa JOIN z ON z.alpha = pa.alpha
     """,
 )
-def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_mix_alpha_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled sampling weights per (lang, source) bucket:
     q_i(α) = p_i^α / Σ_j p_j^α for α in {1.0, 0.7, 0.5, 0.3}, where p_i
     is the bucket's character share — the mixing knob multilingual
@@ -411,11 +412,22 @@ def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     receives at each temperature; α = 1.0 is the identity row that
     anchors the sweep (weight == p_raw, boost == 1 up to rounding).
 
+    Relationship to ``corpus_temperature_mix`` (round10c_ops): that
+    operator ships the SINGLE deployed policy α = 0.5 and pins it with
+    sqrt specifically because sqrt is correctly rounded in both engines
+    while libm pow is not. This sweep is the DECISION CURVE around it —
+    the α grid a team compares before committing to 0.5 — and pays the
+    standard transcendental toll instead: power() rounds at 9 dp
+    immediately (the ln/log-odds convention), so its α = 0.5 row agrees
+    with the deployed operator's weights to ~1e-6 (pinned in tests)
+    rather than bit-exactly. Policy row exact, sweep rows
+    convention-rounded — the same split as dedup_near_minhash (exact
+    detector) vs dedup_minhash_param_sweep (geometry curve).
+
     Scale: one combiner-reduced groupBy to |lang × source| rows, then
     constant-size frame arithmetic under broadcast — nothing rescans
     documents per α. Determinism: p_raw is an exact-int ratio rounded
-    9 dp; power() is transcendental, so it rounds at 9 dp immediately
-    (the ln/log-odds convention) before the scale-9 decimal normalizer
+    9 dp; the 9-dp-rounded power feeds the scale-9 decimal normalizer
     sum (exact for 9-dp inputs — see functions/determinism.py DEC9);
     final weight/boost are mirrored divisions rounded 6 dp."""
     d = table(spark, sf_dir, "documents")

@@ -129,10 +129,10 @@ def test_quality_sweep_monotone_and_brackets_deployed_cut(spark):
 def test_mix_temperature_weights_normalize_and_compress(spark):
     from python_etl_sample_spark.operators.round12_ops import (
         _MIX_ALPHAS,
-        corpus_mix_temperature,
+        corpus_mix_alpha_sweep,
     )
 
-    rows = corpus_mix_temperature(spark, SF_DIR).collect()
+    rows = corpus_mix_alpha_sweep(spark, SF_DIR).collect()
     by_alpha: dict[float, list] = {}
     for r in rows:
         by_alpha.setdefault(r["alpha"], []).append(r)
@@ -160,6 +160,34 @@ def test_mix_temperature_weights_normalize_and_compress(spark):
     }
     for hi, lo in zip(sorted(w, reverse=True), sorted(w, reverse=True)[1:]):
         assert w[lo] <= w[hi] + 1e-9
+
+
+def test_alpha_sweep_half_row_matches_deployed_temperature_mix(spark):
+    """The sweep's alpha=0.5 row must reproduce corpus_temperature_mix
+    (the deployed sqrt policy) to rounding tolerance: the deployed
+    operator computes sqrt (correctly rounded), the sweep computes
+    pow(round(p,9), 0.5) rounded 9 dp — agreement to ~1e-6 is the
+    designed overlap, divergence beyond it means one side's share or
+    normalizer drifted."""
+    from python_etl_sample_spark.operators.round10c_ops import (
+        corpus_temperature_mix,
+    )
+    from python_etl_sample_spark.operators.round12_ops import (
+        corpus_mix_alpha_sweep,
+    )
+
+    deployed = {
+        (r["lang"], r["source"]): r["weight"]
+        for r in corpus_temperature_mix(spark, SF_DIR).collect()
+    }
+    half = {
+        (r["lang"], r["source"]): r["weight"]
+        for r in corpus_mix_alpha_sweep(spark, SF_DIR).collect()
+        if r["alpha"] == 0.5
+    }
+    assert set(half) == set(deployed)
+    for k in deployed:
+        assert abs(half[k] - deployed[k]) < 5e-6, k
 
 
 def test_ivf_imbalance_partitions_corpus(spark):
