@@ -5,9 +5,15 @@ runs; queries whose IMPLEMENTATION changed this round take FRESH minima
 only (their prior floors describe retired code); unchanged queries keep
 min(prior ledger, new runs); new queries take this round's minima.
 
+Queries present in the prior ledger but absent from EVERY run file are
+CARRIED FORWARD at their prior floors (r12 ADVICE: merging a partial
+bench run must not silently erase recorded floors).  Pass --allow-drop
+to intentionally retire names (e.g. a query was deleted from the
+registry); without it, carried-forward names are listed but kept.
+
 Usage:
     python tools/merge_floor_ledger.py run1.json [run2.json ...] \
-        --fresh name1,name2 --round 12 [--write]
+        --fresh name1,name2 --round 12 [--write] [--allow-drop]
 
 Without --write, prints the would-be ledger summary + biggest moves.
 """
@@ -41,6 +47,12 @@ def main() -> int:
     ap.add_argument("--fresh", default="", help="comma-separated changed-code names")
     ap.add_argument("--round", dest="rnd", required=True)
     ap.add_argument("--write", action="store_true")
+    ap.add_argument(
+        "--allow-drop",
+        action="store_true",
+        help="retire prior-ledger queries absent from every run file "
+        "(default: carry their prior floors forward unchanged)",
+    )
     args = ap.parse_args()
 
     fresh = {n for n in args.fresh.split(",") if n}
@@ -60,7 +72,15 @@ def main() -> int:
         else:
             merged[n] = round(min(prior[n], new_min), 4)
 
-    dropped = sorted(set(prior) - names)
+    absent = sorted(set(prior) - names)
+    if absent and not args.allow_drop:
+        # r12 ADVICE: a partial bench run must not erase recorded
+        # floors — carry them forward verbatim.
+        for n in absent:
+            merged[n] = prior[n]
+        carried, dropped = absent, []
+    else:
+        carried, dropped = [], absent
     total = round(sum(merged.values()), 4)
     moves = sorted(
         ((n, prior[n], merged[n]) for n in merged if n in prior and prior[n] > 0),
@@ -68,7 +88,8 @@ def main() -> int:
     )
     print(f"ledger: {total} s / {len(merged)} queries "
           f"(mean {total / len(merged):.4f} s/q); fresh={len(fresh)}, "
-          f"new={len(names - set(prior))}, dropped_from_prior={dropped}")
+          f"new={len(names - set(prior))}, carried_forward={carried}, "
+          f"dropped_from_prior={dropped}")
     print("top-8 upward moves (old -> merged):")
     for n, o, m in moves[:8]:
         print(f"  {n}: {o:.3f} -> {m:.3f} ({m / o:.2f}x)")
@@ -90,6 +111,7 @@ def main() -> int:
                 "the raw run JSONs."
             ),
             "fresh_this_round": sorted(fresh),
+            "carried_forward": carried,
             "queries": merged,
         }
         with open(LEDGER, "w") as fh:
