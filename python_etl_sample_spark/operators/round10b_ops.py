@@ -97,18 +97,24 @@ _HITS_EDGES_SQL = """
 #: widened stretch to two half-steps.
 _HITS_RENORM_EVERY = 2
 
-#: Runtime headroom guard for the 2-round cadence: at the renorm the
-#: widened product ``raw · SCALE`` is bounded by maxdeg³·10²⁴, which
-#: fits DECIMAL(38,0)/HUGEINT only while maxdeg ≤ ~4.6·10⁴ (beyond it
-#: Spark's non-ANSI decimal arithmetic silently yields NULL, where
-#: DuckDB's HUGEINT at least errors). The kernel therefore asserts
-#: max(outdeg, indeg) against this bound AT EXECUTION TIME — a
-#: ``raise_error`` folded into the already-broadcast scalar aggregate,
-#: zero extra stages — instead of trusting the comment: a hot-node
-#: graph at cluster scale fails loudly with the remediation
-#: (set _HITS_RENORM_EVERY = 1, restoring the round-10 maxdeg ~10¹⁴
-#: headroom) rather than shipping silently-NULL hub scores.
-_HITS_MAXDEG_BOUND = 46_000
+def _hits_maxdeg_bound(renorm_every: int) -> int:
+    """Audited DECIMAL(38,0)/HUGEINT headroom on max degree for a
+    given renorm cadence. Between renorms the raw sums grow by at most
+    one maxdeg factor per hub half-step, so at the renorm the widened
+    product ``raw · SCALE`` is bounded by maxdeg^(2·cadence−1) · 10²⁴;
+    it must stay under 10³⁸, i.e. maxdeg ≤ 10^(14 / (2·cadence−1)).
+    Cadence 1 restores the round-10 ~10¹⁴ headroom; the shipped
+    cadence 2 gives ~4.6·10⁴. Beyond the bound Spark's non-ANSI
+    decimal arithmetic silently yields NULL (DuckDB's HUGEINT at least
+    errors), so graph_hits_scores asserts max(outdeg, indeg) against
+    this bound AT EXECUTION TIME — a ``raise_error`` folded into the
+    already-broadcast scalar aggregate, zero extra stages. A hot-node
+    graph at cluster scale fails loudly with the remediation (set
+    _HITS_RENORM_EVERY = 1) rather than shipping silently-NULL hub
+    scores; the bound is recomputed from the ACTIVE cadence so the
+    remediation actually unlocks the wider headroom
+    (tests/test_round13_ops.py pins both the trip and the fallback)."""
+    return int(10 ** (14 / (2 * renorm_every - 1)))
 
 
 def _hits_round_sql(prev_h: str, t: int) -> str:
@@ -241,11 +247,14 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(indeg.select("deg", F.lit(0).alias("is_hub")))
         .agg(F.sum("is_hub").alias("n"), F.max("deg").alias("md"))
     )
-    # degree guard (see _HITS_MAXDEG_BOUND): folded into the h₀
+    # degree guard (see _hits_maxdeg_bound): folded into the h₀
     # expression as `+ 0` so column pruning can't drop it; raise_error
-    # only evaluates on the over-bound branch
+    # only evaluates on the over-bound branch. Bound and message are
+    # computed from the ACTIVE cadence, so the documented remediation
+    # (_HITS_RENORM_EVERY = 1) genuinely widens the guard to ~10¹⁴.
     deg_guard = (
-        f"(CASE WHEN md > {_HITS_MAXDEG_BOUND} THEN raise_error("
+        f"(CASE WHEN md > {_hits_maxdeg_bound(_HITS_RENORM_EVERY)} "
+        f"THEN raise_error("
         f"'graph_hits_scores: max degree exceeds the audited "
         f"DECIMAL(38) headroom for _HITS_RENORM_EVERY="
         f"{_HITS_RENORM_EVERY}; set _HITS_RENORM_EVERY = 1') "

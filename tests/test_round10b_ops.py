@@ -60,7 +60,7 @@ def test_hits_degree_guard_trips_beyond_audited_headroom(spark, monkeypatch):
     """The DECIMAL(38) range audit for the 2-round renorm cadence holds
     only to maxdeg ~4.6e4; past it Spark's non-ANSI decimal arithmetic
     would NULL silently. The kernel must therefore fail LOUDLY at
-    execution when max(outdeg, indeg) exceeds _HITS_MAXDEG_BOUND — and
+    execution when max(outdeg, indeg) exceeds _hits_maxdeg_bound — and
     the guard must not be prunable (it rides the h₀ expression). Pin
     both directions: bound forced below the fixture's real max degree →
     raises with the remediation message; real bound → runs clean (every
@@ -69,7 +69,7 @@ def test_hits_degree_guard_trips_beyond_audited_headroom(spark, monkeypatch):
 
     from python_etl_sample_spark.operators import round10b_ops as mod
 
-    monkeypatch.setattr(mod, "_HITS_MAXDEG_BOUND", 0)
+    monkeypatch.setattr(mod, "_hits_maxdeg_bound", lambda _: 0)
     with pytest.raises(Exception, match="_HITS_RENORM_EVERY"):
         graph_hits_scores(spark, SF_DIR).collect()
 
