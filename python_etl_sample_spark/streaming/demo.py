@@ -626,3 +626,151 @@ def stream_demo_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("m.ts").alias("last_ts"),
         F.col("m.event_type").alias("last_event_type"),
     )
+
+
+@query(
+    "stream_demo_sliding",
+    oracle="""
+    SELECT time_bucket(INTERVAL '15 minutes', ts)
+             - i * INTERVAL '15 minutes' AS wstart,
+           time_bucket(INTERVAL '15 minutes', ts)
+             - i * INTERVAL '15 minutes' + INTERVAL 1 HOUR AS wend,
+           event_type, COUNT(*) AS n_events
+    FROM events, range(4) t(i)
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_demo_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#53-demo, HASH-CHECKED: 1-hour windows sliding every 15 minutes
+    under a real readStream (watermarked, complete mode over the
+    bounded replay — complete retains every window, so the drained
+    snapshot is the pure 4-shift expansion of the input that the
+    DuckDB oracle recomputes exactly like the graded batch twin
+    ``stream_sliding``, here additionally keyed per event type). The
+    overlap factor is the state-cost knob this demo documents: each
+    event updates slide/step = 4 window states, so at 100 TB the same
+    query holds 4× the tumbling demo's state rows and the watermark is
+    what bounds them in update/append deployments."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("wstart"),
+            F.col("w.end").alias("wend"),
+            "event_type",
+            "n_events",
+        )
+    )
+    return _run_to_memory(agg, "complete")
+
+
+#: the "late" slice of the watermark demo: every event on this day is
+#: withheld from the first micro-batch and replayed AFTER the rest of
+#: the fixture, so it arrives ~25 days behind the stream's watermark
+_LATE_DAY = "2024-01-05"
+
+
+def _late_replay_src(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events as THREE parquet files with pinned modification
+    times: file 0 = every event except _LATE_DAY's (the on-time
+    stream), file 1 = an EMPTY heartbeat file, file 2 = _LATE_DAY's
+    events (the late stragglers). With maxFilesPerTrigger=1 the file
+    source replays them as three deterministic micro-batches in mtime
+    order. The heartbeat batch matters: the micro-batch engine's
+    late-row filter uses the watermark as of TWO batches behind the
+    data that established it (empirically pinned on this build — a
+    late row arriving in the batch immediately after the
+    max-advancing batch is still ADMITTED, `numRowsDroppedByWatermark
+    = 0`; one batch later it is dropped), so the empty batch is what
+    lets file 0's watermark become filter-active before the late rows
+    arrive — exactly the role a quiet heartbeat micro-batch plays in a
+    production stream."""
+    import glob as _glob
+    import os
+
+    from python_etl_sample_spark.sources import table as load_table
+
+    def _stage(p: str) -> None:
+        os.makedirs(p, exist_ok=True)
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        slices = (
+            ("ontime", ev.filter(F.to_date("ts") != F.lit(_LATE_DAY))),
+            ("heartbeat", ev.filter(F.lit(False))),
+            ("late", ev.filter(F.to_date("ts") == F.lit(_LATE_DAY))),
+        )
+        for i, (tag, frame) in enumerate(slices):
+            tmp = f"{p}/_tmp_{tag}"
+            frame.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = _glob.glob(f"{tmp}/part-*.parquet")[0]
+            dst = f"{p}/{i}_{tag}.parquet"
+            shutil.move(part, dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+
+    return stage_once("stream_src_late3", sf_dir, _stage)
+
+
+@query(
+    "stream_demo_watermark_late",
+    oracle=f"""
+    WITH ontime AS (
+      SELECT * FROM events WHERE CAST(ts AS DATE) <> DATE '{_LATE_DAY}'
+    ),
+    wm AS (SELECT max(ts) - INTERVAL '10 minutes' AS w FROM ontime)
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR AS wend,
+           event_type, COUNT(*) AS n_events
+    FROM ontime
+    GROUP BY 1, 2, 3
+    HAVING time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR
+             <= (SELECT w FROM wm)
+    """,
+)
+def stream_demo_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#55-demo, HASH-CHECKED: REAL watermark late-data dropping under
+    readStream — the one streaming behavior the single-file demos
+    cannot exhibit, because a watermark only advances between
+    micro-batches. The fixture is replayed as three deterministic
+    batches (maxFilesPerTrigger=1, mtime-ordered): batch 0 is every
+    event except {_LATE_DAY}'s, batch 1 is an empty heartbeat that
+    activates batch 0's watermark (see _late_replay_src), and batch 2
+    replays {_LATE_DAY}'s events ~25 days behind the watermark batch 0
+    established (max on-time ts − 10 min). The append-mode tumbling
+    aggregation
+    therefore (a) DROPS every late row — its windows closed long ago —
+    and (b) emits exactly the on-time windows whose end the final
+    watermark passed. Both effects are pure functions of the input
+    split, so the DuckDB oracle recomputes them relationally: on-time
+    rollup, HAVING window-end ≤ max(on-time ts) − 10 min. A watermark
+    that fails to drop the stragglers, or emits unclosed windows,
+    breaks the hash.
+
+    At 100 TB this is the core correctness/state trade of any
+    event-time pipeline: the 10-minute delay bounds BOTH the state the
+    store retains and the lateness the results tolerate."""
+    ensure_session_configs(spark)
+    src = _late_replay_src(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("wstart"),
+            F.col("w.end").alias("wend"),
+            "event_type",
+            "n_events",
+        )
+    )
+    return _run_to_memory(agg, "append")

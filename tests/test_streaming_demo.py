@@ -122,3 +122,59 @@ def test_stream_stream_join_equals_batch_join(spark):
     cols = ["click_id", "purchase_id", "user_id", "gap_micros"]
     assert _sorted_rows(stream_out, cols) == _sorted_rows(batch, cols)
     assert stream_out.count() > 0
+
+
+def test_streaming_sliding_equals_batch(spark):
+    """stream_demo_sliding (per event type) collapsed over event_type
+    must equal the graded batch twin stream_sliding's per-window
+    counts — same 4-shift expansion through the streaming engine."""
+    from pyspark.sql import functions as F
+
+    stream_out = (
+        REGISTRY["stream_demo_sliding"].fn(spark, SF_DIR)
+        .groupBy("wstart", "wend")
+        .agg(F.sum("n_events").alias("n_events"))
+    )
+    batch_out = REGISTRY["stream_sliding"].fn(spark, SF_DIR)
+    cols = ["wstart", "wend", "n_events"]
+    assert _sorted_rows(stream_out, cols) == _sorted_rows(batch_out, cols)
+
+
+def test_streaming_watermark_late_drops_and_emits(spark):
+    """The three-batch late replay (see _late_replay_src): the late
+    day's windows must be ABSENT (dropped by the watermark), every
+    emitted window must have closed under the final watermark, and the
+    emitted counts must equal the batch rollup of the on-time slice."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from python_etl_sample_spark.sources import table
+
+    out = REGISTRY["stream_demo_watermark_late"].fn(spark, SF_DIR)
+    rows = out.collect()
+    assert rows, "late-replay demo emitted nothing"
+    late_day = datetime.date(2024, 1, 5)
+    assert all(r.wstart.date() != late_day for r in rows)
+
+    ev = table(spark, SF_DIR, "events").filter(
+        F.to_date("ts") != F.lit(demo._LATE_DAY)
+    )
+    wm = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 10 MINUTES")).alias("w")
+    ).collect()[0].w
+    assert all(r.wend <= wm for r in rows)
+
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("wstart"),
+            F.col("w.end").alias("wend"),
+            "event_type",
+            "n_events",
+        )
+        .filter(F.col("wend") <= F.lit(wm))
+    )
+    cols = ["wstart", "wend", "event_type", "n_events"]
+    assert _sorted_rows(out, cols) == _sorted_rows(batch, cols)
