@@ -62,24 +62,11 @@ sys.path.insert(0, REPO)
 #: this tuple from each round's VERDICT; it drains automatically (a
 #: name leaves the changed bucket once its post-change row lands).
 VERDICT_PRIORITY = (
-    # r11 ADVICE fixes whose recorded VALUES changed this round — the
-    # stalest-in-kind evidence on the surface (old driver hashes no
-    # longer reproduce): scale-9 decimal sums
-    "dedup_jaccard_histogram",
-    "text_heaps_law_fit",
-    # r11 ADVICE item 1: HITS gained the runtime degree guard (values
-    # unchanged, plan changed) — re-evidence the pinned hot floor
+    # r12 verdict item 2: the suite's slowest query two rounds running
+    # and the round-13 guard-bound change — re-evidence the hash after
+    # the cadence-aware bound landed (values unchanged by design;
+    # sf0.01 parity re-verified locally, BENCH_NOTES r13)
     "graph_hits_scores",
-    # r11 verdict item 1: named heads of the changed-code drain — the
-    # similarity/dedup consumers of round 11's xengine kernel work
-    # whose re-evidence missed the r11 50-cap
-    "dedup_embedding_cosine",
-    "sim_cosine_topk",
-    "sim_knn_per_query",
-    "dedup_minhash_recall",
-    "sim_ann_recall",
-    "sim_pq_adc",
-    "sim_pq_ivf_adc",
 )
 
 
