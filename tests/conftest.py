@@ -22,6 +22,7 @@ _FAST_MODULES = {
     "test_total_order",
     "test_rows_only_stability",
     "test_tpch6",
+    "test_tools",
 }
 
 

@@ -1,0 +1,77 @@
+"""Dev-tool invariants (no Spark session needed).
+
+merge_floor_ledger's carry-forward rule (r12 ADVICE): merging a
+PARTIAL bench run must not erase the recorded floors of un-run
+queries. Pinned here against a synthetic ledger + run pair so the
+rule can't regress silently.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_merge_module():
+    spec = importlib.util.spec_from_file_location(
+        "merge_floor_ledger",
+        os.path.join(REPO, "tools", "merge_floor_ledger.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _run_main(mod, argv, monkeypatch, ledger_path):
+    monkeypatch.setattr(mod, "LEDGER", str(ledger_path))
+    monkeypatch.setattr(sys, "argv", ["merge_floor_ledger.py", *argv])
+    return mod.main()
+
+
+def test_partial_run_carries_prior_floors_forward(tmp_path, monkeypatch):
+    mod = _load_merge_module()
+    ledger = tmp_path / "ledger.json"
+    ledger.write_text(json.dumps(
+        {"queries": {"q_a": 1.0, "q_b": 2.0, "q_c": 3.0}}
+    ))
+    run = tmp_path / "run.json"
+    run.write_text(json.dumps({"queries": {"q_a": 0.5}}))
+
+    _run_main(mod, [str(run), "--round", "99", "--write"],
+              monkeypatch, ledger)
+    out = json.loads(ledger.read_text())
+    # q_a took the better min; q_b/q_c carried forward, not dropped
+    assert out["queries"] == {"q_a": 0.5, "q_b": 2.0, "q_c": 3.0}
+    assert out["carried_forward"] == ["q_b", "q_c"]
+    assert out["n_queries"] == 3
+
+
+def test_allow_drop_retires_absent_queries(tmp_path, monkeypatch):
+    mod = _load_merge_module()
+    ledger = tmp_path / "ledger.json"
+    ledger.write_text(json.dumps({"queries": {"q_a": 1.0, "q_gone": 2.0}}))
+    run = tmp_path / "run.json"
+    run.write_text(json.dumps({"queries": {"q_a": 1.5}}))
+
+    _run_main(mod, [str(run), "--round", "99", "--write", "--allow-drop"],
+              monkeypatch, ledger)
+    out = json.loads(ledger.read_text())
+    assert out["queries"] == {"q_a": 1.0}  # min(prior, run); q_gone retired
+    assert out["carried_forward"] == []
+
+
+def test_fresh_floor_ignores_prior(tmp_path, monkeypatch):
+    mod = _load_merge_module()
+    ledger = tmp_path / "ledger.json"
+    ledger.write_text(json.dumps({"queries": {"q_a": 0.1}}))
+    run = tmp_path / "run.json"
+    run.write_text(json.dumps({"queries": {"q_a": 0.9}}))
+
+    _run_main(mod, [str(run), "--round", "99", "--write", "--fresh", "q_a"],
+              monkeypatch, ledger)
+    out = json.loads(ledger.read_text())
+    assert out["queries"] == {"q_a": 0.9}  # changed code: prior floor retired
