@@ -738,9 +738,10 @@ def stream_demo_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot exhibit, because a watermark only advances between
     micro-batches. The fixture is replayed as three deterministic
     batches (maxFilesPerTrigger=1, mtime-ordered): batch 0 is every
-    event except {_LATE_DAY}'s, batch 1 is an empty heartbeat that
-    activates batch 0's watermark (see _late_replay_src), and batch 2
-    replays {_LATE_DAY}'s events ~25 days behind the watermark batch 0
+    event except the late day's (_LATE_DAY = 2024-01-05), batch 1 is an
+    empty heartbeat that activates batch 0's watermark (see
+    _late_replay_src), and batch 2 replays the late day's events ~25
+    days behind the watermark batch 0
     established (max on-time ts − 10 min). The append-mode tumbling
     aggregation
     therefore (a) DROPS every late row — its windows closed long ago —

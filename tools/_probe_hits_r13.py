@@ -1,16 +1,23 @@
 """Round-13 interleaved HITS floor probe (VERDICT r12 item 2).
 
 Builds graph_hits_scores variants in ONE session and interleaves reps
-so ambient load hits all variants equally:
+so ambient load hits all variants equally. Known variants (select by
+name on the command line; default shipped,noguard,guardn):
 
-  shipped  — the r12 form exactly (guard + half-cadence renorm)
+  shipped  — the r13 form exactly (guard + half-cadence renorm)
   noguard  — r11 form: identical except the runtime degree guard
-  renorm1  — r10 form: _HITS_RENORM_EVERY = 1 (every-round renorm)
-  fused    — renorm total fused into the checkpointed frame via a
-             broadcast-ready scalar subquery expression instead of
+  guardn   — guard folded into the broadcast scalar n (one CASE
+             evaluation instead of per-h0-row)
+  renorm1  — r10 form: renorm every round
+  fused    — renorm total fused as a scalar subquery instead of
              crossJoin(broadcast(agg)) (r11 verdict item 3 sketch)
+  guardout — guard CASE moved to the output projection
 
-Usage: python tools/_probe_hits_r13.py [reps]
+BENCH_NOTES r13 records the measured sessions: s1 ran
+shipped/noguard/renorm1/fused, s2 shipped/noguard/guardout, s3
+shipped/noguard/guardn.
+
+Usage: python tools/_probe_hits_r13.py [reps] [v1,v2,...]
 """
 from __future__ import annotations
 
@@ -26,9 +33,9 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from python_etl_sample_spark.cache import cached_df  # noqa: E402
 from python_etl_sample_spark.operators.round10b_ops import (  # noqa: E402
-    _HITS_MAXDEG_BOUND,
     _HITS_RENORM_EVERY,
     _HITS_ROUNDS,
+    _hits_maxdeg_bound,
     _HITS_SCALE,
 )
 from python_etl_sample_spark.session import get_spark  # noqa: E402
@@ -68,7 +75,7 @@ def build(spark: SparkSession, guard: bool, renorm_every: int,
         .agg(F.sum("is_hub").alias("n"), F.max("deg").alias("md"))
     )
     guard_case = (
-        f"(CASE WHEN md > {_HITS_MAXDEG_BOUND} THEN raise_error("
+        f"(CASE WHEN md > {_hits_maxdeg_bound(renorm_every)} THEN raise_error("
         f"'over bound') ELSE 0 END)"
     )
     if guard and guard_in_n:
@@ -77,7 +84,7 @@ def build(spark: SparkSession, guard: bool, renorm_every: int,
         # h0, so pruning can't drop it
         n_hubs = n_hubs.select(
             F.expr(
-                f"CASE WHEN md > {_HITS_MAXDEG_BOUND} THEN "
+                f"CASE WHEN md > {_hits_maxdeg_bound(renorm_every)} THEN "
                 f"raise_error('over bound') ELSE n END"
             ).alias("n")
         )
@@ -148,19 +155,31 @@ def build(spark: SparkSession, guard: bool, renorm_every: int,
     return hub_rows.unionAll(auth_rows)
 
 
+ALL_VARIANTS = {
+    "shipped": dict(guard=True, renorm_every=_HITS_RENORM_EVERY,
+                    fused_total=False),
+    "noguard": dict(guard=False, renorm_every=_HITS_RENORM_EVERY,
+                    fused_total=False),
+    "guardn": dict(guard=True, renorm_every=_HITS_RENORM_EVERY,
+                   fused_total=False, guard_in_n=True),
+    "renorm1": dict(guard=True, renorm_every=1, fused_total=False),
+    "fused": dict(guard=True, renorm_every=_HITS_RENORM_EVERY,
+                  fused_total=True),
+    "guardout": dict(guard=True, renorm_every=_HITS_RENORM_EVERY,
+                     fused_total=False, guard_at_output=True),
+}
+
+
 def main() -> int:
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    picked = (
+        sys.argv[2].split(",") if len(sys.argv) > 2
+        else ["shipped", "noguard", "guardn"]
+    )
     spark = get_spark("hits-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
-    variants = {
-        "shipped": dict(guard=True, renorm_every=_HITS_RENORM_EVERY,
-                        fused_total=False),
-        "noguard": dict(guard=False, renorm_every=_HITS_RENORM_EVERY,
-                        fused_total=False),
-        "guardn": dict(guard=True, renorm_every=_HITS_RENORM_EVERY,
-                       fused_total=False, guard_in_n=True),
-    }
+    variants = {n: ALL_VARIANTS[n] for n in picked}
     # sentinel for ambient calibration
     t0 = time.perf_counter()
     table(spark, SF_DIR, "lineitem").select("l_orderkey").count()

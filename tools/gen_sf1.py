@@ -69,9 +69,10 @@ def main() -> int:
     for name, keys in KEY_OFFSETS.items():
         base = pq.read_table(f"{SRC}/{name}.parquet")
         schema = base.schema
+        base_pdf = base.to_pandas()
         parts = []
         for i in range(copies):
-            df = base.to_pandas()
+            df = base_pdf.copy()
             for k in keys:
                 df[k] = df[k] + i * OFF
             if i > 0 and name == "documents":
