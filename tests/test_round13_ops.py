@@ -101,3 +101,65 @@ def test_hits_fallback_cadence_admits_hot_node_graph(
         r.score_scaled for r in rows if r.role == "authority"
     }
     assert len(auth_scores) == 1
+
+
+def test_watermark_boundary_emission_is_inclusive(spark, tmp_path):
+    """Pins the emission convention stream_demo_watermark_late's oracle
+    assumes (`HAVING wend <= wm`): a window whose END equals the
+    watermark EXACTLY is emitted. The graded fixtures never land on the
+    boundary (wm = max ts − 10 min, window ends are whole hours), so
+    parity alone cannot distinguish <= from < — this synthetic replay
+    can: one event in [01:00, 02:00) plus a max event at exactly
+    02:10:00.000 puts the watermark at precisely 02:00:00.000."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    t0 = 1704067200000  # 2024-01-01T00:00 naive, ms
+    d = str(tmp_path)
+
+    def write(name, ms_list, mtime):
+        pq.write_table(
+            pa.table(
+                {
+                    "ts": pa.array(ms_list, pa.timestamp("ms")),
+                    "k": pa.array(["a"] * len(ms_list), pa.string()),
+                }
+            ),
+            f"{d}/{name}",
+        )
+        os.utime(f"{d}/{name}", (mtime, mtime))
+
+    write("0_on.parquet", [t0 + 3600_000, t0 + (2 * 3600 + 600) * 1000],
+          1_700_000_000)
+    write("1_hb.parquet", [], 1_700_000_100)
+    write("2_late.parquet", [t0 + 1800_000], 1_700_000_200)
+
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    agg = (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = "wm_boundary_pin"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table(name).collect()
+    # the boundary window [01:00, 02:00) IS emitted (wend == wm), the
+    # late 00:30 row was dropped, and the open [02:00, 03:00) window
+    # (holding the max event) is not emitted
+    assert [(r.w.start.hour, r.w.end.hour, r.n) for r in rows] == [(1, 2, 1)]
