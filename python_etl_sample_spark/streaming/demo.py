@@ -775,3 +775,27 @@ def stream_demo_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, "append")
+
+
+@query(
+    "stream_demo_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_demo_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#56-demo, HASH-CHECKED: ``dropDuplicatesWithinWatermark`` on
+    (user_id, event_type) under a real readStream, completing the
+    §2.9 set — every graded streaming shape now has a hash-checked
+    readStream twin. Which PHYSICAL row survives per key depends on
+    partition processing order (that is why the graded batch twin
+    ``stream_dedup_keyed`` uses the deterministic row_number form),
+    but the demo projects the KEY SET, which is a pure function of the
+    input — exactly the distinct keys — so the drained append-mode
+    output hash-matches a relational DISTINCT through the streaming
+    dedup state store. A dropped key, double-emitted key, or
+    watermark mis-eviction breaks the hash.
+
+    At 100 TB: dedup state is one row per key within the watermark
+    horizon; the 10-minute delay is what bounds it (vs the unbounded
+    plain dropDuplicates), which is the production reason the
+    WithinWatermark variant exists."""
+    return demo_dedup_watermark(spark, sf_dir)
