@@ -29,10 +29,32 @@ from pyspark.sql import functions as F
 # exact and its single division is correctly rounded, matching Spark's
 # correctly-rounded BigDecimal. Past it DuckDB double-rounds
 # (int128→double, then divide) and can differ by 1 ulp — measured in
-# tests/test_determinism_edges.py and on the agg_stats moments, which
-# therefore round their derived outputs instead. Every sum at the
-# graded scale (sf0.01) is ≤ ~2e9 — inside the guarantee.
+# tests/test_determinism_edges.py, and observed in the wild on
+# agg_groupby's sum_charge at sf1 (Σ ≈ 2.8e10; BENCH_NOTES r14). Every
+# sum at the graded scale (sf0.01) is ≤ ~2e9 — inside the guarantee.
+#
+# PAIRING RULE (the real invariant, r14): what makes a query
+# hash-stable at ANY magnitude is that the Spark expression and its
+# oracle SQL compute the SAME formula — identical op sequence, so
+# identical roundings. dsum/dsum_sql below stay the plain decimal→
+# double cast precisely because many queries inline that pattern on
+# the Spark side; changing only the helper would silently unpair them.
+# Queries that EMIT a raw sum past the 9e9 bound (where the 1 ulp
+# can't be absorbed by a final rounded ratio) must switch BOTH sides
+# to the _big twins, which route the final cast through
+#     CAST(CAST(sum_dec * 10⁶ AS BIGINT) AS DOUBLE) / 10⁶.0
+# — sum_dec·10⁶ is integral (exact decimal op in both engines), the
+# bigint→double conversion and the single division are each correctly
+# rounded IEEE ops, so both engines execute the *same* two roundings:
+# bit-identical up to |sum| < 2⁶³/10⁶ ≈ 9.2e12 (then an explicit
+# overflow error, never a silent drift), and bit-identical to the
+# plain cast below the 9e9 bound (the bigint→double step is exact
+# there) — so switching a query to _big never moves a recorded hash.
 DEC = "decimal(28,6)"
+
+#: 10⁶ as used by the _big helpers; int literal so Spark plans an
+#: exact decimal×integral multiply (DecimalType(38,6) — no scale loss).
+_SCALE6 = 1_000_000
 
 
 # Scale 9: for summing values that were already rounded to 9 dp (the
@@ -56,7 +78,10 @@ def dsum9_sql(expr: str) -> str:
 
 
 def dsum(col: Column | str) -> Column:
-    """Order-independent, engine-exact sum of a double column."""
+    """Order-independent, engine-exact sum of a double column
+    (|sum| ≲ 9e9 — see the domain-bound note; past it use dsum_big
+    for emitted sums, or keep this form when a final rounded ratio
+    absorbs the ulp)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(c.cast(DEC)).cast("double")
 
@@ -73,6 +98,38 @@ def davg(col: Column | str) -> Column:
 
 def davg_sql(expr: str) -> str:
     return f"CAST(SUM(CAST(({expr}) AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)"
+
+
+def _dec_to_double_big(dec_sum: Column) -> Column:
+    """Engine-identical decimal(·,6)→double past the 2⁵³ bound (see the
+    pairing-rule note): exact ×10⁶ shift, bigint, two shared roundings."""
+    return (dec_sum * _SCALE6).cast("long").cast("double") / F.lit(float(_SCALE6))
+
+
+def _dec_to_double_big_sql(sum_expr: str) -> str:
+    return f"CAST(CAST({sum_expr} * {_SCALE6} AS BIGINT) AS DOUBLE) / {_SCALE6}.0"
+
+
+def dsum_big(col: Column | str) -> Column:
+    """dsum for sums EMITTED past the 9e9 plain-cast domain: engine-
+    identical up to |sum| < 2⁶³/10⁶ ≈ 9.2e12, explicit overflow past
+    that, bit-identical to dsum below 9e9. Pair with dsum_big_sql."""
+    c = F.col(col) if isinstance(col, str) else col
+    return _dec_to_double_big(F.sum(c.cast(DEC)))
+
+
+def dsum_big_sql(expr: str) -> str:
+    return _dec_to_double_big_sql(f"SUM(CAST(({expr}) AS DECIMAL(28,6)))")
+
+
+def davg_big(col: Column | str) -> Column:
+    """davg for big-domain sums (see dsum_big)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return _dec_to_double_big(F.sum(c.cast(DEC))) / F.count(F.lit(1))
+
+
+def davg_big_sql(expr: str) -> str:
+    return f"{_dec_to_double_big_sql(f'SUM(CAST(({expr}) AS DECIMAL(28,6)))')} / COUNT(*)"
 
 
 def r6(col: Column) -> Column:

@@ -17,7 +17,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from python_etl_sample_spark.functions.determinism import davg, davg_sql, dsum, dsum_sql
+from python_etl_sample_spark.functions.determinism import (
+    davg,
+    davg_big,
+    davg_big_sql,
+    davg_sql,
+    dsum,
+    dsum_big,
+    dsum_big_sql,
+    dsum_sql,
+)
 from python_etl_sample_spark.registry import query
 from python_etl_sample_spark.sources import table
 
@@ -49,13 +58,13 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_groupby",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           {dsum_sql('l_quantity')} AS sum_qty,
-           {dsum_sql('l_extendedprice')} AS sum_base_price,
-           {dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
-           {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
-           {davg_sql('l_quantity')} AS avg_qty,
-           {davg_sql('l_extendedprice')} AS avg_price,
-           {davg_sql('l_discount')} AS avg_disc,
+           {dsum_big_sql('l_quantity')} AS sum_qty,
+           {dsum_big_sql('l_extendedprice')} AS sum_base_price,
+           {dsum_big_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {dsum_big_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {davg_big_sql('l_quantity')} AS avg_qty,
+           {davg_big_sql('l_extendedprice')} AS avg_price,
+           {davg_big_sql('l_discount')} AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -63,7 +72,13 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """#23 flagship: TPC-H-Q1-style pricing summary (hash agg by key)."""
+    """#23 flagship: TPC-H-Q1-style pricing summary (hash agg by key).
+
+    Emits RAW money sums (~2.8e10 at sf1 — past the plain decimal→
+    double cast's 9e9 engine-identity bound, the first wild sighting of
+    the determinism.py domain edge), so both sides use the _big
+    helpers: bit-identical to the plain form at the graded scales,
+    engine-identical up to ~9.2e12."""
     li = table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     charge = disc_price * (F.lit(1) + F.col("l_tax"))
@@ -71,13 +86,13 @@ def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
-            dsum(disc_price).alias("sum_disc_price"),
-            dsum(charge).alias("sum_charge"),
-            davg("l_quantity").alias("avg_qty"),
-            davg("l_extendedprice").alias("avg_price"),
-            davg("l_discount").alias("avg_disc"),
+            dsum_big("l_quantity").alias("sum_qty"),
+            dsum_big("l_extendedprice").alias("sum_base_price"),
+            dsum_big(disc_price).alias("sum_disc_price"),
+            dsum_big(charge).alias("sum_charge"),
+            davg_big("l_quantity").alias("avg_qty"),
+            davg_big("l_extendedprice").alias("avg_price"),
+            davg_big("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )

@@ -343,7 +343,9 @@ def dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANN_K = 5  # ground truth: sim_knn_per_query's exact top-5
 
 
-_KNN_DOT = "(SELECT SUM(q.embedding[i+1]::DOUBLE * c.embedding[i+1]::DOUBLE) FROM range(64) t(i))"
+# bit-identical to the older SUM-over-range(64) form but per-row
+# vectorized — the sf1 all-pairs truth CTE needs it (similarity.py note)
+_KNN_DOT = "list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])"
 
 
 #: shared WITH-body: exact top-5 truth pairs + per-pair LSH/IVF catch
@@ -353,8 +355,7 @@ _KNN_DOT = "(SELECT SUM(q.embedding[i+1]::DOUBLE * c.embedding[i+1]::DOUBLE) FRO
 _ANN_FLAGS_CTES = f"""{_km_ctes()},
     nv AS (
       SELECT vec_id, label, embedding,
-             sqrt((SELECT SUM(embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE)
-                   FROM range(64) t(i))) AS nrm
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       FROM embeddings
     ),
     exact AS (

@@ -695,10 +695,9 @@ _LSH_RADII = (1.0, 1.2, 1.4)
 
 
 def _sweep_knn_dot() -> str:
-    return (
-        "(SELECT SUM(q.embedding[i+1]::DOUBLE * c.embedding[i+1]::DOUBLE)"
-        " FROM range(64) t(i))"
-    )
+    # bit-identical to the older SUM-over-range(64) form but per-row
+    # vectorized — sf1 all-pairs tractability (similarity.py note)
+    return "list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])"
 
 
 @query(
@@ -706,8 +705,7 @@ def _sweep_knn_dot() -> str:
     oracle=f"""
     WITH nv AS (
       SELECT vec_id, label, embedding,
-             sqrt((SELECT SUM(embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE)
-                   FROM range(64) t(i))) AS nrm
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       FROM embeddings
     ),
     exact AS (

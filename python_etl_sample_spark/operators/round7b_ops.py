@@ -37,7 +37,10 @@ _DIM = 64
 #: covariance accumulator — integral decimal wide enough past int64
 _ACC = "decimal(38,0)"
 _COS_T = "0.45"  # same semantic-dup threshold as dedup_embedding_cosine
-_DOT = "(SELECT SUM({a}[i+1]::DOUBLE * {b}[i+1]::DOUBLE) FROM range(64) t(i))"
+# bit-identical to the older SUM-over-range(64) form but per-row
+# vectorized — sf1 within-cluster all-pairs tractability
+# (similarity.py note)
+_DOT = "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
 
 
 # ---------------------------------------------------------------------------

@@ -52,7 +52,12 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-_DOT_SQL = "(SELECT SUM({a}[i+1]::DOUBLE * {b}[i+1]::DOUBLE) FROM range(64) t(i))"
+# list_dot_product is bit-identical to the older per-element
+# SUM-over-range(64) form (verified exhaustively on the sf1 fixtures)
+# but evaluates per ROW instead of per (row × element): at sf1 the
+# all-pairs oracles go from a 200M-group aggregate that spilled >80 GB
+# of DuckDB temp to a vectorized scan (BENCH_NOTES r14).
+_DOT_SQL = "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
 
 
 def _dot_sql(a: str, b: str) -> str:
@@ -389,12 +394,10 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_NPROBE, _IVF_K = 2, 3
 
 _IVF_NRM_SQL = (
-    "sqrt((SELECT SUM(embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE)"
-    " FROM range(64) t(i)))"
+    "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
 )
 _IVF_DOT_SQL = (
-    "(SELECT SUM(q.embedding[i+1]::DOUBLE * c.embedding[i+1]::DOUBLE)"
-    " FROM range(64) t(i))"
+    "list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])"
 )
 
 

@@ -16,6 +16,7 @@ source, checkpointed state store, and watermark-bounded state.
 
 from __future__ import annotations
 
+import os
 import shutil
 import uuid
 
@@ -23,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from python_etl_sample_spark.registry import query
-from python_etl_sample_spark.scratch import stage_once
+from python_etl_sample_spark.scratch import scratch_path, stage_once
 from python_etl_sample_spark.session import ensure_session_configs
 
 
@@ -119,8 +120,23 @@ def demo_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def demo_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """#56 under readStream: dropDuplicatesWithinWatermark on the key."""
+    """#56 under readStream: dropDuplicatesWithinWatermark on the key.
+
+    SINGLE-BATCH PRECONDITION (r13 ADVICE): the emitted key SET is a
+    pure function of the input only because ``_events_stream`` replays
+    ONE staged file with no maxFilesPerTrigger, i.e. one micro-batch —
+    a multi-batch replay could re-emit a key whose state the 10-minute
+    watermark already evicted between batches. Pinned below by
+    asserting the staged source really is a single file, so a future
+    trigger/staging change fails loudly instead of going
+    nondeterministic."""
     ev = _events_stream(spark, sf_dir)
+    src_dir = scratch_path("stream_src", sf_dir)
+    staged = [f for f in os.listdir(src_dir) if f.endswith(".parquet")]
+    assert len(staged) == 1, (
+        f"dedup demo requires a single-file (single micro-batch) "
+        f"replay; staged: {staged}"
+    )
     dedup = ev.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
         ["user_id", "event_type"]
     )
@@ -797,5 +813,10 @@ def stream_demo_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: dedup state is one row per key within the watermark
     horizon; the 10-minute delay is what bounds it (vs the unbounded
     plain dropDuplicates), which is the production reason the
-    WithinWatermark variant exists."""
+    WithinWatermark variant exists.
+
+    Purity precondition: key-set determinism additionally requires the
+    replay to be a SINGLE micro-batch (multi-batch replays could
+    re-emit a key after watermark eviction); ``demo_dedup_watermark``
+    asserts the staged source is one file — see its docstring."""
     return demo_dedup_watermark(spark, sf_dir)

@@ -13,6 +13,7 @@ from python_etl_sample_spark.session import get_spark
 #: hypothesis properties, per-round hand-arithmetic re-derivations),
 #: so per-test marks would just rot.
 _FAST_MODULES = {
+    "test_harness_sensitivity",
     "test_parity",
     "test_plans",
     "test_coverage",
@@ -28,9 +29,12 @@ _FAST_MODULES = {
 
 def pytest_collection_modifyitems(config, items):
     for item in items:
+        # non-function items (doctests, ...) have no .module; they
+        # default to the slow tier rather than breaking collection
+        module = getattr(item, "module", None)
         tier = (
             "fast"
-            if item.module.__name__ in _FAST_MODULES
+            if module is not None and module.__name__ in _FAST_MODULES
             else "slow"
         )
         item.add_marker(getattr(pytest.mark, tier))

@@ -67,6 +67,51 @@ def test_dsum_davg_edge_parity(spark):
     pd.testing.assert_frame_equal(got, want, check_exact=True)
 
 
+def test_dsum_big_above_2e53_domain_edge(spark):
+    """Round-14 regression (sf1 agg_groupby.sum_charge): for decimal
+    sums past 2⁵³·10⁻⁶ ≈ 9e9 the plain decimal→double cast is
+    correctly rounded in Spark but double-rounded in DuckDB — 1 ulp
+    apart on this exact sum (27864155010.941590, the wild value). The
+    _big helpers route both engines through the same
+    decimal→bigint→double sequence, so they must be bit-identical
+    here — and bit-identical to the plain form BELOW the bound, so
+    switching a query to _big never moves a recorded hash. The
+    plain-pattern cross-check pins that the divergence is real (if
+    DuckDB ever changes, it fails and the detour can be
+    re-examined)."""
+    from python_etl_sample_spark.functions.determinism import (
+        dsum_big,
+        dsum_big_sql,
+        dsum_sql,
+    )
+
+    pdf = pd.DataFrame({"v": [27864155010.0, 0.94159]})
+    sdf = spark.createDataFrame(pdf)
+    got = sdf.agg(dsum_big("v").alias("s")).collect()[0]["s"]
+
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.execute(f"SELECT {dsum_big_sql('v')} AS s FROM t").fetchone()[0]
+    assert got == want, f"_big-path drift: spark={got!r} duck={want!r}"
+
+    plain_spark = sdf.agg(dsum("v").alias("s")).collect()[0]["s"]
+    plain_duck = con.execute(f"SELECT {dsum_sql('v')} AS s FROM t").fetchone()[0]
+    assert plain_spark != plain_duck, (
+        "the plain-pattern 1-ulp divergence no longer reproduces — "
+        "re-evaluate whether the bigint detour is still needed"
+    )
+
+    # below the bound the two forms agree exactly (the no-hash-move claim)
+    small = pd.DataFrame({"v": [1234567.891234, 2.67, 0.05]})
+    ssdf = spark.createDataFrame(small)
+    con.register("t2", small)
+    a = ssdf.agg(dsum_big("v").alias("s")).collect()[0]["s"]
+    b = ssdf.agg(dsum("v").alias("s")).collect()[0]["s"]
+    c = con.execute(f"SELECT {dsum_big_sql('v')} AS s FROM t2").fetchone()[0]
+    d = con.execute(f"SELECT {dsum_sql('v')} AS s FROM t2").fetchone()[0]
+    assert a == b == c == d
+
+
 def test_dsum_order_independent_on_edges(spark):
     pdf = pd.DataFrame({"price": EDGE_PRICES * 50})
     sdf = spark.createDataFrame(pdf)

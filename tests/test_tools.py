@@ -34,6 +34,9 @@ def _run_main(mod, argv, monkeypatch, ledger_path):
 
 def test_partial_run_carries_prior_floors_forward(tmp_path, monkeypatch):
     mod = _load_merge_module()
+    # carried names must exist in the registry (r13 ADVICE); stub the
+    # lookup so the synthetic fixture stays pyspark-free
+    monkeypatch.setattr(mod, "_registry_names", lambda: {"q_a", "q_b", "q_c"})
     ledger = tmp_path / "ledger.json"
     ledger.write_text(json.dumps(
         {"queries": {"q_a": 1.0, "q_b": 2.0, "q_c": 3.0}}
@@ -62,6 +65,29 @@ def test_allow_drop_retires_absent_queries(tmp_path, monkeypatch):
     out = json.loads(ledger.read_text())
     assert out["queries"] == {"q_a": 1.0}  # min(prior, run); q_gone retired
     assert out["carried_forward"] == []
+
+
+def test_carry_forward_of_deleted_query_fails_loudly(tmp_path, monkeypatch):
+    # r13 ADVICE: a carried-forward name that no longer exists in the
+    # registry is a deleted query — the merge must refuse rather than
+    # inflate the ledger total forever.
+    import pytest
+
+    mod = _load_merge_module()
+    monkeypatch.setattr(mod, "_registry_names", lambda: {"q_a"})
+    ledger = tmp_path / "ledger.json"
+    ledger.write_text(json.dumps({"queries": {"q_a": 1.0, "q_ghost": 2.0}}))
+    run = tmp_path / "run.json"
+    run.write_text(json.dumps({"queries": {"q_a": 0.5}}))
+
+    with pytest.raises(SystemExit, match="q_ghost"):
+        _run_main(mod, [str(run), "--round", "99", "--write"],
+                  monkeypatch, ledger)
+    # --allow-drop is the explicit retirement path and still works
+    _run_main(mod, [str(run), "--round", "99", "--write", "--allow-drop"],
+              monkeypatch, ledger)
+    out = json.loads(ledger.read_text())
+    assert out["queries"] == {"q_a": 0.5}
 
 
 def test_fresh_floor_ignores_prior(tmp_path, monkeypatch):

@@ -1,8 +1,10 @@
 """Mimic the driver: plain session, import __spark_entry__, smoke + oracle compare."""
-import os, sys, hashlib
+import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import SparkSession
-import duckdb, pandas as pd
+import duckdb
+from parity_core import compare, norm, vhash  # the shared checker (mutation-tested)
 
 spark = SparkSession.builder.master("local[8]").appName("driver-mimic").getOrCreate()  # NO special configs
 spark.sparkContext.setLogLevel("ERROR")
@@ -17,21 +19,12 @@ assert len(rows) > 0
 qs, osql = E.queries(), E.oracle_sql()
 print("declared:", len(qs), "with oracle:", len(osql))
 
-def norm(pdf):
-    pdf = pdf[sorted(pdf.columns)]
-    for c in pdf.columns:
-        if pd.api.types.is_datetime64_any_dtype(pdf[c].dtype): pdf[c] = pdf[c].astype("datetime64[us]")
-        elif pd.api.types.is_float_dtype(pdf[c].dtype): pdf[c] = pdf[c].astype("float64")
-        elif pd.api.types.is_integer_dtype(pdf[c].dtype): pdf[c] = pdf[c].astype("int64")
-        elif pdf[c].dtype == object: pdf[c] = pdf[c].map(str)
-    pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort").reset_index(drop=True)
-    return pdf
-
-def vhash(pdf):
-    return hashlib.md5(pdf.to_csv(index=False).encode()).hexdigest()
-
 sf = __import__("os").environ.get("PARITY_SF_DIR", "/root/testdata/sf0.01")
 con = duckdb.connect()
+# cap oracle spill so one runaway plan degrades to a per-query err row
+# instead of filling the disk and killing every query after it (the
+# r14 sf1 lesson); harmless at the driver's sf0.01
+con.execute("SET max_temp_directory_size='24GiB'")
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
 
@@ -40,21 +33,26 @@ names = sorted(qs) if not only else [n for n in sorted(qs) if n in set(only.spli
 ok = bad = 0
 results = {}
 for name in names:
-    spdf = qs[name](spark, sf).toPandas()
-    if name not in osql:
-        print(f"  {name}: rows-only, {len(spdf)} rows")
-        results[name] = {"rows_match": None, "schema_match": None, "hash_match": None,
-                         "spark_rows": len(spdf), "oracle_rows": None, "err": "no_oracle"}
+    try:
+        spdf = qs[name](spark, sf).toPandas()
+        if name not in osql:
+            print(f"  {name}: rows-only, {len(spdf)} rows")
+            results[name] = {"rows_match": None, "schema_match": None, "hash_match": None,
+                             "spark_rows": len(spdf), "oracle_rows": None, "err": "no_oracle"}
+            continue
+        dpdf = con.execute(osql[name]).df()
+    except Exception as e:  # noqa: BLE001 — an err row, like the driver records
+        bad += 1
+        msg = f"{type(e).__name__}: {e}".splitlines()[0][:300]
+        print(f"  {name}: ERR {msg}")
+        results[name] = {"rows_match": None, "schema_match": None, "hash_match": False,
+                         "spark_rows": None, "oracle_rows": None, "err": msg}
         continue
-    dpdf = con.execute(osql[name]).df()
-    hs, hd = vhash(norm(spdf)), vhash(norm(dpdf))
-    status = "MATCH" if hs == hd else "MISMATCH"
-    ok += hs == hd; bad += hs != hd
+    row = compare(spdf, dpdf)
+    status = "MATCH" if row["hash_match"] else "MISMATCH"
+    ok += row["hash_match"]; bad += not row["hash_match"]
     print(f"  {name}: {status} ({len(spdf)} rows)")
-    results[name] = {"rows_match": len(spdf) == len(dpdf),
-                     "schema_match": sorted(spdf.columns) == sorted(dpdf.columns),
-                     "hash_match": hs == hd,
-                     "spark_rows": len(spdf), "oracle_rows": len(dpdf), "err": None}
+    results[name] = row
 print(f"hash-match {ok}, mismatch {bad}")
 # full-coverage artifact in the driver's CORRECTNESS format (the driver's
 # own artifact caps at 50 entries; this records every query, same check)

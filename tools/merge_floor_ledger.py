@@ -41,6 +41,22 @@ def load_queries(path: str) -> dict[str, float]:
     raise SystemExit(f"{path}: no parseable bench JSON with a 'queries' map")
 
 
+def _registry_names() -> set[str]:
+    """Canonical query names from the live registry (lazy: importing
+    the package pulls in pyspark, so only pay that when carry-forward
+    validation actually runs)."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    from python_etl_sample_spark.registry import (
+        canonical_names,
+        load_all_operators,
+    )
+
+    load_all_operators()
+    return set(canonical_names())
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("runs", nargs="+")
@@ -75,7 +91,16 @@ def main() -> int:
     absent = sorted(set(prior) - names)
     if absent and not args.allow_drop:
         # r12 ADVICE: a partial bench run must not erase recorded
-        # floors — carry them forward verbatim.
+        # floors — carry them forward verbatim.  r13 ADVICE: but a
+        # carried name that no longer exists in the registry is a
+        # deleted query whose floor would inflate the ledger total
+        # forever — fail loudly and make the retirement explicit.
+        ghosts = sorted(set(absent) - set(_registry_names()))
+        if ghosts:
+            raise SystemExit(
+                f"carried-forward names no longer in the registry: "
+                f"{ghosts} — re-run with --allow-drop to retire them"
+            )
         for n in absent:
             merged[n] = prior[n]
         carried, dropped = absent, []
