@@ -494,6 +494,12 @@ EXTENSION_ORDER: tuple[str, ...] = (
 #: everything else by (driver-row count, round of most recent row)
 #: ascending, so plain re-recording slots go to the stalest evidence.
 #: Regenerate with ``python tools/gen_driver_order.py --write``.
+#: REGENERATION CADENCE (r13 ADVICE): the committed tuple is written
+#: once per round, at FREEZE, after all source edits — so that the
+#: changed-since-last-driver-row bucket reflects the tree the driver
+#: will actually run. Mid-round (and right after a new
+#: CORRECTNESS_r{N}.json lands) the tuple therefore lags its
+#: generator's would-be output; that is by design, not drift.
 DRIVER_ORDER: tuple[str, ...] = (
     # --- never driver-recorded (3) ---
     "stream_demo_sliding",

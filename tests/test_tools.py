@@ -101,3 +101,43 @@ def test_fresh_floor_ignores_prior(tmp_path, monkeypatch):
               monkeypatch, ledger)
     out = json.loads(ledger.read_text())
     assert out["queries"] == {"q_a": 0.9}  # changed code: prior floor retired
+
+
+def _load_gen_module():
+    spec = importlib.util.spec_from_file_location(
+        "gen_driver_order",
+        os.path.join(REPO, "tools", "gen_driver_order.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_fingerprint_snapshot_since_carry(tmp_path, monkeypatch):
+    """r14 query-granular change detection: write_fingerprints must
+    carry ``since`` forward for an unchanged fingerprint and bump it to
+    the round being frozen for a drifted one — that is what keeps a
+    changed query in the rotation until its post-change driver row
+    lands."""
+    mod = _load_gen_module()
+    from python_etl_sample_spark.registry import REGISTRY, load_all_operators
+
+    load_all_operators()
+    names = sorted(REGISTRY)[:2]
+    kept, drifted = names[0], names[1]
+    snap = tmp_path / "fp.json"
+    snap.write_text(json.dumps({
+        kept: {"fp": mod.query_fingerprint(REGISTRY[kept]), "since": 3},
+        drifted: {"fp": "0" * 40, "since": 5},
+    }))
+    monkeypatch.setattr(mod, "FINGERPRINTS", str(snap))
+
+    n = mod.write_fingerprints()
+    out = json.loads(snap.read_text())
+    assert n == len(REGISTRY) == len(out)
+    assert out[kept]["since"] == 3, "unchanged fp must keep its since"
+    frozen = out[drifted]["since"]
+    assert frozen > 5, "drifted fp must bump since to the frozen round"
+    # every name absent from the old snapshot is new -> frozen round
+    other = next(k for k in out if k not in (kept, drifted))
+    assert out[other]["since"] == frozen

@@ -62,12 +62,59 @@ sys.path.insert(0, REPO)
 #: this tuple from each round's VERDICT; it drains automatically (a
 #: name leaves the changed bucket once its post-change row lands).
 VERDICT_PRIORITY = (
-    # r12 verdict item 2: the suite's slowest query two rounds running
-    # and the round-13 guard-bound change — re-evidence the hash after
-    # the cadence-aware bound landed (values unchanged by design;
-    # sf0.01 parity re-verified locally, BENCH_NOTES r13)
-    "graph_hits_scores",
+    # r14: agg_groupby's aggregation expression changed on BOTH sides
+    # (the dsum_big/davg_big bigint detour for sums past the 2^53
+    # cast bound — values bit-identical at sf0.01 by construction, but
+    # the flagship deserves a post-change driver row ahead of the
+    # stale-backlog drain). graph_hits_scores (the r13 pin) drained:
+    # its post-change row landed in CORRECTNESS_r13.
+    "agg_groupby",
+    # r13 VERDICT item 3: the stalest evidence on the surface — the §2
+    # projection/filter core, last driver-recorded in r2. They carry
+    # ≥2 driver rows, so bucket-4's fewest-rows-first policy seats the
+    # r3/r4 single-row backlog ahead of them past the 50-cap; the
+    # verdict asks for them by name, hence the pin.
+    "project_derive",
+    "filter_pred",
+    "filter_null",
+    "filter_like",
+    "case_when",
 )
+
+
+#: committed per-query fingerprint snapshot (rewritten by --write at
+#: each freeze): change detection at QUERY granularity (r14, closing
+#: the r8-era "editing one query re-records its file siblings" note —
+#: at r14's freeze the file-level rule flagged 64 siblings and would
+#: have crowded the genuinely stale r2–r4 backlog out of the 50-slot
+#: artifact entirely). Format: {name: {"fp": sha1, "since": round}}
+#: where ``since`` is the round at whose freeze the current
+#: fingerprint first appeared (0 = bootstrap baseline, r13 tree) — a
+#: query stays in the changed bucket until a driver row lands in a
+#: round ≥ since, exactly like the old file-epoch rule but per query.
+FINGERPRINTS = os.path.join(REPO, "tools", "query_fingerprints.json")
+
+
+def query_fingerprint(spec) -> str:
+    """sha1 over the query's decorated source text + its EXPANDED
+    oracle SQL. The expanded oracle (not the f-string source) is what
+    catches helper-driven changes (dsum_sql & co. are interpolated at
+    import time); a Spark-side-only helper change that alters VALUES
+    necessarily changes the oracle too (the pairing rule in
+    functions/determinism.py) or fails drive_contract at freeze — so
+    the pair (source, oracle) is a sound change signal for
+    evidence-staleness purposes. Perf-only refactors that move neither
+    text don't flag, which is correct: the driver's hash evidence is
+    about values."""
+    import hashlib
+
+    try:
+        src = inspect.getsource(spec.fn)
+    except (OSError, TypeError):
+        src = repr(spec.fn)
+    return hashlib.sha1(
+        (src + "\x00" + (spec.oracle or "")).encode()
+    ).hexdigest()
 
 
 def _git_epoch(path: str) -> int:
@@ -133,12 +180,29 @@ def compute_order() -> tuple[list[tuple[str, str]], dict[str, int]]:
         and latest_row[n][1].get("hash_match") is None
         and REGISTRY[n].oracle is not None
     ]
+    # QUERY-granular change detection (r14): a query is 'changed' iff
+    # its (source, expanded-oracle) fingerprint differs from the
+    # committed snapshot taken at the last freeze. Falls back to the
+    # old file-epoch rule for names absent from the snapshot (first
+    # run, or a brand-new query that already has a driver row).
+    try:
+        snapshot = json.load(open(FINGERPRINTS))
+    except (OSError, json.JSONDecodeError):
+        snapshot = {}
+
+    def _is_changed(n: str) -> bool:
+        entry = snapshot.get(n)
+        if entry is None:
+            return _src_epoch(n) > art_epoch[latest_row[n][0]]
+        return (
+            query_fingerprint(REGISTRY[n]) != entry["fp"]
+            or latest_row[n][0] < entry["since"]
+        )
+
     changed = [
         n
         for n in names
-        if n in rounds
-        and n not in upgraded
-        and _src_epoch(n) > art_epoch[latest_row[n][0]]
+        if n in rounds and n not in upgraded and _is_changed(n)
     ]
     # stalest driver row first (see module docstring: the round-12
     # flip): the backlog drains oldest-evidence-first, so a bounded
@@ -246,15 +310,54 @@ def write_registry(body: str) -> None:
     open(path, "w").write(new)
 
 
+def write_fingerprints() -> int:
+    """Snapshot every registered query's fingerprint (freeze step —
+    run together with the registry rewrite so the next round's changed
+    bucket measures drift from THIS tree). ``since`` carries forward
+    for unchanged fingerprints and bumps to the round being frozen for
+    new/changed ones, so a changed query keeps its slot claim until a
+    post-change driver row actually lands."""
+    from python_etl_sample_spark.registry import REGISTRY, load_all_operators
+
+    load_all_operators()
+    try:
+        old = json.load(open(FINGERPRINTS))
+    except (OSError, json.JSONDecodeError):
+        old = {}
+    frozen_round = 1 + max(
+        (
+            int(os.path.basename(p)[len("CORRECTNESS_r"):-len(".json")])
+            for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r[0-9]*.json"))
+        ),
+        default=0,
+    )
+    fps = {}
+    for n in sorted(REGISTRY):
+        fp = query_fingerprint(REGISTRY[n])
+        prev = old.get(n)
+        since = (
+            prev["since"]
+            if prev is not None and prev["fp"] == fp
+            else frozen_round
+        )
+        fps[n] = {"fp": fp, "since": since}
+    with open(FINGERPRINTS, "w") as fh:
+        json.dump(fps, fh, indent=0, sort_keys=True)
+        fh.write("\n")
+    return len(fps)
+
+
 def main() -> None:
     order, counts = compute_order()
     body = render_body(order)
     if "--write" in sys.argv:
         write_registry(body)
+        n_fp = write_fingerprints()
         print(
             f"registry.py DRIVER_ORDER rewritten: {counts['never']} never / "
             f"{counts['changed']} changed / {counts['upgraded']} upgraded / "
-            f"{counts['rest']} by (rows, recency)"
+            f"{counts['rest']} by (rows, recency); {n_fp} fingerprints "
+            f"snapshotted"
         )
     else:
         print(body)

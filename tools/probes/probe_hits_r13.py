@@ -17,7 +17,7 @@ BENCH_NOTES r13 records the measured sessions: s1 ran
 shipped/noguard/renorm1/fused, s2 shipped/noguard/guardout, s3
 shipped/noguard/guardn.
 
-Usage: python tools/_probe_hits_r13.py [reps] [v1,v2,...]
+Usage: python tools/probes/probe_hits_r13.py [reps] [v1,v2,...]
 """
 from __future__ import annotations
 
@@ -25,7 +25,7 @@ import os
 import sys
 import time
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, REPO)
 
 from pyspark.sql import DataFrame, SparkSession  # noqa: E402

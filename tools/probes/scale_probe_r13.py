@@ -6,7 +6,7 @@ plan whose cost is ~linear in the corpus should land near 10x minus
 fixed overhead (JVM scheduling, micro-batch triggers), i.e. typically
 UNDER 10; super-linear ratios flag a pair-space or state blow-up.
 
-Usage: python tools/scale_probe_r13.py name1,name2 [reps01 reps1]
+Usage: python tools/probes/scale_probe_r13.py name1,name2 [reps01 reps1]
 """
 from __future__ import annotations
 
@@ -14,7 +14,7 @@ import os
 import sys
 import time
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, REPO)
 
 SF01 = "/root/testdata/sf0.1"
