@@ -358,15 +358,24 @@ _ANN_FLAGS_CTES = f"""{_km_ctes()},
              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       FROM embeddings
     ),
-    exact AS (
+    exact AS MATERIALIZED (
+      -- sim is projected in an inner derived table so the |q|x|c|
+      -- window input carries (id, id, sim), NOT two 64-float lists —
+      -- at sf1 the inline form materialized ~22 GB into the rank sort
+      -- (x2: the consumers scan flags twice), which is what
+      -- MATERIALIZED also prevents re-evaluating (BENCH_NOTES r14)
       SELECT query_id, neighbor_id, rn FROM (
-        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        SELECT query_id, neighbor_id,
                ROW_NUMBER() OVER (
-                 PARTITION BY q.vec_id
-                 ORDER BY round({_KNN_DOT} / (q.nrm * c.nrm), 9) DESC, c.vec_id
+                 PARTITION BY query_id
+                 ORDER BY sim DESC, neighbor_id
                ) AS rn
-        FROM nv q JOIN nv c ON q.vec_id <> c.vec_id
-        WHERE q.label = 0
+        FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round({_KNN_DOT} / (q.nrm * c.nrm), 9) AS sim
+          FROM nv q JOIN nv c ON q.vec_id <> c.vec_id
+          WHERE q.label = 0
+        )
       ) WHERE rn <= {_ANN_K}
     ),
     lshb AS (
@@ -391,7 +400,7 @@ _ANN_FLAGS_CTES = f"""{_km_ctes()},
       ) WHERE prn <= 2
       GROUP BY vec_id
     ),
-    flags AS (
+    flags AS MATERIALIZED (
       SELECT e.rn, e.query_id, e.neighbor_id,
              CASE WHEN (la.b0 = lb.b0 OR la.b1 = lb.b1)
                    AND round({_d2_sql('qe.embedding', 'ne.embedding')}, 9)

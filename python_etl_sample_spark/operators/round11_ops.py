@@ -708,16 +708,22 @@ def _sweep_knn_dot() -> str:
              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       FROM embeddings
     ),
-    exact AS (
+    exact AS MATERIALIZED (
+      -- sim projected before the rank window so the |q|x|c| sort
+      -- carries ids + sim, not embedding lists (sf1 memory blow-up;
+      -- see round10_ops._ANN_FLAGS_CTES)
       SELECT query_id, neighbor_id, rn FROM (
-        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        SELECT query_id, neighbor_id,
                ROW_NUMBER() OVER (
-                 PARTITION BY q.vec_id
-                 ORDER BY round({_sweep_knn_dot()} / (q.nrm * c.nrm), 9) DESC,
-                          c.vec_id
+                 PARTITION BY query_id
+                 ORDER BY sim DESC, neighbor_id
                ) AS rn
-        FROM nv q JOIN nv c ON q.vec_id <> c.vec_id
-        WHERE q.label = 0
+        FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 round({_sweep_knn_dot()} / (q.nrm * c.nrm), 9) AS sim
+          FROM nv q JOIN nv c ON q.vec_id <> c.vec_id
+          WHERE q.label = 0
+        )
       ) WHERE rn <= 5
     ),
     lshb AS (
@@ -728,7 +734,7 @@ def _sweep_knn_dot() -> str:
                         / {xe._LSH_BUCKET_LEN}) AS BIGINT) AS b1
       FROM embeddings
     ),
-    flags AS (
+    flags AS MATERIALIZED (
       SELECT e.rn,
              CASE WHEN la.b0 = lb.b0 OR la.b1 = lb.b1 THEN 1 ELSE 0 END
                AS bucketed,

@@ -95,3 +95,32 @@ def test_totals_line():
     n_total = len(REGISTRY)
     n_oracle = sum(1 for s in REGISTRY.values() if s.oracle is not None)
     assert f"{n_total} queries — {n_oracle} oracle-checked" in text
+
+
+def test_suite_walltime_line():
+    """VERDICT r13 item 6: suite growth is tracked — COVERAGE.md must
+    carry a measured per-round wall-time line for both tiers, so a
+    round that grows the suite without re-measuring fails here (the
+    round number is read from the newest driver CORRECTNESS artifact
+    + 1, i.e. the round being built)."""
+    import glob
+    import os
+
+    text = (REPO / "COVERAGE.md").read_text()
+    m = re.search(
+        r"Suite wall-time \(r(\d+)\): fast tier (\d+) s / (\d+) tests; "
+        r"full suite (\d+) s\n?/ (\d+) tests",
+        text,
+    )
+    assert m, "COVERAGE.md is missing the 'Suite wall-time (rN)' line"
+    rounds = [
+        int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
+        for p in glob.glob(str(REPO / "CORRECTNESS_r[0-9]*.json"))
+    ]
+    assert int(m.group(1)) == max(rounds) + 1, (
+        f"suite wall-time line is for r{m.group(1)}, but the round "
+        f"being built is r{max(rounds) + 1} — re-measure and update"
+    )
+    assert all(int(g) > 0 for g in m.groups()[1:]), (
+        "wall-time placeholders must be filled with real measurements"
+    )
