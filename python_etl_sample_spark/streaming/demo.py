@@ -55,6 +55,12 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+#: state-store partition pin for the demos (see _run_to_memory); a
+#: module constant so tools/probes/probe_stream_overhead_r14.py can
+#: sweep it in one session without editing source
+_DEMO_SHUFFLE_PARTITIONS = 8
+
+
 def _run_to_memory(result: DataFrame, mode: str) -> DataFrame:
     """Drain an AvailableNow stream into a memory sink; return the table."""
     name = f"demo_{uuid.uuid4().hex[:12]}"
@@ -64,7 +70,7 @@ def _run_to_memory(result: DataFrame, mode: str) -> DataFrame:
     # ~40% saving as the rate demo). The count is fixed at query start
     # from the session conf; pin it low for the start and restore.
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", str(_DEMO_SHUFFLE_PARTITIONS))
     try:
         q = (
             result.writeStream.format("memory")
@@ -382,7 +388,7 @@ def demo_rate_source(spark: SparkSession) -> DataFrame:
     # partition count is fixed at query start from the session conf;
     # pin it low for this query and restore right after start.
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", str(_DEMO_SHUFFLE_PARTITIONS))
     try:
         q = (
             agg.writeStream.foreachBatch(capture)
@@ -622,7 +628,7 @@ def stream_demo_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFram
         latest.append(path)
 
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", str(_DEMO_SHUFFLE_PARTITIONS))
     try:
         q = (
             stream.writeStream.foreachBatch(merge)
