@@ -93,7 +93,10 @@ _X_CTES = """
       SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
       FROM xtoks, UNNEST(generate_series(1, len(t)-2)) AS u(i)
       WHERE len(t) >= 3
-    ), xk AS (
+    ), xk AS MATERIALIZED (
+      -- MATERIALIZED (r14): xk is scanned by xsizes, sig builders and
+      -- BOTH sides of the xinter self-join; inlined, the ~25M-row
+      -- char-folding chain re-evaluates per reference at sf1
       SELECT DISTINCT doc_id,
              list_reduce(
                list_prepend(CAST(0 AS BIGINT),

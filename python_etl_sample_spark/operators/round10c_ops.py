@@ -492,19 +492,22 @@ def _xengine_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_param_sweep",
     oracle=f"""
     WITH {_X_CTES},
-    sig AS (
+    sig AS MATERIALIZED (
       SELECT doc_id,
              {_MH_SIG_COLS_SQL}
       FROM xk GROUP BY doc_id
     ),
-    truth AS (
+    truth AS MATERIALIZED (
+      -- MATERIALIZED (r14): truth is consumed by the stats join AND
+      -- two scalar COUNT(*) subqueries — inlined, the whole inverted-
+      -- index chain would re-evaluate three times (sf1 memory)
       SELECT doc_a, doc_b
       FROM xinter
       JOIN xsizes sa ON sa.doc_id = doc_a
       JOIN xsizes sb ON sb.doc_id = doc_b
       WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.8
     ),
-    lng AS (
+    lng AS MATERIALIZED (
       {_SWEEP_LNG_SQL}
     ),
     cand AS (
