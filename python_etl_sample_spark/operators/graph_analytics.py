@@ -90,17 +90,22 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# li/edges/deg are MATERIALIZED (r14): every consumer references edges
+# (and often deg) several times — the unrolled iterative oracles up to
+# 4x per round — and DuckDB's CTE inlining re-derives the whole
+# lineitem self-join per reference, which is what blew graph_kcore_peel
+# past a 16 GiB spill budget at sf1 (4 references/round x 4 rounds).
 _EDGES_SQL = """
-    li AS (
+    li AS MATERIALIZED (
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
       WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
       FROM li a JOIN li b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     ),
-    deg AS (
+    deg AS MATERIALIZED (
       SELECT node, COUNT(*) AS deg FROM (
         SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
       ) GROUP BY node
@@ -420,7 +425,7 @@ def _peel_sql(prev_nodes: str, cur: str) -> str:
     """One unrolled k-core peel: drop nodes whose degree in the current
     induced subgraph is below k; the edge set follows the node set."""
     return f"""
-    {cur} AS (
+    {cur} AS MATERIALIZED (
       SELECT d.node FROM (
         SELECT node, COUNT(*) AS deg FROM (
           SELECT e.u AS node FROM edges e

@@ -80,7 +80,7 @@ _ROWS_SQL = "\n      UNION ALL ".join(
       WHERE co.vec_id != l.query_id
       GROUP BY l.query_id, co.vec_id
     ),
-    top5 AS (
+    top5 AS MATERIALIZED (
       SELECT query_id, neighbor_id FROM (
         SELECT query_id, neighbor_id,
                row_number() OVER (PARTITION BY query_id
@@ -97,13 +97,13 @@ _ROWS_SQL = "\n      UNION ALL ".join(
       FROM x CROSS JOIN c{_KM_ROUNDS} c
       WHERE x.label = 0
     ),
-    csize AS (SELECT cid, COUNT(*) AS n FROM fin GROUP BY cid),
-    own AS (
+    csize AS MATERIALIZED (SELECT cid, COUNT(*) AS n FROM fin GROUP BY cid),
+    own AS MATERIALIZED (
       SELECT cr.rnk AS ownrnk
       FROM cellrank cr
       JOIN fin f ON f.vec_id = cr.query_id AND f.cid = cr.cid
     ),
-    nr AS (
+    nr AS MATERIALIZED (
       SELECT cr.rnk AS nrank
       FROM top5 t
       JOIN fin f ON f.vec_id = t.neighbor_id

@@ -281,7 +281,10 @@ def _km_ctes() -> str:
     )""")
     r = _KM_ROUNDS
     parts.append(f"""
-    fin AS (
+    fin AS MATERIALIZED (
+      -- MATERIALIZED (r14): fin is scanned repeatedly by the IVF
+      -- consumers (csize/own/nr, probe joins); inlined it re-runs the
+      -- whole Lloyd chain per reference
       SELECT a.vec_id, a.cid, a.dist FROM (
         SELECT v.vec_id, c.cid,
                round({_km_dist_sql('v.emb', 'c.emb')}, 9) AS dist,
