@@ -357,9 +357,15 @@ def _lsh_dot_sql(vec: str, t: int) -> str:
 
 
 def _d2_sql(a: str, b: str) -> str:
+    # list form is bit-identical to the older per-element
+    # SUM-over-range(64) (same index-ordered double adds; verified
+    # exhaustively on the sf1 fixtures) but evaluates per ROW — the
+    # LSH candidate frame is ~120M pairs at sf1, where the correlated
+    # form is a 7.7B-row aggregate (BENCH_NOTES r14)
     return (
-        f"(SELECT SUM(({a}[i+1]::DOUBLE - {b}[i+1]::DOUBLE)"
-        f" * ({a}[i+1]::DOUBLE - {b}[i+1]::DOUBLE)) FROM range(64) t(i))"
+        f"list_sum(list_transform("
+        f"list_zip({a}::DOUBLE[], {b}::DOUBLE[]),"
+        f" x -> (x[1] - x[2]) * (x[1] - x[2])))"
     )
 
 

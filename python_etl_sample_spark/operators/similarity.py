@@ -292,11 +292,26 @@ def sim_knn_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                         / {xe._LSH_BUCKET_LEN}) AS BIGINT) AS b1
       FROM embeddings
     ),
+    pair_ids AS MATERIALIZED (
+      -- r14: the OR-of-buckets join condition defeats DuckDB's hash
+      -- join and planned as a 400M-pair cross product at sf1 (~107 GB
+      -- RSS before being killed). Per-table equi-joins + DISTINCT is
+      -- the same candidate set — and the same per-table bucket
+      -- shuffle shape the Spark side uses.
+      SELECT DISTINCT vec_a, vec_b FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM lshb a JOIN lshb b ON a.b0 = b.b0 AND a.vec_id < b.vec_id
+        UNION ALL
+        SELECT a.vec_id, b.vec_id
+        FROM lshb a JOIN lshb b ON a.b1 = b.b1 AND a.vec_id < b.vec_id
+      )
+    ),
     cand AS (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             round({xe._d2_sql('a.embedding', 'b.embedding')}, 9) AS d2
-      FROM lshb a JOIN lshb b
-        ON a.vec_id < b.vec_id AND (a.b0 = b.b0 OR a.b1 = b.b1)
+      SELECT p.vec_a, p.vec_b,
+             round({xe._d2_sql('ea.embedding', 'eb.embedding')}, 9) AS d2
+      FROM pair_ids p
+      JOIN embeddings ea ON ea.vec_id = p.vec_a
+      JOIN embeddings eb ON eb.vec_id = p.vec_b
     )
     SELECT vec_a, vec_b, round(sqrt(d2), 6) AS euclidean_dist
     FROM cand WHERE d2 <= {xe._LSH_RADIUS * xe._LSH_RADIUS}
