@@ -24,7 +24,7 @@ con = duckdb.connect()
 # cap oracle spill so one runaway plan degrades to a per-query err row
 # instead of filling the disk and killing every query after it (the
 # r14 sf1 lesson); harmless at the driver's sf0.01
-con.execute("SET max_temp_directory_size='24GiB'")
+con.execute("SET max_temp_directory_size='40GiB'")
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
 
