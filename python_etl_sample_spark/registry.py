@@ -501,95 +501,56 @@ EXTENSION_ORDER: tuple[str, ...] = (
 #: CORRECTNESS_r{N}.json lands) the tuple therefore lags its
 #: generator's would-be output; that is by design, not drift.
 DRIVER_ORDER: tuple[str, ...] = (
-    # --- never driver-recorded (3) ---
-    "stream_demo_sliding",
-    "stream_demo_watermark_late",
-    "stream_demo_dedup",
-    # --- changed since last driver row (82) ---
-    "graph_hits_scores",
-    "scan_parquet",
-    "source_orc",
-    "source_text",
-    "stats_corr_matrix",
-    "ts_gap_fill",
-    "udaf_grouped_agg",
-    "udf_scalar_pandas",
-    "udtf_apply_in_pandas",
-    "udtf_python_lateral",
-    "agg_listagg_ordered",
-    "agg_mode_deterministic",
-    "agg_percentile_exact",
-    "agg_skew_kurt",
-    "events_cum_distinct_users",
-    "events_error_rate_anomaly",
-    "events_transition_matrix",
-    "graph_connected_components",
-    "join_asof_forward",
-    "sample_stratified",
-    "skyline_pareto",
-    "stats_zscore_outliers",
-    "ts_mad_outliers",
-    "ts_ohlc_bars",
-    "dq_expectations",
-    "embedding_int8_quantize",
-    "embedding_matryoshka_energy",
-    "etl_merge_upsert",
-    "source_schema_evolution",
-    "agg_equi_depth_histogram",
-    "agg_skew_salted_distinct",
-    "agg_weighted_percentile",
-    "api_sql_registered_udf",
-    "basket_brand_pairs_lift",
-    "etl_compact_small_files",
-    "etl_incremental_rollup_merge",
-    "etl_zorder_clustering",
-    "events_max_concurrent",
-    "events_pattern_funnel_runs",
-    "events_sessionize",
-    "events_windowed_funnel",
-    "join_asof_nearest",
-    "join_bloom_runtime",
-    "join_dpp_partitioned",
-    "join_hinted_strategies",
-    "sample_reservoir_per_key",
-    "sample_weighted_priority",
-    "stats_winsorized_mean",
-    "win_time_range_frame",
+    # --- VERDICT-pinned re-evidence (5) ---
+    "project_derive",
+    "filter_pred",
+    "filter_null",
+    "filter_like",
+    "case_when",
+    # --- changed since last driver row (42) ---
+    "agg_groupby",
+    "join_interval_overlap",
+    "graph_pagerank",
+    "graph_triangle_count",
+    "graph_bfs_hops",
+    "graph_kcore_peel",
     "stream_demo_foreachbatch_merge",
-    "stream_demo_rate_source",
-    "stream_demo_session",
-    "stats_bootstrap_poisson_ci",
-    "stats_ols_multivariate",
-    "stream_demo_stateful",
-    "stream_demo_tumbling",
-    "stream_demo_static_join",
-    "stream_demo_stream_join",
-    "text_bpe_train_merges",
-    "text_bpe_encode",
-    "anon_l_diversity",
+    "sim_mmr_rerank",
+    "dedup_semantic_cluster",
+    "cluster_silhouette",
+    "graph_degree_assortativity",
+    "join_null_safe",
+    "multimodal_join",
+    "dedup_semantic_recall",
+    "embedding_knn_outlier",
+    "cluster_kmeans_lloyd",
+    "sim_ivf_nprobe_sweep",
+    "pipeline_dedup_funnel",
     "corpus_dedup_survivorship",
-    "corpus_temperature_mix",
+    "dedup_embedding_ann",
     "dedup_minhash_param_sweep",
     "dedup_simhash_recall",
-    "events_power_mde",
-    "events_srm_check",
-    "graph_label_propagation",
     "graph_personalized_pagerank",
-    "ml_cohens_kappa",
-    "ml_mcnemar_paired",
+    "sim_ann_ivf",
+    "sim_ann_lsh",
     "sim_lsh_radius_sweep",
-    "stats_cochran_q",
-    "stats_fleiss_kappa",
-    "stats_krippendorff_alpha",
-    "stats_ks_two_sample",
-    "text_boilerplate_ngrams",
-    "text_bpe_compression_by_lang",
-    "text_log_odds_domain_terms",
-    "ts_cross_correlation",
-    "sim_pq_adc",
+    "graph_label_propagation",
+    "dedup_near_minhash",
+    "dedup_simhash",
+    "graph_community_modularity",
+    "dedup_embedding_cosine",
+    "dedup_jaccard_histogram",
+    "dedup_minhash_recall",
+    "sim_ann_recall",
+    "sim_cosine_topk",
+    "sim_knn_per_query",
     "sim_pq_ivf_adc",
+    "ann_ivf_imbalance",
+    "ann_recall_under_churn",
+    "dedup_semdedup_eps",
+    "etl_merge_upsert",
+    "stream_demo_dedup",
     # --- 1 driver row(s), last in r3 ---
-    "join_interval_overlap",
     "pipeline_corpus_clean",
     "stream_dedup_keyed",
     "stream_session",
@@ -639,8 +600,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "etl_snapshot_diff",
     "features_hashing_trick",
     "fn_try_safe",
-    "graph_pagerank",
-    "graph_triangle_count",
     "join_point_in_time_scd2",
     "pipeline_daily_etl",
     "pipeline_feature_store",
@@ -650,6 +609,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "set_intersect_except_all",
     "sketch_hll_mergeable",
     "spatial_grid_join",
+    "stats_winsorized_mean",
+    "win_time_range_frame",
     # --- 1 driver row(s), last in r6 ---
     "agg_exact_quantiles_global",
     "agg_theil_index",
@@ -665,9 +626,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "features_target_encoding",
     "fn_intervals_overlap_merge",
     "fn_nested_struct_ops",
-    "graph_bfs_hops",
     "graph_jaccard_link_prediction",
-    "graph_kcore_peel",
     "join_asof_tolerance",
     "q_discounted_revenue",
     "q_forecast_revenue",
@@ -676,25 +635,25 @@ DRIVER_ORDER: tuple[str, ...] = (
     "q_parts_supplier_relationship",
     "q_product_type_profit",
     "q_volume_shipping",
-    "sim_mmr_rerank",
     "sketch_cms_frequency",
     "sketch_kmv_distinct",
+    "stats_bootstrap_poisson_ci",
     "stats_mann_kendall_trend",
+    "stats_ols_multivariate",
     "stats_psi_drift",
+    "stream_demo_rate_source",
+    "stream_demo_session",
     "text_ngram_novelty",
     # --- 1 driver row(s), last in r7 ---
     "agg_percentile_cont",
     "anon_dp_geometric_histogram",
     "anon_ldp_frequency",
     "anon_t_closeness",
-    "cluster_silhouette",
     "dedup_incremental_batch",
-    "dedup_semantic_cluster",
     "dedup_substring_spans",
     "embedding_pca_power",
     "events_markov_kstep",
     "features_target_encoding_loo",
-    "graph_degree_assortativity",
     "graph_harmonic_centrality",
     "sim_rrf_fusion",
     "sketch_theta_intersection",
@@ -715,30 +674,31 @@ DRIVER_ORDER: tuple[str, ...] = (
     "stats_friedman",
     # --- 1 driver row(s), last in r10 ---
     "ml_brier_decomposition",
-    "pipeline_dedup_funnel",
-    "sim_ivf_nprobe_sweep",
+    "text_bpe_train_merges",
     "ts_holt_winters_forecast",
+    # --- 1 driver row(s), last in r11 ---
+    "events_power_mde",
+    "events_srm_check",
+    "ml_cohens_kappa",
+    "ml_mcnemar_paired",
+    "stats_cochran_q",
+    "stats_fleiss_kappa",
+    "stats_krippendorff_alpha",
+    "text_bpe_compression_by_lang",
+    "text_log_odds_domain_terms",
     # --- 1 driver row(s), last in r12 ---
-    "ann_ivf_imbalance",
-    "ann_recall_under_churn",
     "corpus_mix_alpha_sweep",
-    "dedup_semdedup_eps",
     "text_quality_threshold_sweep",
-    # --- 2 driver row(s), last in r2 ---
-    "case_when",
-    "filter_like",
-    "filter_null",
-    "filter_pred",
-    "project_derive",
+    # --- 1 driver row(s), last in r13 ---
+    "stream_demo_sliding",
+    "stream_demo_watermark_late",
     # --- 2 driver row(s), last in r8 ---
     "agg_approx_quantile",
     "fn_bitwise",
     "fn_json_build",
     "join_bucketed",
-    "join_null_safe",
     "join_skew_salted",
     "multimodal_decode",
-    "multimodal_join",
     "q_local_supplier_volume",
     "q_returned_items",
     "q_shipping_priority",
@@ -762,9 +722,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "win_sliding_frame",
     # --- 2 driver row(s), last in r9 ---
     "attribution_position_weighted",
-    "dedup_semantic_recall",
     "embedding_binary_hamming",
-    "embedding_knn_outlier",
     "events_ab_lift",
     "events_burstiness",
     "events_cohort_ltv",
@@ -790,6 +748,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "stats_chi2_independence",
     "stats_permutation_test",
     "stats_wilcoxon_signed_rank",
+    "stream_demo_stateful",
+    "stream_demo_tumbling",
     "text_containment_dedup",
     "text_textrank_keywords",
     "ts_ewma_halflife",
@@ -813,6 +773,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "stats_rank_sum_u",
     "stats_theil_sen_trend",
     "stats_ttest_welch",
+    "stream_demo_static_join",
+    "stream_demo_stream_join",
     "text_chunk_fixed_overlap",
     "text_collocations_pmi",
     "text_dedup_prefix",
@@ -823,18 +785,19 @@ DRIVER_ORDER: tuple[str, ...] = (
     "ts_rolling_regression",
     # --- 2 driver row(s), last in r11 ---
     "corpus_apportion_budget",
-    "dedup_embedding_ann",
+    "corpus_temperature_mix",
     "embeddings_centroid",
     "embeddings_class_separation",
     "events_top_paths",
     "ml_auc_delong_ci",
     "stats_cusum_changepoint",
     "stats_gini_lorenz",
+    "text_boilerplate_ngrams",
+    "text_bpe_encode",
     # --- 2 driver row(s), last in r12 ---
     "agg_histogram",
     "attribution_last_touch",
     "corpus_mix_weights",
-    "dedup_jaccard_histogram",
     "etl_incremental",
     "etl_scd2_history",
     "events_funnel",
@@ -842,31 +805,73 @@ DRIVER_ORDER: tuple[str, ...] = (
     "fn_regex",
     "q_top_suppliers",
     "text_heaps_law_fit",
+    # --- 2 driver row(s), last in r13 ---
+    "agg_equi_depth_histogram",
+    "agg_listagg_ordered",
+    "agg_mode_deterministic",
+    "agg_percentile_exact",
+    "agg_skew_kurt",
+    "agg_skew_salted_distinct",
+    "agg_weighted_percentile",
+    "api_sql_registered_udf",
+    "basket_brand_pairs_lift",
+    "dq_expectations",
+    "embedding_int8_quantize",
+    "embedding_matryoshka_energy",
+    "etl_compact_small_files",
+    "etl_incremental_rollup_merge",
+    "etl_zorder_clustering",
+    "events_cum_distinct_users",
+    "events_error_rate_anomaly",
+    "events_max_concurrent",
+    "events_pattern_funnel_runs",
+    "events_sessionize",
+    "events_transition_matrix",
+    "events_windowed_funnel",
+    "graph_connected_components",
+    "join_asof_forward",
+    "join_asof_nearest",
+    "join_bloom_runtime",
+    "join_dpp_partitioned",
+    "join_hinted_strategies",
+    "sample_reservoir_per_key",
+    "sample_stratified",
+    "sample_weighted_priority",
+    "skyline_pareto",
+    "source_orc",
+    "source_schema_evolution",
+    "source_text",
+    "stats_corr_matrix",
+    "stats_zscore_outliers",
+    "ts_gap_fill",
+    "ts_mad_outliers",
+    "ts_ohlc_bars",
+    "udaf_grouped_agg",
+    "udf_scalar_pandas",
+    "udtf_apply_in_pandas",
+    "udtf_python_lateral",
     # --- 3 driver row(s), last in r10 ---
-    "cluster_kmeans_lloyd",
     "dedup_consensus",
     "text_bm25_rank",
     # --- 3 driver row(s), last in r11 ---
+    "anon_l_diversity",
     "dedup_cluster_keeper",
     "dedup_ngram_jaccard",
-    "graph_community_modularity",
-    "sim_ann_ivf",
-    "sim_ann_lsh",
     "sort_multi",
     "stats_kruskal_wallis",
+    "stats_ks_two_sample",
     "text_vocab_coverage",
+    "ts_cross_correlation",
     # --- 3 driver row(s), last in r12 ---
     "agg_approx_distinct",
     "agg_collect",
     "agg_cube",
     "agg_distinct",
     "agg_global",
-    "agg_groupby",
     "agg_grouping_sets",
     "agg_having",
     "agg_rollup",
     "agg_stats",
-    "dedup_minhash_recall",
     "fn_array",
     "fn_date",
     "fn_map_from_json",
@@ -883,15 +888,13 @@ DRIVER_ORDER: tuple[str, ...] = (
     "join_theta",
     "pivot",
     "self_join",
-    "sim_ann_recall",
+    "sim_pq_adc",
+    # --- 3 driver row(s), last in r13 ---
+    "scan_parquet",
     # --- 4 driver row(s), last in r11 ---
     "dedup_exact",
-    "dedup_near_minhash",
-    "dedup_simhash",
-    # --- 4 driver row(s), last in r12 ---
-    "dedup_embedding_cosine",
-    "sim_cosine_topk",
-    "sim_knn_per_query",
+    # --- 4 driver row(s), last in r13 ---
+    "graph_hits_scores",
 )
 
 
