@@ -18,7 +18,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from python_etl_sample_spark.functions.determinism import dsum, dsum_sql
+from python_etl_sample_spark.functions.determinism import (
+    dsum,
+    dsum_big,
+    dsum_big_sql,
+    dsum_sql,
+)
 from python_etl_sample_spark.registry import query
 from python_etl_sample_spark.sources import table
 
@@ -291,10 +296,12 @@ def set_intersect_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER))
              AS n_prio_numeric,
            COUNT(o_totalprice / NULLIF(o_orderkey % 3, 0)) AS n_div_ok,
-           CAST(SUM(CAST(o_totalprice / NULLIF(o_orderkey % 3, 0)
-                    AS DECIMAL(28,6))) AS DOUBLE) AS div_sum
+           {DIV_SUM} AS div_sum
     FROM orders
-    """,
+    """.replace(
+        "{DIV_SUM}",
+        dsum_big_sql("o_totalprice / NULLIF(o_orderkey % 3, 0)"),
+    ),
 )
 def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Error-safe expression family: ``try_cast`` of non-numeric and
@@ -319,7 +326,9 @@ def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_to_number(F.substring("o_orderpriority", 1, 1), F.lit("9"))
         ).alias("n_prio_numeric"),
         F.count(div).alias("n_div_ok"),
-        F.sum(div.cast("decimal(28,6)")).cast("double").alias("div_sum"),
+        # div_sum is ~1.9e11 at sf1 — past the plain decimal→double
+        # cast's engine-identity bound; _big form on both sides
+        dsum_big(div).alias("div_sum"),
     )
 
 
