@@ -37,14 +37,17 @@ _H_SIGMAS = 2.0
       SELECT priority,
              COUNT(*) AS n_days,
              {dsum_sql('rev')} / COUNT(*) AS mu,
-             sqrt({dsum_sql('rev * rev')} / COUNT(*)
-                  - ({dsum_sql('rev')} / COUNT(*))
-                    * ({dsum_sql('rev')} / COUNT(*))) AS sigma
+             sqrt({dsum_sql('(rev / 100000.0) * (rev / 100000.0)')}
+                    / COUNT(*)
+                  - ({dsum_sql('rev')} / COUNT(*) / 100000.0)
+                    * ({dsum_sql('rev')} / COUNT(*) / 100000.0))
+               * 100000.0 AS sigma
       FROM daily GROUP BY priority
     ),
     pref AS (
       SELECT d.priority, d.day, p.n_days, p.sigma,
-             SUM(d.rev - p.mu) OVER w AS pt
+             CAST(SUM(CAST(d.rev - p.mu AS DECIMAL(28,6))) OVER w
+                  AS DOUBLE) AS pt
       FROM daily d JOIN params p ON p.priority = d.priority
       WINDOW w AS (PARTITION BY d.priority ORDER BY d.day
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -94,13 +97,30 @@ def stats_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day"
         ),
     ).agg(F.sum(F.col("o_totalprice").cast(dec)).cast("double").alias("rev"))
+    # r14 scale hardening (sf1): the raw second moment Σrev² is ~2.4e19
+    # at sf1 — past every decimal→double cast's engine-identity bound,
+    # and a 1-ulp σ drift moves the alarm threshold discontinuously.
+    # Scaling rev down by 10⁵ first keeps Σ(rev/10⁵)²·10⁶ < 2⁵³ (good
+    # to ~sf5), and every op in the σ expression is then an identical
+    # IEEE op in both engines. The prefix sum likewise routes through
+    # decimal: DuckDB's windowed double SUM is segment-tree-ordered
+    # (not left-to-right like Spark's), and at |pt| ~ 1e9 the tree-vs-
+    # sequential ulp noise crosses the 6-dp output grid; an exact
+    # decimal window sum is order-free in both engines.
     srev = F.sum(F.col("rev").cast(dec)).cast("double")
-    srev2 = F.sum((F.col("rev") * F.col("rev")).cast(dec)).cast("double")
+    rs = F.col("rev") / F.lit(100000.0)
+    srs2 = F.sum((rs * rs).cast(dec)).cast("double")
     cnt = F.count(F.lit(1))
+    mu = srev / cnt
     params = daily.groupBy("priority").agg(
         cnt.alias("n_days"),
-        (srev / cnt).alias("mu"),
-        F.sqrt(srev2 / cnt - (srev / cnt) * (srev / cnt)).alias("sigma"),
+        mu.alias("mu"),
+        (
+            F.sqrt(
+                srs2 / cnt - (mu / F.lit(100000.0)) * (mu / F.lit(100000.0))
+            )
+            * F.lit(100000.0)
+        ).alias("sigma"),
     )
     wrun = (
         Window.partitionBy("priority")
@@ -113,7 +133,10 @@ def stats_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "n_days",
         "sigma",
-        F.sum(F.col("rev") - F.col("mu")).over(wrun).alias("pt"),
+        F.sum((F.col("rev") - F.col("mu")).cast(dec))
+        .over(wrun)
+        .cast("double")
+        .alias("pt"),
     )
     pref = pref.withColumn(
         "run_min",
