@@ -58,7 +58,11 @@ def test_cusum_matches_sequential_recursion_and_localizes_shift(spark, tmp_path)
         if alarm is None and s > h:
             alarm = d0 + i
     assert r["n_days"] == 30
-    assert abs(r["max_cusum"] - round(smax, 6)) < 1e-6
+    # r14: the engine's prefix sum routes per-row deviations through
+    # decimal(28,6) (order-free cross-engine determinism — see the
+    # operator), so each step may differ from this float recursion by
+    # up to 5e-7; tolerance is n·5e-7 for the 30-day series
+    assert abs(r["max_cusum"] - round(smax, 6)) < 30 * 5e-7
     assert r["first_alarm_day"] == alarm
     assert alarm >= d0 + 20  # never fires before the shift
 
