@@ -507,9 +507,10 @@ DRIVER_ORDER: tuple[str, ...] = (
     "filter_null",
     "filter_like",
     "case_when",
-    # --- changed since last driver row (42) ---
+    # --- changed since last driver row (44) ---
     "agg_groupby",
     "join_interval_overlap",
+    "fn_try_safe",
     "graph_pagerank",
     "graph_triangle_count",
     "graph_bfs_hops",
@@ -534,6 +535,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "sim_ann_ivf",
     "sim_ann_lsh",
     "sim_lsh_radius_sweep",
+    "stats_cusum_changepoint",
     "graph_label_propagation",
     "dedup_near_minhash",
     "dedup_simhash",
@@ -599,7 +601,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "etl_partition_overwrite",
     "etl_snapshot_diff",
     "features_hashing_trick",
-    "fn_try_safe",
     "join_point_in_time_scd2",
     "pipeline_daily_etl",
     "pipeline_feature_store",
@@ -790,7 +791,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "embeddings_class_separation",
     "events_top_paths",
     "ml_auc_delong_ci",
-    "stats_cusum_changepoint",
     "stats_gini_lorenz",
     "text_boilerplate_ngrams",
     "text_bpe_encode",
