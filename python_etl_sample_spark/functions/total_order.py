@@ -10,8 +10,11 @@ running sum over an unbounded frame:
 1. ``repartitionByRange`` on the sort expressions — Spark's range
    partitioner guarantees partition *i*'s rows all precede partition
    *i+1*'s under that order, and each partition sorts locally;
-2. a per-partition ``row_number`` / running ``sum`` (window partitioned
-   by ``spark_partition_id()`` — parallel, one task per range);
+2. a per-partition local rank: rank-only callers get it from
+   ``monotonically_increasing_id()`` stamped over the
+   locally-sorted cached partitions (narrow — no extra exchange,
+   round 14); running-sum callers use a window partitioned by
+   ``spark_partition_id()`` (parallel, one task per range);
 3. per-partition row/value totals, offset via an exclusive prefix sum
    over the totals frame — that frame has ≤ ``shuffle.partitions``
    rows (CONFIG-bounded, not data-bounded), so its one-task window is
@@ -45,6 +48,7 @@ from pyspark.sql import functions as F
 
 _PID = "__to_pid"
 _LRN = "__to_lrn"
+_MID = "__to_mid"
 
 
 def attach_global_order(
@@ -81,7 +85,29 @@ def attach_global_order(
         d = df.repartitionByRange(num_partitions, *order_exprs)
     else:
         d = df.repartitionByRange(*order_exprs)
-    d = d.withColumn(_PID, F.spark_partition_id())
+    # Rank-only callers (no running sums) take the sorted-cache path
+    # (round 14): sort WITHIN the range partitions and stamp each row
+    # with monotonically_increasing_id() inside the cached projection.
+    # The id is (partition id << 33) + row offset in physical order —
+    # over locally-sorted partitions that offset IS the local rank −1,
+    # and the partition id rides in the high bits, so both kernel
+    # columns come out of one narrow projection. This removes the
+    # full-data hashpartitioning(__to_pid) Exchange + Sort that the
+    # row_number window otherwise inserts above the cache (plan audit
+    # r14: agg_equi_depth_histogram Exchange (8)/Sort (9)) — the range
+    # exchange is then the ONLY data-sized movement in the kernel.
+    # Determinism: the caller's order is total, so the sorted order is
+    # unique; the ids are evaluated once, during cache materialization,
+    # and every downstream branch reads the same buffers. Running-sum
+    # callers keep the window path (a prefix sum needs the ordered
+    # window regardless).
+    rank_only = not cumsums
+    if rank_only:
+        d = d.sortWithinPartitions(*order_exprs).withColumn(
+            _MID, F.monotonically_increasing_id()
+        )
+    else:
+        d = d.withColumn(_PID, F.spark_partition_id())
     # CORRECTNESS BARRIER (round 10). The local-rank branch and the
     # partition-totals branch below both re-derive this frame; range
     # boundaries come from per-evaluation sampling, so the two branches
@@ -105,11 +131,19 @@ def attach_global_order(
     # data-sized materialization of the frame the kernel was already
     # shuffling — it replaces the second exchange evaluation.
     d = d.persist()
-    w = Window.partitionBy(_PID).orderBy(*order_exprs)
-    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
-    d = d.withColumn(_LRN, F.row_number().over(w))
-    for val, out in cumsums:
-        d = d.withColumn(f"__to_lcs_{out}", F.sum(val).over(wrun))
+    if rank_only:
+        d = d.withColumn(
+            _PID, F.shiftright(F.col(_MID), 33).cast("int")
+        ).withColumn(
+            _LRN,
+            (F.col(_MID).bitwiseAND(F.lit((1 << 33) - 1)) + 1).cast("int"),
+        )
+    else:
+        w = Window.partitionBy(_PID).orderBy(*order_exprs)
+        wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+        d = d.withColumn(_LRN, F.row_number().over(w))
+        for val, out in cumsums:
+            d = d.withColumn(f"__to_lcs_{out}", F.sum(val).over(wrun))
 
     aggs = [F.count(F.lit(1)).alias("__to_cnt")]
     for val, out in cumsums:
@@ -153,7 +187,7 @@ def attach_global_order(
         d = d.withColumn(
             out, F.col(f"__to_off_{out}") + F.col(f"__to_lcs_{out}")
         )
-    drop = [_PID, _LRN, "__to_off_rn"] + [
+    drop = [_PID, _LRN, _MID, "__to_off_rn"] + [
         c
         for _, out in cumsums
         for c in (f"__to_lcs_{out}", f"__to_off_{out}")

@@ -211,7 +211,13 @@ def stats_rank_sum_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
         .select(F.col("o_orderpriority").alias("grp"), cents.alias("cents"))
     )
-    by_val = pool.groupBy("cents", "grp").agg(F.count(F.lit(1)).alias("c"))
+    # persist the value-wise counts: they feed BOTH the distinct-value
+    # prefix-sum branch and the credit join, and the final a×b cross
+    # references the whole cascade twice — without a barrier the orders
+    # scan + groupBy re-evaluates 3× (r14 plan audit: 20 exchanges)
+    by_val = (
+        pool.groupBy("cents", "grp").agg(F.count(F.lit(1)).alias("c")).persist()
+    )
     val = by_val.groupBy("cents").agg(F.sum("c").alias("cnt"))
     ranked = attach_global_order(
         val, [F.asc("cents")], cumsums=[("cnt", "__cum")]
@@ -228,7 +234,7 @@ def stats_rank_sum_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = credit.groupBy("grp").agg(
         F.sum("c").alias("n"),
         F.sum(F.col("c") * F.col("two_avg_rank")).alias("two_rank_sum"),
-    )
+    ).persist()
     a = agg.filter(F.col("grp") == "1-URGENT").alias("a")
     b = agg.filter(F.col("grp") == "5-LOW").alias("b")
     na, nb = F.col("a.n"), F.col("b.n")

@@ -485,11 +485,17 @@ def ts_holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     o = table(spark, sf_dir, "orders")
+    # persist each stage of the decomposition (r14): daily feeds the
+    # seasonal fit AND the deseasonalize join; des feeds both ewma
+    # sides and the max-rn branch; e1 feeds both sides of the second
+    # smoothing — without barriers the orders scan + groupBy cascade
+    # re-evaluates ~10x (r14 plan audit: 30 exchanges). All four
+    # frames are calendar-bounded (~2.4k rows).
     daily = o.groupBy(
         F.expr(
             "unix_timestamp(cast(o_orderdate as timestamp)) div 86400"
         ).alias("day")
-    ).agg(F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias("rev"))
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias("rev")).persist()
     # bounded-window: daily frame is calendar-bounded (~2.4k rows at
     # any corpus scale) — ts_double_exponential_forecast's justification
     w7 = Window.orderBy("day").rowsBetween(-3, 3)
@@ -523,6 +529,7 @@ def ts_holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("day", "des", "sidx_next")
         .withColumn("rn", F.row_number().over(wrn))
+        .persist()
     )
 
     def ewma(df: DataFrame, val: str, out: str) -> DataFrame:
@@ -555,7 +562,7 @@ def ts_holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e1 = ewma(des.select("rn", "day", "sidx_next", "des"), "des", "s1").select(
         "rn", "day", "sidx_next", "s1"
-    )
+    ).persist()
     e2 = ewma(e1, "s1", "s2")
     mx = des.agg(F.max("rn").alias("mx"))
     level = 2 * F.col("s1") - F.col("s2")

@@ -241,11 +241,14 @@ def ml_auc_delong_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 6-dp-rounded AUC and SE so every reported digit replays."""
     o = table(spark, sf_dir, "orders")
     base = o.select(F.expr(_SCENTS).alias("score"), F.expr(_YPOS).alias("y"))
+    # persist the score histogram: it feeds both the prefix-sum kernel
+    # and the n1/n0 totals — without a barrier the orders scan +
+    # groupBy evaluates twice (r14 plan audit)
     h = base.groupBy("score").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum("y").alias("pos"),
         (F.count(F.lit(1)) - F.sum("y")).alias("neg"),
-    )
+    ).persist()
     from python_etl_sample_spark.functions.total_order import (
         attach_global_order,
     )

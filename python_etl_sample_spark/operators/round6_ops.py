@@ -69,25 +69,18 @@ def agg_exact_quantiles_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select(cents.alias("cents"), "o_orderkey"),
         [F.asc("cents"), F.asc("o_orderkey")],
         rn="rn",
+        # total row count from the kernel's partition-totals frame —
+        # a separate count() here costs a full extra pass over the
+        # cached frame plus its own broadcast (plan audit r14)
+        total_count="c",
     )
-    n = ranked.agg(F.count(F.lit(1)).alias("c"))
-    targets = (
-        spark.createDataFrame(
-            [(qn,) for qn, _ in _QUANTILES], "qn int"
-        )
-        .crossJoin(F.broadcast(n))
-        .select(
-            "qn",
-            F.expr("(c * qn + 99) div 100").alias("target"),
-            "c",
-        )
-    )
+    qs = spark.createDataFrame([(qn,) for qn, _ in _QUANTILES], "qn int")
     return (
-        ranked.join(
-            F.broadcast(targets), ranked.rn == targets.target
-        ).select(
+        ranked.crossJoin(F.broadcast(qs))
+        .filter(F.col("rn") == F.expr("(c * qn + 99) div 100"))
+        .select(
             (F.col("qn") / 100.0).alias("quantile"),
-            F.col("target").cast("bigint").alias("rank"),
+            F.col("rn").cast("bigint").alias("rank"),
             F.col("c").cast("bigint").alias("n_rows"),
             F.round(F.col("cents") / 100.0, 2).alias("value"),
         )
@@ -625,6 +618,11 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row results union. On healthy fixtures every orphan count is 0 —
     the hash pins the HEALTH, and any loader regression that drops
     parent rows or mangles keys flips it."""
+    # r14 probe note: a single-pass LEFT JOIN + conditional-agg rewrite
+    # was measured SLOWER here (1.21 → 1.34 s floor): the healthy
+    # fixture has zero orphans, so the anti-join leaves COUNT DISTINCT
+    # an empty input, while the one-pass form pays the distinct-agg
+    # Expand over every child row. The two-scan shape stays.
     results = None
     for child, fk, parent, pk in _RI_EDGES:
         c = table(spark, sf_dir, child)

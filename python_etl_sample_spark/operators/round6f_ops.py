@@ -306,7 +306,11 @@ def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").alias("pri"),
         )
     )
-    joint = j.groupBy("seg", "pri").agg(F.count(F.lit(1)).alias("cxy"))
+    # persist the ≤25-row joint cell table (r14): it feeds mx, my, tot
+    # and the MI term join — without a barrier the data-sized
+    # orders⋈customer join + groupBy re-evaluates 4x (r14 plan audit:
+    # 20 exchanges)
+    joint = j.groupBy("seg", "pri").agg(F.count(F.lit(1)).alias("cxy")).persist()
     mx = joint.groupBy("seg").agg(F.sum("cxy").alias("cx"))
     my = joint.groupBy("pri").agg(F.sum("cxy").alias("cy"))
     tot = joint.agg(F.sum("cxy").alias("n"))

@@ -234,10 +234,13 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (one input split), and without this the 64×64 expansion below runs
     # on a SINGLE task — measured 17 s → ~1 s at sf0.1 on local[32]; on
     # a real cluster the same line spreads the expansion over executors
+    # persist (r14): the mean pass and the covariance pass both read
+    # this frame — one scan + repartition instead of two
     x = (
         table(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
         .repartition(32)
+        .persist()
     )
 
     # per-dimension means AND the row count in one pass: exact decimal

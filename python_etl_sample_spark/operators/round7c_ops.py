@@ -94,11 +94,15 @@ def events_markov_kstep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     wt = Window.partitionBy("event_type")
+    # persist the |types|²-bounded P¹ (≤25 rows): the unrolled powers
+    # reference it once per step, and without a barrier each reference
+    # re-evaluates the data-sized lag window + count (r14 plan audit:
+    # 15 exchanges)
     p1 = cnt.select(
         F.col("event_type").alias("a"),
         F.col("next_type").alias("b"),
         (F.col("n") * 1.0 / F.sum("n").over(wt)).alias("p"),
-    )
+    ).persist()
     pk = p1
     for _ in range(_MK_STEPS - 1):
         x = pk.select(F.col("a"), F.col("b").alias("m"), F.col("p").alias("px"))

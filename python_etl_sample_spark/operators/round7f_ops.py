@@ -104,8 +104,16 @@ def ts_anomaly_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 1-row moment reduction + a TakeOrdered(1) + one filter — three
     rounds of constant-size work after the single orders groupBy."""
     o = table(spark, sf_dir, "orders")
-    cur = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
-        F.sum(F.expr(_OCENTS)).alias("cents")
+    # persist the calendar-bounded daily frame (~2.4k rows): the three
+    # unrolled rounds reference it along 2 branches each (moments +
+    # anti-join), so without a materialization barrier the orders
+    # scan + groupBy re-evaluates once per branch — the r14 plan audit
+    # counted 39 exchanges for what is one data-sized aggregation
+    # (guide §2.1: remove repeated shuffles of the same frame)
+    cur = (
+        o.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(F.expr(_OCENTS)).alias("cents"))
+        .persist()
     )
     picks = []
     for r in range(1, _ESD_ROUNDS + 1):
@@ -124,7 +132,11 @@ def ts_anomaly_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         zed = cur.crossJoin(F.broadcast(m)).select("day", "cents", z.alias("z"))
-        pick = zed.orderBy(F.desc("z"), F.asc("day")).limit(1)
+        # each pick (1 row) and survivor frame feeds every later round
+        # along multiple branches — pin them so round r's work is one
+        # moment pass + one TakeOrdered over the cached survivors, not
+        # a re-evaluation of the whole prior-round cascade
+        pick = zed.orderBy(F.desc("z"), F.asc("day")).limit(1).persist()
         picks.append(
             pick.select(
                 F.lit(r).alias("round_no"),
@@ -137,7 +149,7 @@ def ts_anomaly_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(pick.select(F.col("day").alias("bad"))),
             cur.day == F.col("bad"),
             "left_anti",
-        )
+        ).persist()
     out = picks[0]
     for p in picks[1:]:
         out = out.unionAll(p)

@@ -100,10 +100,15 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     monotonically (funnel survivors only), then the kernel's one range
     shuffle over ≤ 2·|converters| rows."""
     ev = table(spark, sf_dir, "events")
+    # persist each funnel stage: s is referenced by v and g1, v by p,
+    # g1 and g2, and the stacked gaps frame by both the rank kernel
+    # and the stage-counts branch — without barriers the events scans
+    # re-evaluate once per reference (r14 plan audit: 29 exchanges)
     s = (
         ev.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("ts_s"))
+        .persist()
     )
     v = (
         ev.filter(F.col("event_type") == "view")
@@ -111,6 +116,7 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("ts_s"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("ts_v"))
+        .persist()
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
@@ -129,7 +135,7 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.unix_timestamp("ts_p") - F.unix_timestamp("ts_v")).alias("gap_s"),
     )
-    gaps = g1.unionAll(g2)
+    gaps = g1.unionAll(g2).persist()
     ranked = attach_global_order(
         gaps, [F.asc("stage"), F.asc("gap_s"), F.asc("user_id")], rn="grn"
     )

@@ -429,8 +429,12 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = c.select(
         F.col("c_mktsegment").alias("seg"), F.expr(_BCENTS).alias("v")
     )
-    gs = base.groupBy("seg", "v").agg(F.count(F.lit(1)).alias("cnt_gs"))
-    h = gs.groupBy("v").agg(F.sum("cnt_gs").alias("cnt"))
+    # persist the (seg, value) and value-histogram frames (r14): gs
+    # feeds the histogram and the per-group rank sums, h feeds the
+    # prefix-sum kernel and the tie term — without barriers the
+    # customer scan + groupBy re-evaluates once per branch
+    gs = base.groupBy("seg", "v").agg(F.count(F.lit(1)).alias("cnt_gs")).persist()
+    h = gs.groupBy("v").agg(F.sum("cnt_gs").alias("cnt")).persist()
     r = attach_global_order(h, [F.asc("v")], cumsums=[("cnt", "cum")])
     avg2 = 2 * F.col("cum") - F.col("cnt") + 1
     grp = (

@@ -476,7 +476,11 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("w").alias("w"))
         .localCheckpoint(eager=False)
     )
-    outw = edges.groupBy("src").agg(F.sum("w").alias("tot"))
+    # persist the degree frame (r14): every round's contribution join
+    # and the final readout reference it — one groupBy, not four; it
+    # is vocabulary-bounded, as are the per-round score frames, so the
+    # iteration joins below all broadcast (guide §3.1)
+    outw = edges.groupBy("src").agg(F.sum("w").alias("tot")).persist()
     nodes = (
         edges.select(F.col("src").alias("token"))
         .distinct()
@@ -486,10 +490,12 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     damp = float(_TR_DAMP)
     for _ in range(_TR_ROUNDS):
         contrib = (
-            edges.join(outw, "src")
+            edges.join(F.broadcast(outw), "src")
             .join(
-                scores.select(
-                    F.col("token").alias("src"), F.col("score").alias("ps")
+                F.broadcast(
+                    scores.select(
+                        F.col("token").alias("src"), F.col("score").alias("ps")
+                    )
                 ),
                 "src",
             )
@@ -503,7 +509,7 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("c").cast("double").alias("csum"))
         )
         scores = (
-            nodes.join(contrib, "token", "left")
+            nodes.join(F.broadcast(contrib), "token", "left")
             .select(
                 "token",
                 F.round(

@@ -618,7 +618,10 @@ def sim_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token"),
     ).filter(F.col("token") != "")
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # persist tf and wt (r14): tf feeds df/nd/wt and wt feeds
+    # norms/probes/both dot sides — without barriers the tokenize +
+    # groupBy pipeline re-evaluates ~7x (r14 plan audit: 29 exchanges)
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf")).persist()
     df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     nd = tf.agg(F.countDistinct("doc_id").alias("n"))
     wt = (
@@ -634,6 +637,7 @@ def sim_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("w"),
         )
+        .persist()
     )
     nrm = wt.groupBy("doc_id").agg(
         F.sqrt(

@@ -307,7 +307,11 @@ def sketch_kll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_OCENTS).alias("cents"),
             F.col("o_orderkey").alias("k"),
         )
-    )
+    # persist the scope-stacked union: it feeds the scope counts, the
+    # group sketches AND the exact-rank kernel — without a barrier the
+    # 2x-orders union re-evaluates once per branch (r14 plan audit:
+    # 18 exchanges)
+    ).persist()
     ns = scoped.groupBy("scope").agg(F.count(F.lit(1)).alias("n"))
     lvs = (
         ns.crossJoin(F.broadcast(spark.range(0, 41).withColumnRenamed("id", "l")))
@@ -341,12 +345,15 @@ def sketch_kll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # kept frames are budget-bounded (≤ ~2·MB rows per scope by the
     # level rule), so a scope-partitioned window is safe at any corpus
     wsk = Window.partitionBy("scope").orderBy("cents", "k")
+    # persist the budget-bounded sketch ranks (≤ ~2·MB rows/scope):
+    # referenced by the kept totals and the est-side probe — pinning
+    # stops the gsk/msk sketch cascade re-evaluating per reference
     srank = sk.select(
         "scope",
         "cents",
         F.row_number().over(wsk).alias("rn"),
         F.count(F.lit(1)).over(Window.partitionBy("scope")).alias("kept"),
-    )
+    ).persist()
     # exact per-scope ranks: ONE total-order kernel pass over the
     # scope-stacked frame; per-scope rank = global rank − scope offset
     ranked = attach_global_order(
@@ -380,14 +387,18 @@ def sketch_kll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(kept * 50 + 99) div 100").alias("st"),
         F.expr("(n * 50 + 99) div 100").alias("ft"),
     )
+    # the t⋈srank probe result is ≤6 rows — broadcast it into the
+    # exact-side join so frank is probed by a BHJ, not sort-merged
     return (
-        t.join(
-            srank.select(
-                "scope",
-                F.col("rn").alias("st"),
-                F.col("cents").alias("est_p50_cents"),
-            ),
-            ["scope", "st"],
+        F.broadcast(
+            t.join(
+                srank.select(
+                    "scope",
+                    F.col("rn").alias("st"),
+                    F.col("cents").alias("est_p50_cents"),
+                ),
+                ["scope", "st"],
+            )
         )
         .join(
             frank.select(

@@ -223,18 +223,21 @@ def basket_brand_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     brand_n = baskets.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n_brand")
     )
-    a = baskets.alias("a")
-    b = baskets.alias("b")
+    # per-basket pair expansion without the self-join (r14): one
+    # groupBy shuffle of the cached basket frame + a map-side double
+    # posexplode over the sorted per-order brand set replaces the
+    # former equi-self-join, which shuffled the SAME frame twice (both
+    # join sides hash by l_orderkey). sort_array + (j > i) reproduces
+    # the a.brand < b.brand pair set exactly; basket size is ≤ 7
+    # lines, so the explode fan-out stays per-basket-bounded.
+    per_order = baskets.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("p_brand")).alias("bs")
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.p_brand") < F.col("b.p_brand")),
-        )
-        .groupBy(
-            F.col("a.p_brand").alias("brand_a"),
-            F.col("b.p_brand").alias("brand_b"),
-        )
+        per_order.select("bs", F.posexplode("bs").alias("i", "brand_a"))
+        .select("brand_a", "i", F.posexplode("bs").alias("j", "brand_b"))
+        .filter(F.col("j") > F.col("i"))
+        .groupBy("brand_a", "brand_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= 2)
     )

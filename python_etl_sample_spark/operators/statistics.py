@@ -454,10 +454,13 @@ def agg_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.asc("l_linenumber"),
         ],
         rn="__rank",
+        # total row count from the kernel's partition-totals frame —
+        # a separate count() here costs a full extra pass over the
+        # cached frame plus its own broadcast (plan audit r14)
+        total_count="__n",
     )
-    tot = ranked.agg(F.count(F.lit(1)).alias("__n"))
     return (
-        ranked.crossJoin(F.broadcast(tot))
+        ranked
         .withColumn(
             "bucket", ntile_from_rank(F.col("__rank"), F.col("__n"), 8)
         )
