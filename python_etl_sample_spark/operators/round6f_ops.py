@@ -306,11 +306,11 @@ def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").alias("pri"),
         )
     )
-    # persist the ≤25-row joint cell table (r14): it feeds mx, my, tot
-    # and the MI term join — without a barrier the data-sized
-    # orders⋈customer join + groupBy re-evaluates 4x (r14 plan audit:
-    # 20 exchanges)
-    joint = j.groupBy("seg", "pri").agg(F.count(F.lit(1)).alias("cxy")).persist()
+    # r14 probe note: persisting this ≤25-row frame measured 1.5x
+    # SLOWER (0.68 → 1.03 s floor) — the four consumer branches are
+    # already deduplicated by runtime exchange reuse, so the persist
+    # only added a cache-materialization job barrier. Left unpersisted.
+    joint = j.groupBy("seg", "pri").agg(F.count(F.lit(1)).alias("cxy"))
     mx = joint.groupBy("seg").agg(F.sum("cxy").alias("cx"))
     my = joint.groupBy("pri").agg(F.sum("cxy").alias("cy"))
     tot = joint.agg(F.sum("cxy").alias("n"))

@@ -396,13 +396,17 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "token", (F.col("p0") + 1).cast("long").alias("pos"))
     )
     w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    # persist (r14): content feeds the phrase islands and both scoring
+    # joins, phrases feeds word_stats and the phrase assembly — without
+    # barriers the tokenize + islands window re-evaluates 3x
     content = (
         tok.filter(~F.col("token").isin(*_RAKE_STOP))
         .withColumn("grp", F.col("pos") - F.row_number().over(w_doc))
+        .persist()
     )
     phrases = content.groupBy("doc_id", "grp").agg(
         F.min("pos").alias("start_pos"), F.count(F.lit(1)).alias("n_words")
-    )
+    ).persist()
     word_stats = (
         content.join(phrases, ["doc_id", "grp"])
         .groupBy("token")

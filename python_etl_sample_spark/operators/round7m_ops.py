@@ -300,9 +300,11 @@ def ml_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = o.select(
         F.expr(_SCENTS).alias("score"), F.expr(_YPOS).alias("y")
     )
+    # persist (r14): the histogram feeds the prefix-sum kernel and the
+    # n/n1 totals — one orders scan + groupBy, not two
     h = base.groupBy("score").agg(
         F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
-    )
+    ).persist()
     r = attach_global_order(
         h,
         [F.desc("score")],

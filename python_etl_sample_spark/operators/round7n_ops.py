@@ -301,7 +301,10 @@ def spatial_hotspot_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cx",
         "cy",
         "cnt",
-    )
+    ).persist()
+    # persist (r14): dense feeds both sides of the neighbor equi-join,
+    # the component solve and the final rollup join — without a
+    # barrier the customer scan + grid groupBy re-evaluates ~4x
     fwd = _hotspot_fwd_edges(dense)
     comp = dense.join(_hotspot_components(dense, fwd), "cell").select(
         "cell", "cnt", "cluster"
@@ -492,9 +495,11 @@ def stats_wilcoxon_signed_rank(
     combines exact decimal sums with mirrored parenthesization,
     rounded at 6 dp; a degenerate all-tied frame yields NULL."""
     ev = table(spark, sf_dir, "events")
+    # persist (r14): both sides of the lag self-join read this
+    # calendar-bounded frame — one events scan + groupBy, not two
     daily = ev.groupBy(F.expr("CAST(ts AS DATE)").alias("day")).agg(
         F.sum(F.expr(_VCENTS)).alias("v")
-    )
+    ).persist()
     a = daily.select(F.col("day").alias("da"), F.col("v").alias("va"))
     b = daily.select(F.col("day").alias("db"), F.col("v").alias("vb"))
     pairs = a.join(

@@ -114,21 +114,19 @@ def stats_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows per partition), and the k-row treatment reduction all run on
     the calendar×type-bounded frame."""
     ev = table(spark, sf_dir, "events")
-    # persist the calendar×type-bounded stages (r14): cells feeds
-    # days/types/grid, grid feeds dv and the midrank join, ranked
-    # feeds the treatment sums and the global ssq2 — without barriers
-    # the events scan + groupBy re-evaluates ~12x across the branch
-    # tree (r14 plan audit: 23 exchanges)
+    # r14 probe note: persisting cells/grid/ranked measured 1.2x
+    # SLOWER (1.05 → 1.26 s floor) — the branch tree is already
+    # deduplicated by runtime exchange reuse, so the persists only
+    # added cache-materialization job barriers. Left unpersisted.
     cells = ev.groupBy(
         F.expr("CAST(ts AS DATE)").alias("day"), "event_type"
-    ).agg(F.sum(F.expr(_VCENTS)).alias("v")).persist()
+    ).agg(F.sum(F.expr(_VCENTS)).alias("v"))
     days = cells.select("day").distinct()
     types = cells.select("event_type").distinct()
     grid = (
         days.crossJoin(F.broadcast(types))
         .join(cells, ["day", "event_type"], "left")
         .withColumn("v", F.coalesce("v", F.lit(0)))
-        .persist()
     )
     dv = grid.groupBy("day", "v").agg(F.count(F.lit(1)).alias("cl"))
     wd = Window.partitionBy("day").orderBy("v").rowsBetween(
@@ -139,7 +137,7 @@ def stats_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         (2 * F.sum("cl").over(wd) - F.col("cl") + 1).alias("mid2"),
     )
-    ranked = grid.join(mr, ["day", "v"]).select("event_type", "mid2").persist()
+    ranked = grid.join(mr, ["day", "v"]).select("event_type", "mid2")
     pt = ranked.groupBy("event_type").agg(
         F.sum(F.col("mid2").cast(_DEC38)).alias("r2")
     )

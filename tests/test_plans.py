@@ -264,22 +264,20 @@ def test_max_concurrent_is_join_free_sweep(spark):
 
 
 def test_basket_pairs_broadcast_dims(spark):
-    """basket_brand_pairs_lift: the brand lookup and both marginal
-    frames broadcast; the only shuffle joins are the per-basket pair
-    expansion on l_orderkey (equi-join — never a cartesian, which the
-    generic no-cartesian sweep also pins)."""
+    """basket_brand_pairs_lift (r14 shape): the per-basket pair
+    expansion is a groupBy(l_orderkey) + double posexplode over the
+    sorted per-order brand set — NO self-join of the basket frame at
+    all — and the brand lookup plus both marginal frames broadcast.
+    A SortMergeJoin/ShuffledHashJoin reappearing would mean the pair
+    expansion regressed to the pre-r14 self-join (two shuffles of the
+    same frame); a missing Generate would mean the explode expansion
+    was lost."""
     plan = plan_of(spark, "basket_brand_pairs_lift")
     assert "BroadcastHashJoin" in plan, plan
-    import re
-
-    # every shuffle join's key list (the "(n) SortMergeJoin" detail
-    # block's "Left keys") must be the basket key
-    for m in re.finditer(r"\(\d+\) (SortMergeJoin|ShuffledHashJoin)[^\n]*\n"
-                         r"(?:[^\n]*\n)?Left keys \[\d+\]: \[([^\]]*)\]", plan):
-        assert "l_orderkey" in m.group(2), (
-            f"shuffle join not on the basket key: {m.group(0)}"
-        )
-    assert re.search(r"Left keys \[\d+\]: \[l_orderkey", plan), plan
+    assert "Generate" in plan, "posexplode pair expansion missing:\n" + plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, (
+        "pair expansion regressed to a shuffle self-join:\n" + plan
+    )
 
 
 def test_bloom_runtime_filter_injected(spark):
