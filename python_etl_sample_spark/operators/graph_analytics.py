@@ -76,16 +76,23 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1996-01-01"))
         )
         .select("l_orderkey", "l_partkey")
-        .distinct()
     )
-    a, b = li.alias("a"), li.alias("b")
+    # per-order pair expansion without the self-join (r14, the
+    # basket_brand_pairs_lift shape): ONE groupBy(l_orderkey) shuffle
+    # with map-side-combined collect_set replaces the former
+    # distinct + self-equi-join — collect_set subsumes the per-order
+    # DISTINCT, and sort_array + (j > i) reproduces the a < b pair set
+    # exactly. Fan-out stays per-order-bounded (TPC-H baskets ≤ 7
+    # lines), so no skew concern at scale; the second DISTINCT (a pair
+    # co-occurring in several orders) is unchanged.
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        per_order.select("ps", F.posexplode("ps").alias("i", "u"))
+        .select("u", "i", F.posexplode("ps").alias("j", "v"))
+        .filter(F.col("j") > F.col("i"))
+        .select("u", "v")
         .distinct()
     )
 
@@ -175,11 +182,21 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
     )
-    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
-    wedges = o1.join(
-        o2, (F.col("o1.s") == F.col("o2.s")) & (F.col("o1.t") < F.col("o2.t"))
-    ).select(
-        F.least("o1.t", "o2.t").alias("b"), F.greatest("o1.t", "o2.t").alias("c")
+    # wedge enumeration without the self-join (r14): group each apex's
+    # out-neighborhood and pair-explode it — one groupBy(s) shuffle
+    # instead of shuffling `oriented` twice. sort_array + (j > i)
+    # yields each unordered {t, t'} pair once with b < c already
+    # canonical (so the old least/greatest normalization is implicit).
+    # Per-apex fan-out stays bounded: degree orientation caps
+    # out-degree at ~sqrt(2m) regardless of raw degree skew, which is
+    # exactly the bound that made the join form safe too.
+    wedges = (
+        oriented.groupBy("s")
+        .agg(F.sort_array(F.collect_set("t")).alias("ts"))
+        .select("ts", F.posexplode("ts").alias("i", "b"))
+        .select("b", "i", F.posexplode("ts").alias("j", "c"))
+        .filter(F.col("j") > F.col("i"))
+        .select("b", "c")
     )
     tri = wedges.join(
         edges, (F.col("b") == F.col("u")) & (F.col("c") == F.col("v"))

@@ -911,7 +911,14 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
     the standard mitigations are hub capping (drop neighbors past the
     top-K per node before the join) or neighborhood MinHash (estimate
     Jaccard from signatures — see dedup_near_minhash for the kernel),
-    both of which keep this plan's shape."""
+    both of which keep this plan's shape.
+
+    r14 note: the wedge join was deliberately NOT rewritten to the
+    groupBy + collect_set pair explode that replaced the bounded pair
+    expansions (_copurchase_edges, triangle wedges): neighborhoods here
+    are hub-unbounded, and the join form stays AQE-skew-splittable
+    while a per-node collect_set would concentrate each hub's whole
+    deg² expansion in one task."""
     edges = _copurchase_edges(spark, sf_dir)
     sym = edges.select(
         F.col("u").alias("src"), F.col("v").alias("dst")
