@@ -119,9 +119,13 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: ranks are exact integers under total tie-breaks;
     each 1/(k+r) term rounds at 9 dp and the two-term sum is an exact
     decimal add; fused ties break on doc_id."""
+    # persist (r14): the whole BM25 scoring pipeline feeds TWO
+    # consumers with different downstream shuffles (the probe-id
+    # distinct and the (probe_id, doc_id) full join) — without a
+    # barrier the tokenize/tf/df cascade evaluates twice
     bm = text_bm25_rank(spark, sf_dir).select(
         "probe_id", "doc_id", F.col("rn").alias("rank_a")
-    )
+    ).persist()
     d = table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id",

@@ -478,14 +478,18 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("token") != "")
     uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
     n_uni = uni.agg(F.sum("c").alias("n_uni"))
-    a, b = tok.alias("a"), tok.alias("b")
+    # adjacent pairs via ONE doc-partitioned lead() window instead of
+    # the former (doc, pos) self-join (r14): lead(pos) == pos + 1
+    # reproduces the join's adjacency predicate exactly — kept-token
+    # positions have gaps where empty tokens were filtered, and pairs
+    # across a gap are dropped by the filter just as the +1 equi-join
+    # dropped them. One shuffle of tok, not two join sides.
+    wn = Window.partitionBy("doc_id").orderBy("pos")
     big_all = (
-        a.join(
-            b,
-            (F.col("b.doc_id") == F.col("a.doc_id"))
-            & (F.col("b.pos") == F.col("a.pos") + 1),
-        )
-        .groupBy(F.col("a.token").alias("w1"), F.col("b.token").alias("w2"))
+        tok.withColumn("w2", F.lead("token").over(wn))
+        .withColumn("p2", F.lead("pos").over(wn))
+        .filter(F.col("p2") == F.col("pos") + 1)
+        .groupBy(F.col("token").alias("w1"), F.col("w2"))
         .agg(F.count(F.lit(1)).alias("pair_count"))
     )
     # n_big counts the SAME adjacent-pair frame the oracle sums (before
