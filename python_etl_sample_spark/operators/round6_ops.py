@@ -299,49 +299,46 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrence is the standard formulation).
 
     Determinism: everything is exact integer counting up to one
-    mirrored float division rounded 6 dp. Scale: tokenize is map-only;
-    the trigram frame shuffles once on the trigram key for first-
-    occurrence attribution (partial-agg min) and once per doc for the
-    distinct — both keyed shuffles of 24-byte-ish strings, never
-    documents; the per-doc window is PARTITIONED by doc (no global
-    order anywhere)."""
+    mirrored float division rounded 6 dp.
+
+    Scale (r14 reshape, guide §2.4): the per-doc DISTINCT-trigram set
+    is a pure function of the document, so it materializes map-side —
+    tokens → trigram array (``transform`` over positions; adjacency in
+    the empties-filtered array is exactly the old window's
+    ``lead``-over-``pos`` adjacency) → ``array_distinct`` — with ZERO
+    shuffle, replacing the old doc-partitioned window + 3-column
+    ``.distinct()``. First-occurrence attribution is then the ONE
+    data-sized shuffle left: groupBy(tg) with a partial-agg min. Each
+    doc's novel-count comes from the tiny first_seen frame regrouped
+    by its exemplar doc (novelty of doc d = #trigrams whose corpus min
+    is d — the same inner-join-on-tg count, without re-shuffling the
+    trigram frame), broadcast back onto the map-side per-doc stats.
+    Net: 4 data-sized exchanges + window sort → 1."""
     d = table(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id",
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    docs = d.select("doc_id", "lang", toks.alias("t")).filter(F.size("t") >= 3)
+    tgs = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - 2),
+            lambda i: F.concat_ws(" ", F.slice("t", i, 3)),
+        )
+    )
+    per_doc = docs.select("doc_id", "lang", F.size(tgs).alias("n_tri"))
+    exploded = docs.select("doc_id", F.explode(tgs).alias("tg"))
+    first_seen = exploded.groupBy("tg").agg(F.min("doc_id").alias("first_doc"))
+    novel = first_seen.groupBy("first_doc").agg(
+        F.count(F.lit(1)).alias("n_novel")
+    )
+    joined = per_doc.join(
+        F.broadcast(novel),
+        per_doc["doc_id"] == novel["first_doc"],
+        "left",
+    ).select(
         "lang",
-        F.posexplode(F.split(F.lower(F.col("text")), r"\s+")).alias(
-            "pos", "token"
-        ),
-    ).filter(F.col("token") != "")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    tri = (
-        tok.select(
-            "doc_id",
-            "lang",
-            F.concat_ws(
-                " ",
-                F.col("token"),
-                F.lead("token", 1).over(w),
-                F.lead("token", 2).over(w),
-            ).alias("tg"),
-            F.lead("token", 2).over(w).alias("__t2"),
-        )
-        .filter(F.col("__t2").isNotNull())
-        .select("doc_id", "lang", "tg")
-        .distinct()
+        "n_tri",
+        F.coalesce(F.col("n_novel"), F.lit(0).cast("bigint")).alias("n_novel"),
     )
-    first_seen = tri.groupBy("tg").agg(F.min("doc_id").alias("first_doc"))
-    per_doc = (
-        tri.join(first_seen, "tg")
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_tri"),
-            F.count(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1)
-            ).alias("n_novel"),
-        )
-    )
-    return per_doc.groupBy("lang").agg(
+    return joined.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tri").cast("bigint").alias("n_trigrams"),
         F.sum("n_novel").cast("bigint").alias("n_novel"),
