@@ -55,13 +55,42 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
-#: state-store partition pin for the demos (see _run_to_memory); a
-#: module constant so tools/probes/probe_stream_overhead_r14.py can
+#: default state-store partition pin for the demos (see _run_to_memory);
+#: a module constant so tools/probes/probe_stream_overhead_r14.py can
 #: sweep it in one session without editing source
 _DEMO_SHUFFLE_PARTITIONS = 8
 
+#: r14 PER-DEMO pins (optimization round 1). The r14-build sweep found
+#: no uniform winner — applyInPandasWithState parallelizes its per-key
+#: Python work across state partitions (p=1 measured 3.6x SLOWER for
+#: the stateful demo), while the pure window/dedup/join demos carry a
+#: handful of state rows and every extra partition is per-micro-batch
+#: task overhead. The full-family sweep (/tmp probe, table recorded in
+#: OPTIMIZATION_r14.md) picked per-demo knees; partition count is
+#: PHYSICAL config only — every drained snapshot is partition-invariant
+#: by the demos' determinism design, and the keep-vs-revert decision
+#: was re-measured with an interleaved old-vs-new A/B. At 100 TB these
+#: pins scale with state volume (≈ cluster cores for data-sized state);
+#: locally the state is tiny so the knee sits at 1-8.
+_DEMO_PARTS: dict[str, int] = {
+    "tumbling": 1,
+    "sliding": 1,
+    "session": 4,
+    "watermark_late": 1,
+    "dedup": 1,
+    "static_join": 1,
+    "stream_join": 1,
+    "stateful": 8,
+    "foreachbatch_merge": 1,
+    "rate_source": 1,
+}
 
-def _run_to_memory(result: DataFrame, mode: str) -> DataFrame:
+
+def _demo_parts(key: str) -> int:
+    return _DEMO_PARTS.get(key, _DEMO_SHUFFLE_PARTITIONS)
+
+
+def _run_to_memory(result: DataFrame, mode: str, parts: int | None = None) -> DataFrame:
     """Drain an AvailableNow stream into a memory sink; return the table."""
     name = f"demo_{uuid.uuid4().hex[:12]}"
     spark = result.sparkSession
@@ -70,7 +99,10 @@ def _run_to_memory(result: DataFrame, mode: str) -> DataFrame:
     # ~40% saving as the rate demo). The count is fixed at query start
     # from the session conf; pin it low for the start and restore.
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(_DEMO_SHUFFLE_PARTITIONS))
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(parts if parts is not None else _DEMO_SHUFFLE_PARTITIONS),
+    )
     try:
         q = (
             result.writeStream.format("memory")
@@ -105,7 +137,11 @@ def _tumbling_agg(ev: DataFrame) -> DataFrame:
 
 def demo_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """#52 under readStream: watermarked 1-hour tumbling counts."""
-    return _run_to_memory(_tumbling_agg(_events_stream(spark, sf_dir)), "complete")
+    return _run_to_memory(
+        _tumbling_agg(_events_stream(spark, sf_dir)),
+        "complete",
+        parts=_demo_parts("tumbling"),
+    )
 
 
 def demo_session(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -122,7 +158,7 @@ def demo_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    return _run_to_memory(agg, "complete")
+    return _run_to_memory(agg, "complete", parts=_demo_parts("session"))
 
 
 def demo_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -146,7 +182,11 @@ def demo_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup = ev.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
         ["user_id", "event_type"]
     )
-    return _run_to_memory(dedup.select("user_id", "event_type"), "append")
+    return _run_to_memory(
+        dedup.select("user_id", "event_type"),
+        "append",
+        parts=_demo_parts("dedup"),
+    )
 
 
 def demo_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -190,7 +230,7 @@ def demo_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _run_to_memory(out, "update")
+    return _run_to_memory(out, "update", parts=_demo_parts("stateful"))
 
 
 @query(
@@ -251,7 +291,7 @@ def stream_demo_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum("value").alias("value_total"),
     )
-    return _run_to_memory(agg, "complete")
+    return _run_to_memory(agg, "complete", parts=_demo_parts("static_join"))
 
 
 @query(
@@ -388,7 +428,7 @@ def demo_rate_source(spark: SparkSession) -> DataFrame:
     # partition count is fixed at query start from the session conf;
     # pin it low for this query and restore right after start.
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(_DEMO_SHUFFLE_PARTITIONS))
+    spark.conf.set("spark.sql.shuffle.partitions", str(_demo_parts("rate_source")))
     try:
         q = (
             agg.writeStream.foreachBatch(capture)
@@ -507,7 +547,7 @@ def stream_demo_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_user").alias("user_id"),
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_micros"),
     )
-    return _run_to_memory(joined, "append")
+    return _run_to_memory(joined, "append", parts=_demo_parts("stream_join"))
 
 
 @query(
@@ -628,7 +668,7 @@ def stream_demo_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFram
         latest.append(path)
 
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(_DEMO_SHUFFLE_PARTITIONS))
+    spark.conf.set("spark.sql.shuffle.partitions", str(_demo_parts("foreachbatch_merge")))
     try:
         q = (
             stream.writeStream.foreachBatch(merge)
@@ -687,7 +727,7 @@ def stream_demo_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    return _run_to_memory(agg, "complete")
+    return _run_to_memory(agg, "complete", parts=_demo_parts("sliding"))
 
 
 #: the "late" slice of the watermark demo: every event on this day is
@@ -796,7 +836,7 @@ def stream_demo_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    return _run_to_memory(agg, "append")
+    return _run_to_memory(agg, "append", parts=_demo_parts("watermark_late"))
 
 
 @query(

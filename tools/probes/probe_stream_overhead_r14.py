@@ -76,10 +76,15 @@ def main() -> int:
         REGISTRY[name].fn(spark, sf).collect()
 
     # 2. interleaved partition-pin variants
+    _SHIPPED_PINS = dict(demo_mod._DEMO_PARTS)
     results: dict[tuple[str, int], float] = {}
     for _ in range(reps):
         for parts in PARTS:
+            # r14 per-demo pins (_DEMO_PARTS) take precedence over the
+            # module default, so a sweep must override BOTH
             demo_mod._DEMO_SHUFFLE_PARTITIONS = parts
+            for k in demo_mod._DEMO_PARTS:
+                demo_mod._DEMO_PARTS[k] = parts
             for name in DEMOS:
                 t = time.time()
                 REGISTRY[name].fn(spark, sf).collect()
@@ -87,6 +92,8 @@ def main() -> int:
                 key = (name, parts)
                 results[key] = min(results.get(key, 1e9), dt)
     demo_mod._DEMO_SHUFFLE_PARTITIONS = 8
+    demo_mod._DEMO_PARTS.clear()
+    demo_mod._DEMO_PARTS.update(_SHIPPED_PINS)
 
     print(f"\n{'demo':36s}" + "".join(f" p={p:<6d}" for p in PARTS))
     for name in DEMOS:
