@@ -641,8 +641,17 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: identical posture to win_rolling_distinct_users — the ×30
     expansion applies AFTER the (user, day) dedup, so the factor is
-    the window length, independent of event volume; one shuffle on
-    target_day with the three distincts sharing it."""
+    the window length, independent of event volume.
+
+    r14 reshape (guide §2.3 "aggregate before you shuffle"): the
+    "COUNT(DISTINCT user) with an offset condition" trio collapses to
+    plain counts over min(off) — a user is MAU-active on a target day
+    iff it has ANY contribution (offset 0..29), WAU-active iff its
+    MINIMUM offset is < 7, DAU-active iff it is 0 — so ONE
+    groupBy(user, target_day).min(off) (map-side-combined) replaces
+    the 4-column contribution distinct AND the three conditional
+    distincts whose Catalyst plan Expanded the ×30 frame another ×4.
+    The final per-day rollup is then distinct-free partial-agg counts."""
     ev = table(spark, sf_dir, "events")
     day_num = F.expr("datediff(CAST(ts AS DATE), DATE'1970-01-01')")
     user_days = ev.select("user_id", day_num.alias("day_num")).distinct()
@@ -662,30 +671,19 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("target_day"),
         )
-        .select(
-            "user_id",
-            "d0",
-            "target_day",
-            (F.col("target_day") - F.col("day_num")).alias("off"),
-        )
-        .distinct()
+        .filter(F.col("target_day") >= F.col("d0") + 29)
+        .groupBy("user_id", "target_day")
+        .agg(F.min(F.col("target_day") - F.col("day_num")).alias("min_off"))
     )
     return (
-        contrib.filter(F.col("target_day") >= F.col("d0") + 29)
-        .groupBy(F.col("target_day").alias("day_num"))
+        contrib.groupBy(F.col("target_day").alias("day_num"))
         .agg(
-            F.countDistinct(
-                F.when(F.col("off") == 0, F.col("user_id"))
-            ).alias("dau"),
-            F.countDistinct(
-                F.when(F.col("off") < 7, F.col("user_id"))
-            ).alias("wau"),
-            F.countDistinct("user_id").alias("mau"),
+            F.count(F.when(F.col("min_off") == 0, 1)).alias("dau"),
+            F.count(F.when(F.col("min_off") < 7, 1)).alias("wau"),
+            F.count(F.lit(1)).alias("mau"),
             F.round(
-                F.countDistinct(
-                    F.when(F.col("off") == 0, F.col("user_id"))
-                ).cast("double")
-                / F.countDistinct("user_id"),
+                F.count(F.when(F.col("min_off") == 0, 1)).cast("double")
+                / F.count(F.lit(1)),
                 6,
             ).alias("stickiness"),
         )

@@ -786,39 +786,33 @@ def sim_lsh_radius_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = table(spark, sf_dir, "embeddings")
     vec = F.col("embedding").cast("array<double>")
-    lshb = e.select(
+    # r14: one side frame carrying (vector, both bucket ids) — the old
+    # four joins (vector and buckets attached separately per side)
+    # evaluated the embeddings scan + bucket projections four times;
+    # two joins against the combined frame attach everything each side
+    # needs in one pass (guide §2.4)
+    side = e.select(
         "vec_id",
+        vec.alias("v"),
         xe.lsh_bucket_col(vec, 0).alias("b0"),
         xe.lsh_bucket_col(vec, 1).alias("b1"),
     )
-    emb = e.select("vec_id", vec.alias("v"))
-    qd = (
-        exact.join(
-            emb.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv")),
-            "query_id",
-        )
-        .join(
-            emb.select(
-                F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv")
-            ),
-            "neighbor_id",
-        )
-        .join(
-            lshb.select(
-                F.col("vec_id").alias("query_id"),
-                F.col("b0").alias("qb0"),
-                F.col("b1").alias("qb1"),
-            ),
-            "query_id",
-        )
-        .join(
-            lshb.select(
-                F.col("vec_id").alias("neighbor_id"),
-                F.col("b0").alias("nb0"),
-                F.col("b1").alias("nb1"),
-            ),
-            "neighbor_id",
-        )
+    qd = exact.join(
+        side.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("b0").alias("qb0"),
+            F.col("b1").alias("qb1"),
+        ),
+        "query_id",
+    ).join(
+        side.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("nv"),
+            F.col("b0").alias("nb0"),
+            F.col("b1").alias("nb1"),
+        ),
+        "neighbor_id",
     )
     d2 = F.round(
         F.aggregate(
