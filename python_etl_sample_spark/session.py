@@ -19,6 +19,22 @@ import os
 
 from pyspark.sql import SparkSession
 
+#: r14 join posture (guide §3.1 / §9): allow the planner to pick a
+#: shuffled hash join when its size conditions hold instead of always
+#: preferring sort-merge, and let AQE rewrite a sort-merge to a
+#: shuffled-hash at runtime when every post-shuffle partition's build
+#: side is under the threshold (default 0 = off upstream; 64 MiB =
+#: one AQE advisory partition). Physical-only — join results are
+#: strategy-invariant — and measured on the SMJ-bearing tier
+#: (interleaved A/B, OPTIMIZATION_r14.md batch 9): 0.86–0.97x on the
+#: heavy graph/sim/dedup queries, no confirmed regression. The
+#: threshold is the memory-safety knob at scale (a build side above it
+#: keeps sort-merge's graceful spill); override via env for clusters
+#: with tighter executor memory.
+_SHJ_LOCAL_MAP_THRESHOLD = os.environ.get(
+    "SPARK_GRAFT_SHJ_LOCAL_MAP_THRESHOLD", str(64 * 1024 * 1024)
+)
+
 
 def get_spark(app_name: str = "python-etl-sample-spark") -> SparkSession:
     """Build (or get) a SparkSession configured for this engine."""
@@ -32,6 +48,11 @@ def get_spark(app_name: str = "python-etl-sample-spark") -> SparkSession:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            _SHJ_LOCAL_MAP_THRESHOLD,
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     )
@@ -60,6 +81,11 @@ def ensure_session_configs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    spark.conf.set(
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        _SHJ_LOCAL_MAP_THRESHOLD,
+    )
     spark.conf.set(_MARKER_CONF, "true")
 
 
