@@ -507,39 +507,66 @@ DRIVER_ORDER: tuple[str, ...] = (
     "filter_null",
     "filter_like",
     "case_when",
-    # --- changed since last driver row (44) ---
+    # --- changed since last driver row (75) ---
     "agg_groupby",
     "join_interval_overlap",
     "fn_try_safe",
     "graph_pagerank",
     "graph_triangle_count",
+    "agg_exact_quantiles_global",
+    "dq_referential_integrity",
     "graph_bfs_hops",
+    "graph_jaccard_link_prediction",
     "graph_kcore_peel",
     "stream_demo_foreachbatch_merge",
+    "text_ngram_novelty",
     "sim_mmr_rerank",
     "dedup_semantic_cluster",
-    "cluster_silhouette",
+    "embedding_pca_power",
+    "events_markov_kstep",
     "graph_degree_assortativity",
+    "sim_rrf_fusion",
+    "stats_mutual_information",
+    "ts_anomaly_esd",
+    "cluster_silhouette",
     "join_null_safe",
+    "stats_friedman",
     "multimodal_join",
     "dedup_semantic_recall",
+    "events_dau_wau_mau",
+    "events_funnel_latency",
+    "ml_threshold_sweep",
+    "sim_more_like_this",
+    "sketch_kll_merge",
+    "spatial_hotspot_clusters",
+    "stats_wilcoxon_signed_rank",
+    "text_textrank_keywords",
     "embedding_knn_outlier",
     "cluster_kmeans_lloyd",
-    "sim_ivf_nprobe_sweep",
+    "data_profile",
     "pipeline_dedup_funnel",
+    "sim_ivf_nprobe_sweep",
+    "stats_rank_sum_u",
+    "stream_demo_static_join",
+    "stream_demo_stream_join",
+    "text_collocations_pmi",
+    "text_rake_keywords",
+    "ts_holt_winters_forecast",
     "corpus_dedup_survivorship",
     "dedup_embedding_ann",
     "dedup_minhash_param_sweep",
     "dedup_simhash_recall",
+    "graph_community_modularity",
     "graph_personalized_pagerank",
+    "ml_auc_delong_ci",
     "sim_ann_ivf",
     "sim_ann_lsh",
     "sim_lsh_radius_sweep",
     "stats_cusum_changepoint",
+    "stats_kruskal_wallis",
     "graph_label_propagation",
     "dedup_near_minhash",
     "dedup_simhash",
-    "graph_community_modularity",
     "dedup_embedding_cosine",
     "dedup_jaccard_histogram",
     "dedup_minhash_recall",
@@ -550,8 +577,12 @@ DRIVER_ORDER: tuple[str, ...] = (
     "ann_ivf_imbalance",
     "ann_recall_under_churn",
     "dedup_semdedup_eps",
+    "agg_equi_depth_histogram",
+    "basket_brand_pairs_lift",
     "etl_merge_upsert",
     "stream_demo_dedup",
+    "stream_demo_sliding",
+    "stream_demo_watermark_late",
     # --- 1 driver row(s), last in r3 ---
     "pipeline_corpus_clean",
     "stream_dedup_keyed",
@@ -613,13 +644,11 @@ DRIVER_ORDER: tuple[str, ...] = (
     "stats_winsorized_mean",
     "win_time_range_frame",
     # --- 1 driver row(s), last in r6 ---
-    "agg_exact_quantiles_global",
     "agg_theil_index",
     "anon_k_anonymity_report",
     "api_sql_recursive_cte",
     "customer_survival_km",
     "dedup_url_canonicalize",
-    "dq_referential_integrity",
     "embedding_matryoshka_quality",
     "etl_gdpr_delete_propagation",
     "events_bounce_rate",
@@ -627,7 +656,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "features_target_encoding",
     "fn_intervals_overlap_merge",
     "fn_nested_struct_ops",
-    "graph_jaccard_link_prediction",
     "join_asof_tolerance",
     "q_discounted_revenue",
     "q_forecast_revenue",
@@ -644,7 +672,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "stats_psi_drift",
     "stream_demo_rate_source",
     "stream_demo_session",
-    "text_ngram_novelty",
     # --- 1 driver row(s), last in r7 ---
     "agg_percentile_cont",
     "anon_dp_geometric_histogram",
@@ -652,31 +679,24 @@ DRIVER_ORDER: tuple[str, ...] = (
     "anon_t_closeness",
     "dedup_incremental_batch",
     "dedup_substring_spans",
-    "embedding_pca_power",
-    "events_markov_kstep",
     "features_target_encoding_loo",
     "graph_harmonic_centrality",
-    "sim_rrf_fusion",
     "sketch_theta_intersection",
     "spatial_knn_grid",
     "stats_anova_f",
     "stats_kendall_tau",
     "stats_levene_bf",
-    "stats_mutual_information",
     "stats_spearman_corr",
     "text_bigram_lm_perplexity",
     "text_char_entropy",
-    "ts_anomaly_esd",
     "ts_autocorrelation",
     "ts_periodogram",
     "ts_seasonal_decompose",
     # --- 1 driver row(s), last in r8 ---
     "sample_balanced_downsample",
-    "stats_friedman",
     # --- 1 driver row(s), last in r10 ---
     "ml_brier_decomposition",
     "text_bpe_train_merges",
-    "ts_holt_winters_forecast",
     # --- 1 driver row(s), last in r11 ---
     "events_power_mde",
     "events_srm_check",
@@ -690,9 +710,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     # --- 1 driver row(s), last in r12 ---
     "corpus_mix_alpha_sweep",
     "text_quality_threshold_sweep",
-    # --- 1 driver row(s), last in r13 ---
-    "stream_demo_sliding",
-    "stream_demo_watermark_late",
     # --- 2 driver row(s), last in r8 ---
     "agg_approx_quantile",
     "fn_bitwise",
@@ -727,8 +744,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "events_ab_lift",
     "events_burstiness",
     "events_cohort_ltv",
-    "events_dau_wau_mau",
-    "events_funnel_latency",
     "events_rfm_segmentation",
     "events_uplift_cuped",
     "fn_calendar_buckets",
@@ -738,21 +753,15 @@ DRIVER_ORDER: tuple[str, ...] = (
     "ml_conformal_interval",
     "ml_ndcg_retrieval",
     "ml_pr_auc",
-    "ml_threshold_sweep",
     "multimodal_audio_features",
     "multimodal_frame_sample",
     "multimodal_image_thumbnail",
-    "sim_more_like_this",
-    "sketch_kll_merge",
     "sketch_kll_quantiles",
-    "spatial_hotspot_clusters",
     "stats_chi2_independence",
     "stats_permutation_test",
-    "stats_wilcoxon_signed_rank",
     "stream_demo_stateful",
     "stream_demo_tumbling",
     "text_containment_dedup",
-    "text_textrank_keywords",
     "ts_ewma_halflife",
     "ts_resample_interpolate",
     "ts_seasonal_naive_eval",
@@ -762,7 +771,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "win_sliding_median",
     # --- 2 driver row(s), last in r10 ---
     "corpus_quality_gate_report",
-    "data_profile",
     "dedup_fuzzy_levenshtein",
     "features_woe_iv",
     "ml_gains_deciles",
@@ -771,16 +779,11 @@ DRIVER_ORDER: tuple[str, ...] = (
     "sketch_bloom_filter",
     "sketch_kll_partitioned_rollup",
     "stats_benford_first_digit",
-    "stats_rank_sum_u",
     "stats_theil_sen_trend",
     "stats_ttest_welch",
-    "stream_demo_static_join",
-    "stream_demo_stream_join",
     "text_chunk_fixed_overlap",
-    "text_collocations_pmi",
     "text_dedup_prefix",
     "text_lang_overlap_jaccard",
-    "text_rake_keywords",
     "text_zipf_slope",
     "ts_double_exponential_forecast",
     "ts_rolling_regression",
@@ -790,7 +793,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "embeddings_centroid",
     "embeddings_class_separation",
     "events_top_paths",
-    "ml_auc_delong_ci",
     "stats_gini_lorenz",
     "text_boilerplate_ngrams",
     "text_bpe_encode",
@@ -806,7 +808,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "q_top_suppliers",
     "text_heaps_law_fit",
     # --- 2 driver row(s), last in r13 ---
-    "agg_equi_depth_histogram",
     "agg_listagg_ordered",
     "agg_mode_deterministic",
     "agg_percentile_exact",
@@ -814,7 +815,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "agg_skew_salted_distinct",
     "agg_weighted_percentile",
     "api_sql_registered_udf",
-    "basket_brand_pairs_lift",
     "dq_expectations",
     "embedding_int8_quantize",
     "embedding_matryoshka_energy",
@@ -858,7 +858,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "dedup_cluster_keeper",
     "dedup_ngram_jaccard",
     "sort_multi",
-    "stats_kruskal_wallis",
     "stats_ks_two_sample",
     "text_vocab_coverage",
     "ts_cross_correlation",
