@@ -93,25 +93,29 @@ def sketch_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     (est ≥ exact always — tests pin it); the ``overcounted`` flag marks
     users whose estimate collided upward.
 
-    The cell build hashes each event once per depth row (the explode),
-    so a (d, bucket) cell counts exactly the events hashing there at
-    that depth. The sketch is MERGEABLE by construction (cells are
-    sums → partial aggregation / shard union is the same groupBy), the
-    property that matters at 100 TB: shards sketch independently and
-    the union is one more aggregate pass. Plan: two shuffles (cells,
-    probe-join) + the per-user min; nothing holds the 1024-cell array
-    in one place — it IS a DataFrame."""
+    r14 reshape (guide §2.3 "aggregate before you shuffle"): the cell
+    hash depends only on (user_id, d), so the per-user exact counts —
+    needed anyway for the probe side — are aggregated FIRST and each
+    (d, bucket) cell is the SUM of its users' counts, identical to
+    counting raw events there. sha256 evaluations drop from
+    depth×|events| to depth×|users| and the cells shuffle carries
+    per-user partials instead of raw event rows. Mergeability is
+    unchanged (cells are still sums — shards union via the same
+    groupBy), and at 100 TB the event-sized pass is the one that
+    matters. Plan: one event-sized shuffle (the user rollup, shared by
+    build and probe sides) + tiny (d, bucket) aggregates; nothing
+    holds the 1024-cell array in one place — it IS a DataFrame."""
     ev = table(spark, sf_dir, "events").select("user_id")
     depths = F.explode(F.array(*[F.lit(d) for d in range(_CMS_DEPTH)])).alias("d")
-    hashed = ev.select("user_id", depths).withColumn(
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    hashed = exact.select("user_id", "n_exact", depths).withColumn(
         "bucket",
         _spark_hexhash(
             F.col("user_id"), 6, salt=F.concat(F.lit(":"), F.col("d").cast("string"))
         )
         % _CMS_WIDTH,
     )
-    cells = hashed.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cell"))
-    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    cells = hashed.groupBy("d", "bucket").agg(F.sum("n_exact").alias("cell"))
     probes = exact.select("user_id", "n_exact", depths).withColumn(
         "bucket",
         _spark_hexhash(
@@ -182,8 +186,15 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-users rows; at 100 TB the dedup pre-aggregates map-side
     and the window input is already k-truncatable per partition."""
     ev = table(spark, sf_dir, "events")
+    # r14 (guide §2.3): dedup the 8-byte (type, user) pairs FIRST, hash
+    # after — sha256 runs once per distinct pair, not once per event.
+    # The second distinct keeps the original (type, h)-level dedup
+    # semantics exactly (it collapses only 48-bit hash collisions, and
+    # runs over the already-tiny distinct frame).
     hv = (
-        ev.select("event_type", _spark_hexhash(F.col("user_id"), 12).alias("h"))
+        ev.select("event_type", "user_id")
+        .distinct()
+        .select("event_type", _spark_hexhash(F.col("user_id"), 12).alias("h"))
         .distinct()
     )
     w = Window.partitionBy("event_type").orderBy("h")

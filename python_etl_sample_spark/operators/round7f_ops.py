@@ -389,9 +389,16 @@ def sketch_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_etl_sample_spark.operators.round6b_ops import _spark_hexhash
 
     ev = table(spark, sf_dir, "events")
-    hv = ev.select(
+    # r14 (guide §2.3): dedup (type, user) FIRST, hash after — the
+    # sha256 family runs once per distinct pair instead of once per
+    # event, and the same distinct subtree feeds hv AND the exact
+    # baseline's du below (runtime exchange reuse scans events once).
+    # Identical rows: h is a pure function of user_id, so distinct
+    # before or after hashing is the same set.
+    du = ev.select("event_type", "user_id").distinct()
+    hv = du.select(
         "event_type", "user_id", _spark_hexhash(F.col("user_id"), 12).alias("h")
-    ).distinct()
+    )
     w = Window.partitionBy("event_type").orderBy("h")
     theta = (
         hv.select("event_type", "h", F.row_number().over(w).alias("r"))
@@ -433,7 +440,6 @@ def sketch_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("type_a", "type_b", "theta_ab")
         .agg(F.count(F.lit(1)).alias("n_below"))
     )
-    du = ev.select("event_type", "user_id").distinct()
     exact = (
         du.select(F.col("event_type").alias("type_a"), "user_id")
         .join(
