@@ -188,27 +188,34 @@ def anon_ldp_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     target u mod (d−1) skip-mapped over the alphabet — no float enters
     until the single final division by 2.
 
-    Scale: two map-side-combined groupBys over the alphabet (d=5 rows)
-    plus a 1-row total — no shuffle carries more than (category,
-    count); the mechanism itself is embarrassingly map-only, exactly
-    how LDP collection behaves on-device at fleet scale."""
+    Scale (r14 reshape, guide §1.2): ONE map-side-combined groupBy on
+    (true category, reported category) — ≤ d² = 25 groups — feeds the
+    observed rollup, the true rollup AND the total, replacing three
+    separate passes over events; no shuffle carries more than
+    (category pair, count). The mechanism itself is embarrassingly
+    map-only, exactly how LDP collection behaves on-device at fleet
+    scale."""
     ev = table(spark, sf_dir, "events")
     t = F.expr(_LDP_CASE_IDX)
     u = ((F.col("event_id") % 3221225473) * 2654435761) % _LDP_M
-    base = ev.select(t.alias("t"), u.alias("u"))
+    base = ev.select("event_type", t.alias("t"), u.alias("u"))
     r = (
         F.when(F.col("u") * 7 < 3 * _LDP_M, F.col("t"))
         .when(F.col("u") % (_LDP_D - 1) < F.col("t"), F.col("u") % (_LDP_D - 1))
         .otherwise(F.col("u") % (_LDP_D - 1) + 1)
     )
+    cnt = (
+        base.select("event_type", r.alias("r"))
+        .groupBy("event_type", "r")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     obs = (
-        base.select(r.alias("r"))
-        .groupBy("r")
-        .agg(F.count(F.lit(1)).alias("observed_n"))
+        cnt.groupBy("r")
+        .agg(F.sum("c").alias("observed_n"))
         .select(F.expr(_LDP_CASE_CAT).alias("event_type"), "observed_n")
     )
-    tru = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("true_n"))
-    tot = ev.agg(F.count(F.lit(1)).alias("n"))
+    tru = cnt.groupBy("event_type").agg(F.sum("c").alias("true_n"))
+    tot = cnt.agg(F.sum("c").alias("n"))
     return (
         obs.join(tru, "event_type")
         .crossJoin(F.broadcast(tot))

@@ -507,7 +507,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "filter_null",
     "filter_like",
     "case_when",
-    # --- changed since last driver row (75) ---
+    # --- changed since last driver row (79) ---
     "agg_groupby",
     "join_interval_overlap",
     "fn_try_safe",
@@ -518,14 +518,18 @@ DRIVER_ORDER: tuple[str, ...] = (
     "graph_bfs_hops",
     "graph_jaccard_link_prediction",
     "graph_kcore_peel",
+    "sketch_cms_frequency",
+    "sketch_kmv_distinct",
     "stream_demo_foreachbatch_merge",
     "text_ngram_novelty",
     "sim_mmr_rerank",
+    "anon_ldp_frequency",
     "dedup_semantic_cluster",
     "embedding_pca_power",
     "events_markov_kstep",
     "graph_degree_assortativity",
     "sim_rrf_fusion",
+    "sketch_theta_intersection",
     "stats_mutual_information",
     "ts_anomaly_esd",
     "cluster_silhouette",
@@ -664,8 +668,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "q_parts_supplier_relationship",
     "q_product_type_profit",
     "q_volume_shipping",
-    "sketch_cms_frequency",
-    "sketch_kmv_distinct",
     "stats_bootstrap_poisson_ci",
     "stats_mann_kendall_trend",
     "stats_ols_multivariate",
@@ -675,13 +677,11 @@ DRIVER_ORDER: tuple[str, ...] = (
     # --- 1 driver row(s), last in r7 ---
     "agg_percentile_cont",
     "anon_dp_geometric_histogram",
-    "anon_ldp_frequency",
     "anon_t_closeness",
     "dedup_incremental_batch",
     "dedup_substring_spans",
     "features_target_encoding_loo",
     "graph_harmonic_centrality",
-    "sketch_theta_intersection",
     "spatial_knn_grid",
     "stats_anova_f",
     "stats_kendall_tau",
