@@ -59,9 +59,14 @@ def data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     faster even run back-to-back, and as one union job the four narrow
     subtrees run concurrently: each scan prunes to its ONE column,
     each partial-distinct shuffles only that column's values. At
-    100 TB the same four-subtree union holds (or swap exact distincts
-    for approx_count_distinct, see agg_approx_distinct, to collapse
-    back to one pass). Min/max computed natively then cast to string,
+    100 TB the union-of-scans shape assumes a COLUMNAR source with
+    working column pruning and concurrent subtree scheduling (ADVICE
+    r14) — each subtree reads one column, so four subtrees read the
+    same bytes as the one Expand scan; on a row-oriented source or a
+    serial scheduler it would be a 4× scan regression, and the
+    documented fallback is the single-pass approx_count_distinct
+    shape (see agg_approx_distinct), which collapses the profile back
+    to one scan. Min/max computed natively then cast to string,
     so the profile row is type-uniform without lexicographic
     artifacts."""
     o = table(spark, sf_dir, "orders")

@@ -312,8 +312,12 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc's novel-count comes from the tiny first_seen frame regrouped
     by its exemplar doc (novelty of doc d = #trigrams whose corpus min
     is d — the same inner-join-on-tg count, without re-shuffling the
-    trigram frame), broadcast back onto the map-side per-doc stats.
-    Net: 4 data-sized exchanges + window sort → 1."""
+    trigram frame), joined back onto the map-side per-doc stats. The
+    novel frame is doc-cardinality in the worst case (every doc owns
+    ≥1 novel trigram), so the join strategy is left to the planner/AQE
+    — a forced broadcast hint would bypass size thresholds and OOM at
+    the 100 TB posture (ADVICE r14). Net: 4 data-sized exchanges +
+    window sort → 1."""
     d = table(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
     docs = d.select("doc_id", "lang", toks.alias("t")).filter(F.size("t") >= 3)
@@ -330,7 +334,7 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_novel")
     )
     joined = per_doc.join(
-        F.broadcast(novel),
+        novel,
         per_doc["doc_id"] == novel["first_doc"],
         "left",
     ).select(

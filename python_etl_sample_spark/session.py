@@ -35,6 +35,15 @@ _SHJ_LOCAL_MAP_THRESHOLD = os.environ.get(
     "SPARK_GRAFT_SHJ_LOCAL_MAP_THRESHOLD", str(64 * 1024 * 1024)
 )
 
+#: The static-planner half of the same posture, env-overridable for the
+#: same reason (ADVICE r14): shuffled-hash builds lack sort-merge's
+#: graceful spill when static size estimates are badly wrong, so a
+#: memory-tight cluster can restore sort-merge without editing source
+#: (SPARK_GRAFT_PREFER_SORT_MERGE_JOIN=true).
+_PREFER_SORT_MERGE_JOIN = os.environ.get(
+    "SPARK_GRAFT_PREFER_SORT_MERGE_JOIN", "false"
+)
+
 
 def get_spark(app_name: str = "python-etl-sample-spark") -> SparkSession:
     """Build (or get) a SparkSession configured for this engine."""
@@ -48,7 +57,7 @@ def get_spark(app_name: str = "python-etl-sample-spark") -> SparkSession:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.join.preferSortMergeJoin", _PREFER_SORT_MERGE_JOIN)
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
             _SHJ_LOCAL_MAP_THRESHOLD,
@@ -81,7 +90,7 @@ def ensure_session_configs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
-    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", _PREFER_SORT_MERGE_JOIN)
     spark.conf.set(
         "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
         _SHJ_LOCAL_MAP_THRESHOLD,
