@@ -29,7 +29,6 @@ every ratio.
 
 from __future__ import annotations
 
-from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -647,19 +646,31 @@ def dedup_minhash_param_sweep(
             .alias("n_caught"),
         )
     )
-    meta = reduce(
-        DataFrame.unionAll,
-        [
-            # literal 4-row frame built relationally (no createDataFrame:
-            # keeps the whole query a pure plan over registered sources)
-            n_truth.select(
+    # literal 4-row frame built relationally (no createDataFrame: keeps
+    # the whole query a pure plan over registered sources) — via ONE
+    # explode over the n_truth scalar, not a 4-branch unionAll. The
+    # union form embedded the n_truth aggregate subtree once per branch,
+    # and `truth` ends in broadcast joins (no Exchange), so runtime
+    # exchange reuse could not dedupe it: the truth chain re-executed
+    # ~5x (4 meta branches + the stats join). r15 interleaved A/B:
+    # 3.14 -> 1.23 s floor (0.39x), values identical; persisting truth
+    # instead measured no better than the explode (guide §5's "persist
+    # only when recomputation exceeds the cache cost").
+    metas = F.array(
+        *[
+            F.struct(
                 F.lit(f"{bands}x{rows}").alias("cfg"),
                 F.lit(bands).alias("bands"),
                 F.lit(rows).alias("rows_per_band"),
-                "n_truth",
             )
             for bands, rows in _SWEEP
-        ],
+        ]
+    )
+    meta = n_truth.select(F.explode(metas).alias("m"), "n_truth").select(
+        F.col("m.cfg").alias("cfg"),
+        F.col("m.bands").alias("bands"),
+        F.col("m.rows_per_band").alias("rows_per_band"),
+        "n_truth",
     )
     return meta.join(stats, "cfg", "left").select(
         "cfg",
