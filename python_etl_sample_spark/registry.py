@@ -501,67 +501,19 @@ EXTENSION_ORDER: tuple[str, ...] = (
 #: CORRECTNESS_r{N}.json lands) the tuple therefore lags its
 #: generator's would-be output; that is by design, not drift.
 DRIVER_ORDER: tuple[str, ...] = (
-    # --- VERDICT-pinned re-evidence (5) ---
-    "project_derive",
-    "filter_pred",
-    "filter_null",
-    "filter_like",
-    "case_when",
-    # --- changed since last driver row (79) ---
-    "agg_groupby",
-    "join_interval_overlap",
-    "fn_try_safe",
-    "graph_pagerank",
-    "graph_triangle_count",
-    "agg_exact_quantiles_global",
-    "dq_referential_integrity",
-    "graph_bfs_hops",
-    "graph_jaccard_link_prediction",
-    "graph_kcore_peel",
-    "sketch_cms_frequency",
-    "sketch_kmv_distinct",
-    "stream_demo_foreachbatch_merge",
-    "text_ngram_novelty",
-    "sim_mmr_rerank",
-    "anon_ldp_frequency",
-    "dedup_semantic_cluster",
-    "embedding_pca_power",
-    "events_markov_kstep",
-    "graph_degree_assortativity",
-    "sim_rrf_fusion",
-    "sketch_theta_intersection",
-    "stats_mutual_information",
-    "ts_anomaly_esd",
-    "cluster_silhouette",
-    "join_null_safe",
-    "stats_friedman",
-    "multimodal_join",
-    "dedup_semantic_recall",
-    "events_dau_wau_mau",
-    "events_funnel_latency",
-    "ml_threshold_sweep",
-    "sim_more_like_this",
-    "sketch_kll_merge",
-    "spatial_hotspot_clusters",
-    "stats_wilcoxon_signed_rank",
-    "text_textrank_keywords",
-    "embedding_knn_outlier",
-    "cluster_kmeans_lloyd",
-    "data_profile",
-    "pipeline_dedup_funnel",
-    "sim_ivf_nprobe_sweep",
-    "stats_rank_sum_u",
-    "stream_demo_static_join",
-    "stream_demo_stream_join",
+    # --- VERDICT-pinned re-evidence (2) ---
+    "agg_percentile_cont",
+    "stats_theil_sen_trend",
+    # --- changed since last driver row (36) ---
     "text_collocations_pmi",
     "text_rake_keywords",
     "ts_holt_winters_forecast",
+    "dedup_minhash_param_sweep",
+    "graph_personalized_pagerank",
     "corpus_dedup_survivorship",
     "dedup_embedding_ann",
-    "dedup_minhash_param_sweep",
     "dedup_simhash_recall",
     "graph_community_modularity",
-    "graph_personalized_pagerank",
     "ml_auc_delong_ci",
     "sim_ann_ivf",
     "sim_ann_lsh",
@@ -587,6 +539,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "stream_demo_dedup",
     "stream_demo_sliding",
     "stream_demo_watermark_late",
+    "data_profile",
+    "text_ngram_novelty",
     # --- 1 driver row(s), last in r3 ---
     "pipeline_corpus_clean",
     "stream_dedup_keyed",
@@ -675,7 +629,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "stream_demo_rate_source",
     "stream_demo_session",
     # --- 1 driver row(s), last in r7 ---
-    "agg_percentile_cont",
     "anon_dp_geometric_histogram",
     "anon_t_closeness",
     "dedup_incremental_batch",
@@ -779,7 +732,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "sketch_bloom_filter",
     "sketch_kll_partitioned_rollup",
     "stats_benford_first_digit",
-    "stats_theil_sen_trend",
     "stats_ttest_welch",
     "text_chunk_fixed_overlap",
     "text_dedup_prefix",
@@ -850,6 +802,33 @@ DRIVER_ORDER: tuple[str, ...] = (
     "udf_scalar_pandas",
     "udtf_apply_in_pandas",
     "udtf_python_lateral",
+    # --- 2 driver row(s), last in r14 ---
+    "agg_exact_quantiles_global",
+    "anon_ldp_frequency",
+    "cluster_silhouette",
+    "dedup_semantic_cluster",
+    "dq_referential_integrity",
+    "embedding_pca_power",
+    "events_markov_kstep",
+    "fn_try_safe",
+    "graph_bfs_hops",
+    "graph_degree_assortativity",
+    "graph_jaccard_link_prediction",
+    "graph_kcore_peel",
+    "graph_pagerank",
+    "graph_triangle_count",
+    "join_interval_overlap",
+    "pipeline_dedup_funnel",
+    "sim_ivf_nprobe_sweep",
+    "sim_mmr_rerank",
+    "sim_rrf_fusion",
+    "sketch_cms_frequency",
+    "sketch_kmv_distinct",
+    "sketch_theta_intersection",
+    "stats_friedman",
+    "stats_mutual_information",
+    "stream_demo_foreachbatch_merge",
+    "ts_anomaly_esd",
     # --- 3 driver row(s), last in r10 ---
     "dedup_consensus",
     "text_bm25_rank",
@@ -890,10 +869,34 @@ DRIVER_ORDER: tuple[str, ...] = (
     "sim_pq_adc",
     # --- 3 driver row(s), last in r13 ---
     "scan_parquet",
+    # --- 3 driver row(s), last in r14 ---
+    "case_when",
+    "dedup_semantic_recall",
+    "embedding_knn_outlier",
+    "events_dau_wau_mau",
+    "events_funnel_latency",
+    "filter_like",
+    "filter_null",
+    "filter_pred",
+    "join_null_safe",
+    "ml_threshold_sweep",
+    "multimodal_join",
+    "project_derive",
+    "sim_more_like_this",
+    "sketch_kll_merge",
+    "spatial_hotspot_clusters",
+    "stats_rank_sum_u",
+    "stats_wilcoxon_signed_rank",
+    "stream_demo_static_join",
+    "stream_demo_stream_join",
+    "text_textrank_keywords",
     # --- 4 driver row(s), last in r11 ---
     "dedup_exact",
     # --- 4 driver row(s), last in r13 ---
     "graph_hits_scores",
+    # --- 4 driver row(s), last in r14 ---
+    "agg_groupby",
+    "cluster_kmeans_lloyd",
 )
 
 

@@ -62,23 +62,17 @@ sys.path.insert(0, REPO)
 #: this tuple from each round's VERDICT; it drains automatically (a
 #: name leaves the changed bucket once its post-change row lands).
 VERDICT_PRIORITY = (
-    # r14: agg_groupby's aggregation expression changed on BOTH sides
-    # (the dsum_big/davg_big bigint detour for sums past the 2^53
-    # cast bound — values bit-identical at sf0.01 by construction, but
-    # the flagship deserves a post-change driver row ahead of the
-    # stale-backlog drain). graph_hits_scores (the r13 pin) drained:
-    # its post-change row landed in CORRECTNESS_r13.
-    "agg_groupby",
-    # r13 VERDICT item 3: the stalest evidence on the surface — the §2
-    # projection/filter core, last driver-recorded in r2. They carry
-    # ≥2 driver rows, so bucket-4's fewest-rows-first policy seats the
-    # r3/r4 single-row backlog ahead of them past the 50-cap; the
-    # verdict asks for them by name, hence the pin.
-    "project_derive",
-    "filter_pred",
-    "filter_null",
-    "filter_like",
-    "case_when",
+    # r15: the r14/r13 pins all drained — agg_groupby, project_derive,
+    # filter_pred/null/like and case_when each landed a post-change row
+    # in CORRECTNESS_r14. The VERDICT r14 item-2 list ("land driver
+    # rows for every touched-but-unverified query") is mostly caught by
+    # the query-granular fingerprint bucket; the two names below are
+    # the exception — their r14 optimization lived in the SHARED
+    # total-order kernel (functions/total_order.py), so their defining
+    # files never moved and the changed-bucket misses them. Pin both
+    # until a row lands.
+    "agg_percentile_cont",
+    "stats_theil_sen_trend",
 )
 
 
